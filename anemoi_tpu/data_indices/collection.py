@@ -1,0 +1,180 @@
+"""IndexCollection: the data-space / model-space variable index bookkeeping.
+
+Equivalent of /root/reference/models/src/anemoi/models/data_indices/collection.py:27-140
+and index.py:46-118.
+
+Variable roles (per dataset):
+  - forcing:     model inputs that are never predicted (e.g. solar insolation)
+  - diagnostic:  model outputs that are never inputs (e.g. precipitation)
+  - target:      outputs only present in the data-space output (downscaling targets)
+  - prognostic:  everything else -- both input and output, advanced autoregressively
+
+Two index spaces:
+  - "data" space:  variables laid out in dataset order (name_to_index)
+  - "model" space: the packed input tensor (forcing+prognostic) and packed
+                   output tensor (prognostic+diagnostic), each re-enumerated
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Dict, List, Optional
+
+from anemoi_tpu.data_indices.tensor import InputTensorIndex, OutputTensorIndex
+
+
+class SpaceIndex:
+    """One index space holding an input and an output TensorIndex."""
+
+    def __init__(self, input_index: InputTensorIndex, output_index: OutputTensorIndex) -> None:
+        self.input = input_index
+        self.output = output_index
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, SpaceIndex):
+            return NotImplemented
+        return self.input == other.input and self.output == other.output
+
+    def todict(self) -> dict:
+        return {"input": self.input.todict(), "output": self.output.todict()}
+
+
+def _contiguous_span(indices: List[int]):
+    if not indices:
+        return True, 0, 0
+    start = indices[0]
+    for offset, index in enumerate(indices):
+        if index != start + offset:
+            return False, 0, 0
+    return True, start, len(indices)
+
+
+class IndexCollection:
+    """Collection of data- and model-space indices for one dataset."""
+
+    def __init__(
+        self,
+        name_to_index: Dict[str, int],
+        forcing: Optional[List[str]] = None,
+        diagnostic: Optional[List[str]] = None,
+        target: Optional[List[str]] = None,
+    ) -> None:
+        self.name_to_index = dict(sorted(name_to_index.items(), key=operator.itemgetter(1)))
+        self.forcing = list(forcing or [])
+        self.diagnostic = list(diagnostic or [])
+        self.target = list(target or [])
+
+        defined = set(self.forcing) | set(self.diagnostic) | set(self.target)
+        self.prognostic = [v for v in self.name_to_index if v not in defined]
+
+        assert set(self.diagnostic).isdisjoint(self.forcing), (
+            f"Diagnostic and forcing variables overlap: "
+            f"{set(self.diagnostic) & set(self.forcing)}."
+        )
+        assert set(self.diagnostic).isdisjoint(self.target), (
+            f"Diagnostic and target variables overlap: "
+            f"{set(self.diagnostic) & set(self.target)}."
+        )
+
+        name_to_index_model_input = {
+            n: i
+            for i, n in enumerate(
+                k for k in self.name_to_index if k in self.forcing or k in self.prognostic
+            )
+        }
+        name_to_index_model_output = {
+            n: i
+            for i, n in enumerate(
+                k for k in self.name_to_index if k in self.prognostic or k in self.diagnostic
+            )
+        }
+
+        self.data = SpaceIndex(
+            InputTensorIndex(
+                includes=self.forcing + self.prognostic,
+                forcing=self.forcing,
+                diagnostic=self.diagnostic,
+                target=self.target,
+                prognostic=self.prognostic,
+                name_to_index=self.name_to_index,
+            ),
+            OutputTensorIndex(
+                includes=self.diagnostic + self.prognostic + self.target,
+                forcing=self.forcing,
+                diagnostic=self.diagnostic,
+                target=self.target,
+                prognostic=self.prognostic,
+                name_to_index=self.name_to_index,
+            ),
+        )
+        self.model = SpaceIndex(
+            InputTensorIndex(
+                includes=self.forcing + self.prognostic,
+                forcing=self.forcing,
+                diagnostic=self.diagnostic,
+                target=self.target,
+                prognostic=self.prognostic,
+                name_to_index=name_to_index_model_input,
+            ),
+            OutputTensorIndex(
+                includes=self.diagnostic + self.prognostic,
+                forcing=self.forcing,
+                diagnostic=self.diagnostic,
+                target=self.target,
+                prognostic=self.prognostic,
+                name_to_index=name_to_index_model_output,
+            ),
+        )
+
+        self.data_full_ordered_names = [
+            n for n, _ in sorted(self.name_to_index.items(), key=operator.itemgetter(1))
+        ]
+        self.data_full_name_to_position = {
+            n: p for p, n in enumerate(self.data_full_ordered_names)
+        }
+        self.model_output_positions_in_data_output = self.data.output.positions_for_names(
+            self.model.output.ordered_names
+        )
+        data_output_size = len(self.data.output.ordered_names)
+        self.model_output_in_data_output_is_identity = (
+            len(self.model_output_positions_in_data_output) == data_output_size
+            and self.model_output_positions_in_data_output == list(range(data_output_size))
+        )
+        (
+            self.model_output_in_data_output_is_contiguous,
+            self.model_output_in_data_output_contiguous_start,
+            self.model_output_in_data_output_contiguous_length,
+        ) = _contiguous_span(self.model_output_positions_in_data_output)
+
+    # Convenience sizes -------------------------------------------------
+    @property
+    def num_data_vars(self) -> int:
+        return len(self.name_to_index)
+
+    @property
+    def num_model_input_vars(self) -> int:
+        return len(self.model.input.full)
+
+    @property
+    def num_model_output_vars(self) -> int:
+        return len(self.model.output.full)
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, IndexCollection):
+            return NotImplemented
+        return self.model == other.model and self.data == other.data
+
+    def __repr__(self) -> str:
+        return f"IndexCollection(name_to_index={self.name_to_index})"
+
+    def todict(self) -> dict:
+        return {"data": self.data.todict(), "model": self.model.todict()}
+
+    @classmethod
+    def from_config(cls, data_config: dict, name_to_index: Dict[str, int]) -> "IndexCollection":
+        return cls(
+            name_to_index,
+            forcing=data_config.get("forcing"),
+            diagnostic=data_config.get("diagnostic"),
+            target=data_config.get("target"),
+        )

@@ -1,0 +1,234 @@
+"""Edge builders and edge attributes.
+
+Equivalents of /root/reference/graphs/src/anemoi/graphs/edges/builders/* and
+edges/attributes.py (SURVEY.md §2.1).  Distance queries run on unit-sphere
+cartesian coordinates with sklearn BallTree/NearestNeighbors, mirroring the
+reference's sklearn backend (edges/builders/cutoff.py:201).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+from sklearn.neighbors import NearestNeighbors
+
+from anemoi_tpu.graphs.generate.icosahedron import multi_scale_edge_index
+from anemoi_tpu.graphs.graph import EdgeSet, Graph
+from anemoi_tpu.graphs.nodes import normalise
+from anemoi_tpu.graphs.transforms import (
+    azimuth,
+    edge_directions,
+    great_circle_distance,
+    latlon_rad_to_xyz,
+)
+from anemoi_tpu.utils.registry import Registry
+
+edge_builder_registry = Registry("edge builder")
+edge_attribute_registry = Registry("edge attribute")
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def _reference_distance(coords: np.ndarray) -> float:
+    """Max nearest-neighbour chord distance among nodes -- the 'grid reference
+    distance' used to scale cutoff radii (ref: cutoff.py:99-121)."""
+    xyz = latlon_rad_to_xyz(coords)
+    nn = NearestNeighbors(n_neighbors=2).fit(xyz)
+    dist, _ = nn.kneighbors(xyz)
+    return float(dist[:, 1].max())
+
+
+@edge_builder_registry.register("CutOffEdges")
+def cutoff_edges(
+    graph: Graph,
+    source_name: str,
+    target_name: str,
+    cutoff_factor: Optional[float] = None,
+    cutoff_distance_km: Optional[float] = None,
+    max_num_neighbours: int = 64,
+) -> np.ndarray:
+    """Connect each target node to all source nodes within a cutoff radius.
+
+    Radius = cutoff_factor * target grid reference distance, or an explicit
+    km distance (ref: edges/builders/cutoff.py:32-160).
+    """
+    if (cutoff_factor is None) == (cutoff_distance_km is None):
+        raise ValueError("Provide exactly one of cutoff_factor / cutoff_distance_km.")
+    src_xyz = latlon_rad_to_xyz(graph[source_name].coords)
+    dst_xyz = latlon_rad_to_xyz(graph[target_name].coords)
+    if cutoff_distance_km is not None:
+        radius = 2.0 * np.sin(cutoff_distance_km / EARTH_RADIUS_KM / 2.0)  # arc -> chord
+    else:
+        radius = cutoff_factor * _reference_distance(graph[target_name].coords)
+    nn = NearestNeighbors(n_neighbors=max_num_neighbours).fit(src_xyz)
+    dist, idx = nn.kneighbors(dst_xyz)
+    within = dist <= radius
+    dst = np.repeat(np.arange(len(dst_xyz)), within.sum(axis=1))
+    src = idx[within]
+    return np.stack([src, dst]).astype(np.int64)
+
+
+@edge_builder_registry.register("KNNEdges")
+def knn_edges(graph: Graph, source_name: str, target_name: str, num_nearest_neighbours: int = 3) -> np.ndarray:
+    """Connect each target node to its k nearest source nodes (ref: knn.py:24)."""
+    src_xyz = latlon_rad_to_xyz(graph[source_name].coords)
+    dst_xyz = latlon_rad_to_xyz(graph[target_name].coords)
+    nn = NearestNeighbors(n_neighbors=num_nearest_neighbours).fit(src_xyz)
+    _, idx = nn.kneighbors(dst_xyz)
+    dst = np.repeat(np.arange(len(dst_xyz)), num_nearest_neighbours)
+    return np.stack([idx.ravel(), dst]).astype(np.int64)
+
+
+@edge_builder_registry.register("ReversedKNNEdges")
+def reversed_knn_edges(graph: Graph, source_name: str, target_name: str, num_nearest_neighbours: int = 3) -> np.ndarray:
+    """Each SOURCE node connects to its k nearest target nodes (ref: knn.py:88)."""
+    src_xyz = latlon_rad_to_xyz(graph[source_name].coords)
+    dst_xyz = latlon_rad_to_xyz(graph[target_name].coords)
+    nn = NearestNeighbors(n_neighbors=num_nearest_neighbours).fit(dst_xyz)
+    _, idx = nn.kneighbors(src_xyz)
+    src = np.repeat(np.arange(len(src_xyz)), num_nearest_neighbours)
+    return np.stack([src, idx.ravel()]).astype(np.int64)
+
+
+@edge_builder_registry.register("MutualKNNEdges")
+def mutual_knn_edges(graph: Graph, source_name: str, target_name: str, num_nearest_neighbours: int = 3) -> np.ndarray:
+    """Keep only edges that are kNN in both directions (ref: knn.py:133)."""
+    fwd = knn_edges(graph, source_name, target_name, num_nearest_neighbours)
+    rev = reversed_knn_edges(graph, source_name, target_name, num_nearest_neighbours)
+    fwd_set = set(map(tuple, fwd.T.tolist()))
+    keep = [i for i, e in enumerate(rev.T.tolist()) if tuple(e) in fwd_set]
+    return rev[:, keep]
+
+
+@edge_builder_registry.register("MultiScaleEdges")
+def multi_scale_edges(
+    graph: Graph,
+    source_name: str,
+    target_name: str,
+    x_hops: int = 1,
+    resolution: Optional[int] = None,
+    scale_resolutions: Optional[list] = None,
+) -> np.ndarray:
+    """Icosahedral multi-scale mesh edges (ref: multi_scale.py:23).
+
+    Requires the node set to be `TriNodes` of the given resolution; coarse-level
+    adjacency is unioned across ``scale_resolutions``.
+    """
+    assert source_name == target_name, "MultiScaleEdges connect a node set to itself."
+    num_nodes = graph[source_name].num_nodes
+    if resolution is None:
+        # infer from node count: n = 10*4^r + 2
+        r = int(round(np.log((num_nodes - 2) / 10.0) / np.log(4.0)))
+        assert 10 * 4**r + 2 == num_nodes, (
+            f"Cannot infer icosphere resolution from {num_nodes} nodes; pass resolution="
+        )
+        resolution = r
+    return multi_scale_edge_index(resolution, scale_resolutions, x_hops)
+
+
+# ----------------------------------------------------------------------
+# Edge attributes (ref: graphs/src/anemoi/graphs/edges/attributes.py)
+# ----------------------------------------------------------------------
+def _edge_coords(graph: Graph, source_name: str, target_name: str, edge_index: np.ndarray):
+    src = graph[source_name].coords[edge_index[0]]
+    dst = graph[target_name].coords[edge_index[1]]
+    return src, dst
+
+
+@edge_attribute_registry.register("EdgeLength")
+def edge_length(
+    graph: Graph, source_name: str, target_name: str, edge_index: np.ndarray, norm: Optional[str] = "unit-max"
+) -> np.ndarray:
+    """Great-circle length per edge (ref: attributes.py:87)."""
+    src, dst = _edge_coords(graph, source_name, target_name, edge_index)
+    d = great_circle_distance(src, dst)
+    return normalise(d.astype(np.float32)[:, None], norm)
+
+
+@edge_attribute_registry.register("EdgeDirection")
+def edge_direction(
+    graph: Graph, source_name: str, target_name: str, edge_index: np.ndarray, norm: Optional[str] = "unit-std"
+) -> np.ndarray:
+    """(dlat, dlon) of the source in the destination's local frame (ref: attributes.py:95)."""
+    src, dst = _edge_coords(graph, source_name, target_name, edge_index)
+    d = edge_directions(src, dst)
+    return normalise(d.astype(np.float32), norm)
+
+
+@edge_attribute_registry.register("Azimuth")
+def edge_azimuth(
+    graph: Graph, source_name: str, target_name: str, edge_index: np.ndarray, norm: Optional[str] = None
+) -> np.ndarray:
+    """Forward azimuth src->dst (ref: attributes.py:143)."""
+    src, dst = _edge_coords(graph, source_name, target_name, edge_index)
+    a = azimuth(src, dst)
+    return normalise(a.astype(np.float32)[:, None], norm)
+
+
+@edge_attribute_registry.register("GaussianDistanceWeights")
+def gaussian_distance_weights(
+    graph: Graph,
+    source_name: str,
+    target_name: str,
+    edge_index: np.ndarray,
+    sigma_factor: float = 1.0,
+    norm: Optional[str] = None,
+) -> np.ndarray:
+    """exp(-d^2 / (2 sigma^2)), sigma = sigma_factor * mean edge length
+    (ref: attributes.py:363)."""
+    src, dst = _edge_coords(graph, source_name, target_name, edge_index)
+    d = great_circle_distance(src, dst)
+    sigma = sigma_factor * max(float(d.mean()), 1e-12)
+    w = np.exp(-0.5 * (d / sigma) ** 2)
+    return normalise(w.astype(np.float32)[:, None], norm)
+
+
+@edge_attribute_registry.register("RadialBasisFeatures")
+def radial_basis_features(
+    graph: Graph,
+    source_name: str,
+    target_name: str,
+    edge_index: np.ndarray,
+    num_basis: int = 8,
+    norm: Optional[str] = None,
+) -> np.ndarray:
+    """Gaussian RBF expansion of the edge length (ref: attributes.py:216)."""
+    src, dst = _edge_coords(graph, source_name, target_name, edge_index)
+    d = great_circle_distance(src, dst)
+    d_max = max(float(d.max()), 1e-12)
+    centres = np.linspace(0.0, d_max, num_basis)
+    width = d_max / max(num_basis - 1, 1)
+    feats = np.exp(-0.5 * ((d[:, None] - centres[None, :]) / width) ** 2)
+    return normalise(feats.astype(np.float32), norm)
+
+
+@edge_attribute_registry.register("DirectionalHarmonics")
+def directional_harmonics(
+    graph: Graph,
+    source_name: str,
+    target_name: str,
+    edge_index: np.ndarray,
+    num_harmonics: int = 2,
+    norm: Optional[str] = None,
+) -> np.ndarray:
+    """sin/cos harmonics of the edge azimuth (ref: attributes.py:103)."""
+    src, dst = _edge_coords(graph, source_name, target_name, edge_index)
+    a = azimuth(src, dst)
+    feats = []
+    for k in range(1, num_harmonics + 1):
+        feats.append(np.sin(k * a))
+        feats.append(np.cos(k * a))
+    return normalise(np.stack(feats, axis=-1).astype(np.float32), norm)
+
+
+def build_edges(graph: Graph, config: Dict) -> np.ndarray:
+    return edge_builder_registry.build_from_config(config, graph=graph)
+
+
+def build_edge_attribute(
+    graph: Graph, source_name: str, target_name: str, edge_index: np.ndarray, config: Dict
+) -> np.ndarray:
+    return edge_attribute_registry.build_from_config(
+        config, graph=graph, source_name=source_name, target_name=target_name, edge_index=edge_index
+    )

@@ -1,0 +1,125 @@
+"""Graph post-processors.
+
+Equivalents of /root/reference/graphs/src/anemoi/graphs/processors/post_process.py:
+- sort_edges_by_dst (ref :245 BaseSortEdgeIndex) -- THE invariant downstream
+  sharding and the Pallas CSC kernel rely on,
+- remove_unconnected_nodes (ref :126),
+- subset_nodes_in_area (ref :180).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from anemoi_tpu.graphs.graph import EdgeSet, Graph, NodeSet
+from anemoi_tpu.utils.registry import Registry
+
+post_processor_registry = Registry("graph post-processor")
+
+
+@post_processor_registry.register("SortEdgeIndexByDestinationNodes")
+def sort_edges_by_dst(graph: Graph) -> Graph:
+    """Stably sort every edge set by destination node and attach CSR dst_ptr."""
+    for key in list(graph.edges):
+        _, dst_name = key
+        graph.edges[key] = graph.edges[key].sort_by_dst(graph[dst_name].num_nodes)
+    return graph
+
+
+@post_processor_registry.register("RemoveUnconnectedNodes")
+def remove_unconnected_nodes(
+    graph: Graph,
+    nodes_name: str,
+    ignore: Optional[str] = None,
+    save_mask_indices_to_attr: Optional[str] = None,
+) -> Graph:
+    """Drop nodes of ``nodes_name`` with no incident edges and relabel all
+    touching edge sets.  ``ignore``: name of a boolean attribute; True nodes
+    are kept regardless."""
+    ns = graph[nodes_name]
+    connected = np.zeros(ns.num_nodes, dtype=bool)
+    for (src, dst), es in graph.edges.items():
+        if src == nodes_name:
+            connected[es.edge_index[0]] = True
+        if dst == nodes_name:
+            connected[es.edge_index[1]] = True
+    if ignore is not None:
+        connected |= ns.attributes[ignore].reshape(-1).astype(bool)
+
+    keep_idx = np.flatnonzero(connected)
+    relabel = -np.ones(ns.num_nodes, dtype=np.int64)
+    relabel[keep_idx] = np.arange(len(keep_idx))
+
+    new_attrs = {k: v[keep_idx] for k, v in ns.attributes.items()}
+    if save_mask_indices_to_attr:
+        new_attrs[save_mask_indices_to_attr] = keep_idx[:, None]
+    graph.nodes[nodes_name] = NodeSet(coords=ns.coords[keep_idx], attributes=new_attrs)
+
+    for key in list(graph.edges):
+        src, dst = key
+        es = graph.edges[key]
+        ei = es.edge_index.copy()
+        mask = np.ones(es.num_edges, dtype=bool)
+        if src == nodes_name:
+            ei[0] = relabel[ei[0]]
+            mask &= ei[0] >= 0
+        if dst == nodes_name:
+            ei[1] = relabel[ei[1]]
+            mask &= ei[1] >= 0
+        if src == nodes_name or dst == nodes_name:
+            graph.edges[key] = EdgeSet(
+                edge_index=ei[:, mask],
+                attributes={k: v[mask] for k, v in es.attributes.items()},
+            )
+    return graph
+
+
+@post_processor_registry.register("SubsetNodesInArea")
+def subset_nodes_in_area(
+    graph: Graph,
+    nodes_name: str,
+    lat_min: float = -90.0,
+    lat_max: float = 90.0,
+    lon_min: float = -180.0,
+    lon_max: float = 180.0,
+) -> Graph:
+    """Keep only nodes inside a lat/lon box, relabelling touching edges."""
+    ns = graph[nodes_name]
+    deg = np.rad2deg(ns.coords)
+    keep = (
+        (deg[:, 0] >= lat_min)
+        & (deg[:, 0] <= lat_max)
+        & (deg[:, 1] >= lon_min)
+        & (deg[:, 1] <= lon_max)
+    )
+    keep_idx = np.flatnonzero(keep)
+    relabel = -np.ones(ns.num_nodes, dtype=np.int64)
+    relabel[keep_idx] = np.arange(len(keep_idx))
+    graph.nodes[nodes_name] = NodeSet(
+        coords=ns.coords[keep_idx],
+        attributes={k: v[keep_idx] for k, v in ns.attributes.items()},
+    )
+    for key in list(graph.edges):
+        src, dst = key
+        es = graph.edges[key]
+        if src != nodes_name and dst != nodes_name:
+            continue
+        ei = es.edge_index.copy()
+        mask = np.ones(es.num_edges, dtype=bool)
+        if src == nodes_name:
+            ei[0] = relabel[ei[0]]
+            mask &= ei[0] >= 0
+        if dst == nodes_name:
+            ei[1] = relabel[ei[1]]
+            mask &= ei[1] >= 0
+        graph.edges[key] = EdgeSet(
+            edge_index=ei[:, mask],
+            attributes={k: v[mask] for k, v in es.attributes.items()},
+        )
+    return graph
+
+
+def apply_post_processor(graph: Graph, config: dict) -> Graph:
+    return post_processor_registry.build_from_config(config, graph=graph)

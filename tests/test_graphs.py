@@ -1,0 +1,126 @@
+import numpy as np
+import pytest
+
+from anemoi_tpu.graphs import EdgeSet, Graph, NodeSet
+from anemoi_tpu.graphs.generate.gaussian import (
+    gaussian_latitudes,
+    octahedral_gaussian_grid,
+)
+from anemoi_tpu.graphs.generate.healpix import healpix_grid
+from anemoi_tpu.graphs.generate.icosahedron import (
+    multi_scale_edge_index,
+    num_tri_nodes,
+    tri_icosphere,
+)
+from anemoi_tpu.graphs.transforms import (
+    great_circle_distance,
+    latlon_rad_to_xyz,
+    xyz_to_latlon_rad,
+)
+
+
+def test_latlon_xyz_roundtrip(rng):
+    coords = np.stack(
+        [rng.uniform(-np.pi / 2, np.pi / 2, 100), rng.uniform(-np.pi, np.pi, 100)], axis=-1
+    )
+    back = xyz_to_latlon_rad(latlon_rad_to_xyz(coords))
+    np.testing.assert_allclose(back, coords, atol=1e-10)
+
+
+def test_great_circle():
+    a = np.array([[0.0, 0.0]])
+    b = np.array([[0.0, np.pi / 2]])
+    np.testing.assert_allclose(great_circle_distance(a, b), [np.pi / 2], atol=1e-12)
+
+
+def test_icosphere_counts():
+    verts, faces_per_level, nverts = tri_icosphere(3)
+    assert nverts == [12, 42, 162, 642]
+    assert [num_tri_nodes(r) for r in range(4)] == nverts
+    assert len(faces_per_level[-1]) == 20 * 4**3
+    # all vertices on unit sphere
+    np.testing.assert_allclose(np.linalg.norm(verts, axis=1), 1.0, atol=1e-12)
+
+
+def test_multiscale_edges_symmetric():
+    ei = multi_scale_edge_index(2)
+    n = num_tri_nodes(2)
+    assert ei.min() >= 0 and ei.max() < n
+    pairs = set(map(tuple, ei.T.tolist()))
+    assert all((d, s) in pairs for s, d in pairs), "multiscale edges must be symmetric"
+    assert not any(s == d for s, d in pairs), "no self loops"
+    # coarse-level edges span larger distances than finest-level-only edges
+    fine_only = multi_scale_edge_index(2, scale_resolutions=[2])
+    assert ei.shape[1] > fine_only.shape[1]
+
+
+def test_gaussian_latitudes():
+    lats = gaussian_latitudes(16)
+    assert len(lats) == 32
+    assert np.all(np.diff(lats) < 0)  # north to south
+    np.testing.assert_allclose(lats, -lats[::-1], atol=1e-12)  # symmetric
+
+
+def test_octahedral_grid():
+    coords = octahedral_gaussian_grid(16)
+    assert len(coords) == 4 * 16**2 + 36 * 16
+    assert coords[:, 0].max() < np.pi / 2
+    assert abs(coords[:, 1]).max() <= np.pi
+
+
+def test_healpix_grid():
+    coords = healpix_grid(4)
+    assert len(coords) == 12 * 16
+    # rings symmetric about equator
+    np.testing.assert_allclose(np.sort(coords[:, 0]), -np.sort(coords[:, 0])[::-1], atol=1e-12)
+
+
+def test_edgeset_dst_sort():
+    ei = np.array([[0, 1, 2, 0], [2, 0, 1, 1]])
+    es = EdgeSet(edge_index=ei, attributes={"w": np.array([1.0, 2.0, 3.0, 4.0])})
+    sorted_es = es.sort_by_dst(num_dst=3)
+    assert np.all(np.diff(sorted_es.edge_index[1]) >= 0)
+    np.testing.assert_array_equal(sorted_es.dst_ptr, [0, 1, 3, 4])
+    # attribute permuted consistently: edge (0->1) had weight 4
+    i = np.where(
+        (sorted_es.edge_index[0] == 0) & (sorted_es.edge_index[1] == 1)
+    )[0][0]
+    assert sorted_es.attributes["w"][i] == 4.0
+
+
+def test_tiny_graph_structure(tiny_graph):
+    g = tiny_graph
+    assert set(g.node_names()) == {"data", "hidden"}
+    assert set(g.edge_keys()) == {("data", "hidden"), ("hidden", "hidden"), ("hidden", "data")}
+    for key in g.edge_keys():
+        es = g[key]
+        assert es.is_dst_sorted
+        assert np.all(np.diff(es.edge_index[1]) >= 0)
+        assert es.dst_ptr[-1] == es.num_edges
+        # every dst node of a knn/cutoff edge set gets >= 1 edge
+    # decoder: every data node has exactly 3 incoming edges (knn k=3)
+    dec = g[("hidden", "data")]
+    np.testing.assert_array_equal(np.diff(dec.dst_ptr), 3)
+    # area weights positive, max normalised
+    w = g["data"].attributes["area_weight"]
+    assert w.max() == pytest.approx(1.0)
+    assert w.min() > 0
+
+
+def test_graph_save_load(tiny_graph, tmp_path):
+    path = str(tmp_path / "graph.npz")
+    tiny_graph.save(path)
+    g2 = Graph.load(path)
+    assert set(g2.node_names()) == set(tiny_graph.node_names())
+    for key in tiny_graph.edge_keys():
+        np.testing.assert_array_equal(g2[key].edge_index, tiny_graph[key].edge_index)
+        np.testing.assert_array_equal(g2[key].dst_ptr, tiny_graph[key].dst_ptr)
+        for a in tiny_graph[key].attributes:
+            np.testing.assert_array_equal(g2[key].attributes[a], tiny_graph[key].attributes[a])
+
+
+def test_edge_attribute_shapes(tiny_graph):
+    enc = tiny_graph[("data", "hidden")]
+    assert enc.attributes["edge_length"].shape == (enc.num_edges, 1)
+    assert enc.attributes["edge_dirs"].shape == (enc.num_edges, 2)
+    assert enc.attribute_matrix(["edge_dirs", "edge_length"]).shape == (enc.num_edges, 3)
