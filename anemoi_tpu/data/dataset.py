@@ -1,0 +1,218 @@
+"""Dataset backends.
+
+Equivalent of the reference's data readers
+(/root/reference/training/src/anemoi/training/data/data_reader.py:86-464),
+which wrap zarr-backed anemoi-datasets.  zarr is not available in this image,
+so the native on-disk format is a directory of npy/npz files with the same
+logical layout as an anemoi dataset:
+
+    <dir>/data.npy            [time, variable, ensemble, grid]  (memmap-able)
+    <dir>/coords.npz          latitudes, longitudes (degrees)
+    <dir>/statistics.npz      mean, stdev, minimum, maximum     [variable]
+    <dir>/statistics_tendencies.npz  (optional, same keys)
+    <dir>/metadata.json       variables (ordered names), timestep_hours,
+                              missing (list of missing time indices)
+
+`SyntheticDataset` generates deterministic smooth fields procedurally with the
+same interface -- used by tests and benchmarks (no files needed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class BaseDataset:
+    """Interface: indexable time series of [variable, ensemble, grid] fields."""
+
+    variables: List[str]
+    latitudes: np.ndarray  # radians
+    longitudes: np.ndarray  # radians
+    statistics: Dict[str, np.ndarray]
+    statistics_tendencies: Optional[Dict[str, np.ndarray]]
+    timestep_hours: float
+    missing: set
+
+    @property
+    def name_to_index(self) -> Dict[str, int]:
+        return {name: i for i, name in enumerate(self.variables)}
+
+    @property
+    def num_grid_points(self) -> int:
+        return len(self.latitudes)
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def get_window(self, start: int, length: int, grid_slice: slice = slice(None)) -> np.ndarray:
+        """[length, ensemble, grid, variable] float32 window starting at ``start``."""
+        raise NotImplementedError
+
+
+class NpyDataset(BaseDataset):
+    def __init__(self, path: str) -> None:
+        self.path = path
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        self.variables = list(meta["variables"])
+        self.timestep_hours = float(meta.get("timestep_hours", 6))
+        self.missing = set(meta.get("missing", []))
+        coords = np.load(os.path.join(path, "coords.npz"))
+        self.latitudes = np.deg2rad(coords["latitudes"].astype(np.float64))
+        self.longitudes = np.deg2rad(coords["longitudes"].astype(np.float64))
+        stats = np.load(os.path.join(path, "statistics.npz"))
+        self.statistics = {k: stats[k] for k in stats.files}
+        tpath = os.path.join(path, "statistics_tendencies.npz")
+        if os.path.exists(tpath):
+            t = np.load(tpath)
+            self.statistics_tendencies = {k: t[k] for k in t.files}
+        else:
+            self.statistics_tendencies = None
+        self.data = np.load(os.path.join(path, "data.npy"), mmap_mode="r")
+        assert self.data.ndim == 4, "data.npy must be [time, variable, ensemble, grid]"
+        assert self.data.shape[1] == len(self.variables)
+
+    def __len__(self) -> int:
+        return self.data.shape[0]
+
+    def get_window(self, start: int, length: int, grid_slice: slice = slice(None)) -> np.ndarray:
+        w = np.asarray(self.data[start : start + length, :, :, grid_slice], dtype=np.float32)
+        # [T, V, E, G] -> [T, E, G, V]
+        return np.transpose(w, (0, 2, 3, 1))
+
+
+class SyntheticDataset(BaseDataset):
+    """Deterministic synthetic weather-like fields: per-variable sums of
+    rotating spherical harmonics-ish waves so that consecutive steps are
+    smoothly correlated (autoregression is learnable)."""
+
+    def __init__(
+        self,
+        latitudes: np.ndarray,  # radians
+        longitudes: np.ndarray,
+        variables: Sequence[str],
+        num_times: int = 64,
+        timestep_hours: float = 6.0,
+        seed: int = 0,
+        num_modes: int = 4,
+        speed_range: tuple = (0.05, 0.25),
+    ) -> None:
+        self.latitudes = np.asarray(latitudes, dtype=np.float64)
+        self.longitudes = np.asarray(longitudes, dtype=np.float64)
+        self.variables = list(variables)
+        self.num_times = num_times
+        self.timestep_hours = timestep_hours
+        self.missing = set()
+        rng = np.random.default_rng(seed)
+        v = len(self.variables)
+        self._amps = rng.uniform(0.5, 1.5, (v, num_modes)).astype(np.float32)
+        self._freq_lat = rng.integers(1, 4, (v, num_modes))
+        self._freq_lon = rng.integers(1, 5, (v, num_modes))
+        self._speed = rng.uniform(*speed_range, (v, num_modes)).astype(np.float32)
+        self._phase = rng.uniform(0, 2 * np.pi, (v, num_modes)).astype(np.float32)
+        self._offsets = rng.normal(0, 1, v).astype(np.float32)
+
+        sample = self._fields(np.arange(min(num_times, 16)))
+        mean = sample.mean(axis=(0, 2))
+        std = sample.std(axis=(0, 2)) + 1e-6
+        self.statistics = {
+            "mean": mean.astype(np.float32),
+            "stdev": std.astype(np.float32),
+            "minimum": sample.min(axis=(0, 2)).astype(np.float32),
+            "maximum": sample.max(axis=(0, 2)).astype(np.float32),
+        }
+        tend = np.diff(sample, axis=0)
+        self.statistics_tendencies = {
+            "mean": tend.mean(axis=(0, 2)).astype(np.float32),
+            "stdev": (tend.std(axis=(0, 2)) + 1e-6).astype(np.float32),
+            "minimum": tend.min(axis=(0, 2)).astype(np.float32),
+            "maximum": tend.max(axis=(0, 2)).astype(np.float32),
+        }
+
+    def _fields(self, times: np.ndarray, grid_slice: slice = slice(None)) -> np.ndarray:
+        """[T, V, G] raw fields."""
+        lat = self.latitudes[grid_slice]
+        lon = self.longitudes[grid_slice]
+        t = np.asarray(times, dtype=np.float32)[:, None, None, None]  # [T,1,1,1]
+        amps = self._amps[None, :, :, None]
+        phase = (
+            self._freq_lat[None, :, :, None] * lat[None, None, None, :]
+            + self._freq_lon[None, :, :, None] * lon[None, None, None, :]
+            + self._speed[None, :, :, None] * t
+            + self._phase[None, :, :, None]
+        )
+        fields = (amps * np.sin(phase)).sum(axis=2) + self._offsets[None, :, None]
+        return fields.astype(np.float32)  # [T, V, G]
+
+    def __len__(self) -> int:
+        return self.num_times
+
+    def get_window(self, start: int, length: int, grid_slice: slice = slice(None)) -> np.ndarray:
+        f = self._fields(np.arange(start, start + length), grid_slice)
+        return f.transpose(0, 2, 1)[:, None]  # [T, E=1, G, V]
+
+
+def open_dataset(path_or_config) -> BaseDataset:
+    if isinstance(path_or_config, str):
+        return NpyDataset(path_or_config)
+    cfg = dict(path_or_config)
+    kind = cfg.pop("kind", "npy")
+    if kind == "npy":
+        return NpyDataset(cfg["path"])
+    if kind == "synthetic":
+        from anemoi_tpu.graphs.nodes import node_builder_registry
+
+        node_cfg = cfg.pop("nodes")
+        coords = node_builder_registry.build_from_config(dict(node_cfg))
+        return SyntheticDataset(
+            latitudes=coords[:, 0], longitudes=coords[:, 1], **cfg
+        )
+    raise ValueError(f"Unknown dataset kind '{kind}'")
+
+
+def save_dataset(
+    path: str,
+    data: np.ndarray,  # [T, V, E, G]
+    variables: List[str],
+    latitudes_deg: np.ndarray,
+    longitudes_deg: np.ndarray,
+    timestep_hours: float = 6.0,
+    missing: Optional[List[int]] = None,
+) -> None:
+    """Write the on-disk npy dataset format."""
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "data.npy"), data.astype(np.float32))
+    np.savez(
+        os.path.join(path, "coords.npz"),
+        latitudes=latitudes_deg,
+        longitudes=longitudes_deg,
+    )
+    flat = data.reshape(data.shape[0], data.shape[1], -1)
+    np.savez(
+        os.path.join(path, "statistics.npz"),
+        mean=flat.mean(axis=(0, 2)).astype(np.float32),
+        stdev=(flat.std(axis=(0, 2)) + 1e-12).astype(np.float32),
+        minimum=flat.min(axis=(0, 2)).astype(np.float32),
+        maximum=flat.max(axis=(0, 2)).astype(np.float32),
+    )
+    tend = np.diff(flat, axis=0)
+    np.savez(
+        os.path.join(path, "statistics_tendencies.npz"),
+        mean=tend.mean(axis=(0, 2)).astype(np.float32),
+        stdev=(tend.std(axis=(0, 2)) + 1e-12).astype(np.float32),
+        minimum=tend.min(axis=(0, 2)).astype(np.float32),
+        maximum=tend.max(axis=(0, 2)).astype(np.float32),
+    )
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(
+            {
+                "variables": list(variables),
+                "timestep_hours": timestep_hours,
+                "missing": sorted(missing or []),
+            },
+            f,
+        )

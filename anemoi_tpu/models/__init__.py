@@ -1,0 +1,6 @@
+from anemoi_tpu.utils.registry import Registry
+
+model_registry = Registry("model")
+
+# populate the registry
+from anemoi_tpu.models import encoder_processor_decoder  # noqa: E402,F401

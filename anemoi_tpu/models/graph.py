@@ -1,0 +1,98 @@
+"""Static model-side view of a Graph.
+
+Equivalent of the reference's graph providers
+(/root/reference/models/src/anemoi/models/layers/graph_provider.py:145
+StaticGraphProvider): extract, per sub-graph, the dst-sorted edge index and the
+selected edge-attribute matrix as plain numpy, ready to be closed over by the
+jitted forward (they become XLA constants -- the graph is static).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from anemoi_tpu.graphs.graph import Graph
+from anemoi_tpu.models.layers.embed import sincos_coordinates
+
+
+@dataclass
+class SubGraphArrays:
+    """One directed sub-graph's static arrays."""
+
+    edge_index: np.ndarray  # [2, E] int32, dst-sorted
+    edge_attr: np.ndarray  # [E, F] float32
+    dst_ptr: np.ndarray  # [num_dst+1] CSR pointer
+    num_src: int
+    num_dst: int
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_index.shape[1])
+
+    @property
+    def edge_dim(self) -> int:
+        return int(self.edge_attr.shape[1])
+
+
+@dataclass
+class ModelGraph:
+    """Everything the model needs from the heterogeneous graph."""
+
+    node_features: Dict[str, np.ndarray]  # name -> [N, 4] sincos lat/lon
+    num_nodes: Dict[str, int]
+    encoder: Dict[str, SubGraphArrays]  # dataset name -> (data -> hidden)
+    processor: SubGraphArrays  # hidden -> hidden
+    decoder: Dict[str, SubGraphArrays]  # dataset name -> (hidden -> data)
+    hidden_name: str = "hidden"
+    dataset_names: List[str] = field(default_factory=list)
+
+
+def extract_subgraph(
+    graph: Graph, src: str, dst: str, edge_attributes: Optional[List[str]] = None
+) -> SubGraphArrays:
+    es = graph[(src, dst)]
+    assert es.is_dst_sorted, f"edges {src}->{dst} must be dst-sorted (run post-processing)"
+    return SubGraphArrays(
+        edge_index=es.edge_index.astype(np.int32),
+        edge_attr=es.attribute_matrix(edge_attributes),
+        dst_ptr=es.dst_ptr.astype(np.int32),
+        num_src=graph[src].num_nodes,
+        num_dst=graph[dst].num_nodes,
+    )
+
+
+def build_model_graph(
+    graph: Graph,
+    dataset_names: Optional[List[str]] = None,
+    hidden_name: str = "hidden",
+    encoder_edge_attributes: Optional[List[str]] = None,
+    processor_edge_attributes: Optional[List[str]] = None,
+    decoder_edge_attributes: Optional[List[str]] = None,
+) -> ModelGraph:
+    if dataset_names is None:
+        dataset_names = [n for n in graph.node_names() if n != hidden_name]
+    node_features = {
+        name: sincos_coordinates(graph[name].coords) for name in graph.node_names()
+    }
+    num_nodes = {name: graph[name].num_nodes for name in graph.node_names()}
+    encoder = {
+        ds: extract_subgraph(graph, ds, hidden_name, encoder_edge_attributes)
+        for ds in dataset_names
+    }
+    decoder = {
+        ds: extract_subgraph(graph, hidden_name, ds, decoder_edge_attributes)
+        for ds in dataset_names
+    }
+    processor = extract_subgraph(graph, hidden_name, hidden_name, processor_edge_attributes)
+    return ModelGraph(
+        node_features=node_features,
+        num_nodes=num_nodes,
+        encoder=encoder,
+        processor=processor,
+        decoder=decoder,
+        hidden_name=hidden_name,
+        dataset_names=list(dataset_names),
+    )

@@ -1,0 +1,112 @@
+"""Model interface: model + per-dataset pre/post processors + metadata.
+
+Equivalent of /root/reference/models/src/anemoi/models/interface/__init__.py:24-255
+(AnemoiModelInterface): owns the flax module and its parameters, the
+preprocessing chains, and the prediction step used by evaluation/inference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anemoi_tpu.data_indices.collection import IndexCollection
+from anemoi_tpu.models import model_registry
+from anemoi_tpu.models.graph import ModelGraph, build_model_graph
+from anemoi_tpu.preprocessing.processors import Processors, build_processors
+from anemoi_tpu.utils.seeding import context_key
+
+
+class AnemoiModelInterface:
+    """Wraps the flax model with pre/post-processing and index bookkeeping."""
+
+    def __init__(
+        self,
+        *,
+        config: dict,
+        graph: "Graph or ModelGraph",
+        data_indices: Dict[str, IndexCollection],
+        statistics: Dict[str, Dict[str, np.ndarray]],
+        metadata: Optional[dict] = None,
+    ) -> None:
+        self.config = config
+        self.data_indices = data_indices
+        self.statistics = statistics
+        self.metadata = metadata or {}
+
+        model_cfg = dict(config["model"])
+        if isinstance(graph, ModelGraph):
+            self.model_graph = graph
+        else:
+            self.model_graph = build_model_graph(
+                graph,
+                dataset_names=sorted(data_indices.keys()),
+                encoder_edge_attributes=model_cfg.get("encoder", {}).get(
+                    "sub_graph_edge_attributes"
+                ),
+                processor_edge_attributes=model_cfg.get("processor", {}).get(
+                    "sub_graph_edge_attributes"
+                ),
+                decoder_edge_attributes=model_cfg.get("decoder", {}).get(
+                    "sub_graph_edge_attributes"
+                ),
+            )
+
+        model_name = model_cfg.pop("name", "AnemoiModelEncProcDec")
+        self.model = model_registry.get(model_name)(
+            graph=self.model_graph, data_indices=data_indices, config=model_cfg
+        )
+
+        processors_cfg = config.get("data", {}).get("processors")
+        self.pre_processors: Dict[str, Processors] = {}
+        for ds, idx in data_indices.items():
+            self.pre_processors[ds] = build_processors(
+                processors_cfg, idx, statistics[ds]
+            )
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng: Optional[jax.Array] = None, batch_size: int = 1) -> Any:
+        """Initialise model parameters with a dummy batch.
+
+        The init is jitted: one whole-graph XLA compile instead of hundreds of
+        per-op eager dispatch compiles (critical on slow-compile hosts)."""
+        if rng is None:
+            rng = context_key("model-init")
+        x = {}
+        for ds, idx in self.data_indices.items():
+            n_grid = self.model_graph.num_nodes[ds]
+            x[ds] = jnp.zeros(
+                (
+                    batch_size,
+                    self.model.n_step_input,
+                    1,
+                    n_grid,
+                    idx.num_model_input_vars,
+                ),
+                dtype=jnp.float32,
+            )
+        return jax.jit(self.model.init)(rng, x)
+
+    # ------------------------------------------------------------------
+    def predict_step(
+        self, params: Any, batch: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        """Run one prediction from a raw (un-normalised, data-space) batch.
+
+        batch[ds]: [B, T>=n_step_input, E, G, V_data]. Returns denormalised
+        model-space output [B, n_step_output, E, G, V_model_out].
+        (ref models/base.py:303-390 predict_step)
+        """
+        x = {}
+        for ds, idx in self.data_indices.items():
+            xb = batch[ds][:, : self.model.n_step_input]
+            xb = self.pre_processors[ds].transform(xb)
+            x[ds] = xb[..., jnp.asarray(idx.data.input.full)]
+        y = self.model.apply(params, x)
+        out = {}
+        for ds, idx in self.data_indices.items():
+            out[ds] = self.pre_processors[ds].inverse_transform(y[ds])
+        return out

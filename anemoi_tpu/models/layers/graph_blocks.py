@@ -1,0 +1,355 @@
+"""Graph network building blocks (flax.linen).
+
+Equivalents of /root/reference/models/src/anemoi/models/layers/block.py:
+- GraphTransformerMapperBlock   (ref :870-1032)
+- GraphTransformerProcessorBlock(ref :1032-1280)
+- GraphConvMapperBlock / GraphConvProcessorBlock (ref :361-480)
+
+Conventions (TPU-first):
+- node features are ``[batch, N, C]``; edge features ``[E, F]`` are shared
+  across the batch (the graph is static), so edge projections are computed
+  once and broadcast through `jax.vmap`,
+- edges are dst-sorted; attention dispatches to the pure-JAX segment backend
+  or the Pallas CSC kernel via ``backend``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from anemoi_tpu.models.layers.mlp import MLP, compute_mlp_hidden_dim
+from anemoi_tpu.models.layers.normalization import (
+    ConditionalLayerNorm,
+    LayerNorm,
+    RMSNorm,
+)
+from anemoi_tpu.ops.segment import graph_conv_aggregate, graph_transformer_attention
+
+
+def _gt_attention(query, key, value, edges, edge_index, num_dst, backend: str):
+    """Dispatch sparse graph attention over the batch axis.
+
+    query: [B, N_dst, H, D]; key/value: [B, N_src, H, D]; edges: [E, H, D].
+    """
+    if backend == "pallas":
+        from anemoi_tpu.ops.pallas.gt_attention import gt_attention_pallas
+
+        fn = partial(gt_attention_pallas, num_dst=num_dst)
+    else:
+        fn = partial(graph_transformer_attention, num_dst=num_dst)
+    return jax.vmap(fn, in_axes=(0, 0, 0, None, None))(query, key, value, edges, edge_index)
+
+
+def _norm(conditional: bool, name: str):
+    return ConditionalLayerNorm(name=name) if conditional else LayerNorm(name=name)
+
+
+class GraphTransformerAttention(nn.Module):
+    """The shared q/k/v/edge projection + sparse attention + output projection
+    (GraphTransformerBaseBlock.get_qkve/_forward_edges_sharded_attention,
+    ref block.py:624-700)."""
+
+    num_heads: int
+    attn_channels: int
+    out_channels: int
+    qk_norm: bool = False
+    edge_pre_mlp: bool = False
+    backend: str = "segment"
+
+    @nn.compact
+    def __call__(
+        self,
+        x_src: jnp.ndarray,  # [B, N_src, C]
+        x_dst: jnp.ndarray,  # [B, N_dst, C]
+        edge_attr: jnp.ndarray,  # [E, F]
+        edge_index: jnp.ndarray,  # [2, E] dst-sorted
+    ) -> jnp.ndarray:
+        h, hd = self.num_heads, self.attn_channels
+        assert hd % h == 0, f"attn_channels {hd} not divisible by num_heads {h}"
+        d = hd // h
+        batch, n_dst = x_dst.shape[0], x_dst.shape[1]
+        n_src = x_src.shape[1]
+
+        query = nn.Dense(hd, name="lin_query")(x_dst)
+        key = nn.Dense(hd, name="lin_key")(x_src)
+        value = nn.Dense(hd, name="lin_value")(x_src)
+        e = edge_attr
+        if self.edge_pre_mlp:
+            e = MLP(
+                hidden_dim=e.shape[-1], out_features=e.shape[-1], layer_norm=False,
+                name="edge_pre_mlp",
+            )(e)
+        edges = nn.Dense(hd, name="lin_edge")(e)
+
+        query = query.reshape(batch, n_dst, h, d)
+        key = key.reshape(batch, n_src, h, d)
+        value = value.reshape(batch, n_src, h, d)
+        edges = edges.reshape(-1, h, d)
+
+        if self.qk_norm:
+            query = RMSNorm(name="q_norm")(query)
+            key = RMSNorm(name="k_norm")(key)
+
+        out = _gt_attention(query, key, value, edges, edge_index, n_dst, self.backend)
+        return out.reshape(batch, n_dst, hd)
+
+
+class GraphTransformerMapperBlock(nn.Module):
+    """Bipartite graph-transformer block (ref block.py:870-1032)."""
+
+    num_heads: int
+    hidden_dim: int  # MLP hidden
+    out_channels: int
+    attn_channels: Optional[int] = None
+    qk_norm: bool = False
+    update_src_nodes: bool = False
+    edge_pre_mlp: bool = False
+    mlp_implementation: str = "mlp"
+    conditional: bool = False
+    backend: str = "segment"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Tuple[jnp.ndarray, jnp.ndarray],  # ([B,N_src,C], [B,N_dst,C])
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        cond: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+        x_skip = x
+        attn_channels = self.attn_channels or self.out_channels
+        cond_src = {"cond": cond[0]} if cond is not None else {}
+        cond_dst = {"cond": cond[1]} if cond is not None else {}
+
+        x_src = _norm(self.conditional, "layer_norm_attention_src")(x[0], **cond_src)
+        x_dst = _norm(self.conditional, "layer_norm_attention_dst")(x[1], **cond_dst)
+
+        x_r = nn.Dense(attn_channels, name="lin_self")(x_dst)
+        out = GraphTransformerAttention(
+            num_heads=self.num_heads,
+            attn_channels=attn_channels,
+            out_channels=self.out_channels,
+            qk_norm=self.qk_norm,
+            edge_pre_mlp=self.edge_pre_mlp,
+            backend=self.backend,
+            name="attention",
+        )(x_src, x_dst, edge_attr, edge_index)
+
+        out = nn.Dense(self.out_channels, name="projection")(out + x_r)
+        out = out + x_skip[1]
+
+        normed = _norm(self.conditional, "layer_norm_mlp_dst")(out, **cond_dst)
+        nodes_new_dst = MLP(
+            hidden_dim=self.hidden_dim,
+            out_features=self.out_channels,
+            layer_norm=False,
+            implementation=self.mlp_implementation,
+            name="node_dst_mlp",
+        )(normed) + out
+
+        if self.update_src_nodes:
+            normed_src = _norm(self.conditional, "layer_norm_mlp_src")(x_skip[0], **cond_src)
+            nodes_new_src = MLP(
+                hidden_dim=self.hidden_dim,
+                out_features=self.out_channels,
+                layer_norm=False,
+                implementation=self.mlp_implementation,
+                name="node_src_mlp",
+            )(normed_src) + x_skip[0]
+        else:
+            nodes_new_src = x_skip[0]
+
+        return (nodes_new_src, nodes_new_dst), edge_attr
+
+
+class GraphTransformerProcessorBlock(nn.Module):
+    """Homogeneous graph-transformer block (ref block.py:1032-1280)."""
+
+    num_heads: int
+    hidden_dim: int
+    out_channels: int
+    attn_channels: Optional[int] = None
+    qk_norm: bool = False
+    edge_pre_mlp: bool = False
+    mlp_implementation: str = "mlp"
+    conditional: bool = False
+    backend: str = "segment"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, N, C]
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        cond: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x_skip = x
+        attn_channels = self.attn_channels or self.out_channels
+        cond_kw = {"cond": cond} if cond is not None else {}
+
+        x = _norm(self.conditional, "layer_norm_attention")(x, **cond_kw)
+        x_r = nn.Dense(attn_channels, name="lin_self")(x)
+        out = GraphTransformerAttention(
+            num_heads=self.num_heads,
+            attn_channels=attn_channels,
+            out_channels=self.out_channels,
+            qk_norm=self.qk_norm,
+            edge_pre_mlp=self.edge_pre_mlp,
+            backend=self.backend,
+            name="attention",
+        )(x, x, edge_attr, edge_index)
+
+        out = nn.Dense(self.out_channels, name="projection")(out + x_r)
+        out = out + x_skip
+        normed = _norm(self.conditional, "layer_norm_mlp")(out, **cond_kw)
+        nodes_new = MLP(
+            hidden_dim=self.hidden_dim,
+            out_features=self.out_channels,
+            layer_norm=False,
+            implementation=self.mlp_implementation,
+            name="node_dst_mlp",
+        )(normed) + out
+        return nodes_new, edge_attr
+
+
+class GraphConv(nn.Module):
+    """GNN message function + aggregation (ref conv.py:29-81):
+    e_new = MLP([x_dst, x_src, e]) + e ; out = scatter_sum(e_new, dst)."""
+
+    out_channels: int
+    mlp_extra_layers: int = 0
+    mlp_implementation: str = "mlp"
+
+    @nn.compact
+    def __call__(
+        self,
+        x_src: jnp.ndarray,  # [B, N_src, C]
+        x_dst: jnp.ndarray,  # [B, N_dst, C]
+        edge_attr: jnp.ndarray,  # [B, E, C] (already embedded / updated)
+        edge_index: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        src, dst = edge_index[0], edge_index[1]
+        n_dst = x_dst.shape[1]
+        x_i = jnp.take(x_dst, dst, axis=1)  # dst features per edge
+        x_j = jnp.take(x_src, src, axis=1)  # src features per edge
+        edges_new = MLP(
+            hidden_dim=self.out_channels,
+            out_features=self.out_channels,
+            n_extra_layers=self.mlp_extra_layers + 1,
+            implementation=self.mlp_implementation,
+            name="edge_mlp",
+        )(jnp.concatenate([x_i, x_j, edge_attr], axis=-1)) + edge_attr
+        out = jax.vmap(partial(graph_conv_aggregate, num_dst=n_dst), in_axes=(0, None))(
+            edges_new, dst
+        )
+        return out, edges_new
+
+
+class GraphConvProcessorBlock(nn.Module):
+    """GNN processor block (ref block.py:361-396)."""
+
+    out_channels: int
+    mlp_extra_layers: int = 0
+    mlp_hidden_ratio: float = 1.0
+    edge_dim: Optional[int] = None  # set on the first layer to embed raw edge attrs
+    mlp_implementation: str = "mlp"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, N, C]
+        edge_attr: jnp.ndarray,  # [B, E, C] or [E, F] raw on first layer
+        edge_index: jnp.ndarray,
+        cond: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        hidden = compute_mlp_hidden_dim(self.out_channels, self.mlp_hidden_ratio)
+        if self.edge_dim is not None:
+            edge_attr = MLP(
+                hidden_dim=hidden,
+                out_features=self.out_channels,
+                n_extra_layers=self.mlp_extra_layers + 1,
+                implementation=self.mlp_implementation,
+                name="emb_edges",
+            )(edge_attr)
+            if edge_attr.ndim == 2:  # broadcast static edges over batch
+                edge_attr = jnp.broadcast_to(
+                    edge_attr[None], (x.shape[0],) + edge_attr.shape
+                )
+        out, edges_new = GraphConv(
+            out_channels=self.out_channels,
+            mlp_extra_layers=self.mlp_extra_layers,
+            mlp_implementation=self.mlp_implementation,
+            name="conv",
+        )(x, x, edge_attr, edge_index)
+        nodes_new = MLP(
+            hidden_dim=hidden,
+            out_features=self.out_channels,
+            n_extra_layers=self.mlp_extra_layers + 1,
+            implementation=self.mlp_implementation,
+            name="node_mlp",
+        )(jnp.concatenate([x, out], axis=-1)) + x
+        return nodes_new, edges_new
+
+
+class GraphConvMapperBlock(nn.Module):
+    """GNN mapper block (ref block.py:398-480)."""
+
+    out_channels: int
+    mlp_extra_layers: int = 0
+    mlp_hidden_ratio: float = 1.0
+    update_src_nodes: bool = True
+    mlp_implementation: str = "mlp"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Tuple[jnp.ndarray, jnp.ndarray],
+        edge_attr: jnp.ndarray,  # [B, E, C] already embedded
+        edge_index: jnp.ndarray,
+        cond=None,
+    ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+        hidden = compute_mlp_hidden_dim(self.out_channels, self.mlp_hidden_ratio)
+        x_src, x_dst = x
+        out, edges_new = GraphConv(
+            out_channels=self.out_channels,
+            mlp_extra_layers=self.mlp_extra_layers,
+            mlp_implementation=self.mlp_implementation,
+            name="conv",
+        )(x_src, x_dst, edge_attr, edge_index)
+        node_mlp = MLP(
+            hidden_dim=hidden,
+            out_features=self.out_channels,
+            n_extra_layers=self.mlp_extra_layers + 1,
+            implementation=self.mlp_implementation,
+            name="node_mlp",
+        )
+        nodes_new_dst = node_mlp(jnp.concatenate([x_dst, out], axis=-1)) + x_dst
+        if self.update_src_nodes:
+            nodes_new_src = node_mlp(jnp.concatenate([x_src, x_src], axis=-1)) + x_src
+        else:
+            nodes_new_src = x_src
+        return (nodes_new_src, nodes_new_dst), edges_new
+
+
+class PointWiseMLPBlock(nn.Module):
+    """Point-wise MLP processor block (ref block.py:89-125)."""
+
+    num_channels: int
+    hidden_dim: int
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *args, **kwargs) -> jnp.ndarray:
+        from anemoi_tpu.models.layers.mlp import get_activation
+
+        h = nn.Dense(self.hidden_dim, name="linear_in")(x)
+        h = LayerNorm(name="norm")(h)
+        h = get_activation(self.activation)(h)
+        if self.num_channels != self.hidden_dim:
+            h = nn.Dense(self.num_channels, name="linear_out")(h)
+        return h

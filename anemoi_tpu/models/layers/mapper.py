@@ -1,0 +1,236 @@
+"""Grid<->mesh mappers (flax.linen).
+
+Equivalents of /root/reference/models/src/anemoi/models/layers/mapper.py:
+- GraphTransformerForwardMapper (:480) / GraphTransformerBackwardMapper (:600)
+- GNNForwardMapper (:863) / GNNBackwardMapper (:968)
+
+A mapper = node embeddings (pre_process) + one bipartite block + output
+extraction (post_process).  Trainable per-edge parameters (the reference's
+graph-provider ``trainable_size``) live here as a zero-initialised flax param
+concatenated to the static edge features.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from anemoi_tpu.models.layers.graph_blocks import (
+    GraphConvMapperBlock,
+    GraphTransformerMapperBlock,
+)
+from anemoi_tpu.models.layers.mlp import MLP, compute_mlp_hidden_dim
+from anemoi_tpu.models.layers.normalization import LayerNorm
+
+
+class TrainableEdgeFeatures(nn.Module):
+    """Zero-init trainable per-edge features appended to the static attributes
+    (ref: layers/graph_provider.py:145 StaticGraphProvider trainable params)."""
+
+    trainable_size: int
+
+    @nn.compact
+    def __call__(self, edge_attr: jnp.ndarray) -> jnp.ndarray:
+        if self.trainable_size <= 0:
+            return edge_attr
+        trainable = self.param(
+            "trainable",
+            nn.initializers.zeros,
+            (edge_attr.shape[0], self.trainable_size),
+            jnp.float32,
+        )
+        return jnp.concatenate([edge_attr, trainable.astype(edge_attr.dtype)], axis=-1)
+
+
+class GraphTransformerForwardMapper(nn.Module):
+    """data -> hidden encoder mapper (ref mapper.py:480-600)."""
+
+    hidden_dim: int
+    num_heads: int
+    mlp_hidden_ratio: float = 4.0
+    attn_channels: Optional[int] = None
+    qk_norm: bool = False
+    edge_trainable_size: int = 0
+    edge_pre_mlp: bool = False
+    mlp_implementation: str = "mlp"
+    backend: str = "segment"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Tuple[jnp.ndarray, jnp.ndarray],  # ([B,N_src,F_src], [B,N_dst,F_dst])
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        cond: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x_src = nn.Dense(self.hidden_dim, name="emb_nodes_src")(x[0])
+        x_dst = nn.Dense(self.hidden_dim, name="emb_nodes_dst")(x[1])
+        edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
+            edge_attr
+        )
+        (x_src, x_dst), _ = GraphTransformerMapperBlock(
+            num_heads=self.num_heads,
+            hidden_dim=compute_mlp_hidden_dim(self.hidden_dim, self.mlp_hidden_ratio),
+            out_channels=self.hidden_dim,
+            attn_channels=self.attn_channels,
+            qk_norm=self.qk_norm,
+            update_src_nodes=False,
+            edge_pre_mlp=self.edge_pre_mlp,
+            mlp_implementation=self.mlp_implementation,
+            conditional=cond is not None,
+            backend=self.backend,
+            name="proc",
+        )((x_src, x_dst), edge_attr, edge_index, cond=cond)
+        # src returned un-updated (reference returns x[0]); dst is the latent
+        return x[0], x_dst
+
+
+class GraphTransformerBackwardMapper(nn.Module):
+    """hidden -> data decoder mapper (ref mapper.py:600-740)."""
+
+    hidden_dim: int
+    out_channels_dst: int
+    num_heads: int
+    mlp_hidden_ratio: float = 4.0
+    attn_channels: Optional[int] = None
+    qk_norm: bool = False
+    edge_trainable_size: int = 0
+    edge_pre_mlp: bool = False
+    initialise_data_extractor_zero: bool = False
+    mlp_implementation: str = "mlp"
+    backend: str = "segment"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Tuple[jnp.ndarray, jnp.ndarray],  # ([B,N_hidden,hidden], [B,N_data,F])
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        cond: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        x_src = x[0]
+        x_dst = nn.Dense(self.hidden_dim, name="emb_nodes_dst")(x[1])
+        edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
+            edge_attr
+        )
+        (_, x_dst), _ = GraphTransformerMapperBlock(
+            num_heads=self.num_heads,
+            hidden_dim=compute_mlp_hidden_dim(self.hidden_dim, self.mlp_hidden_ratio),
+            out_channels=self.hidden_dim,
+            attn_channels=self.attn_channels,
+            qk_norm=self.qk_norm,
+            update_src_nodes=False,
+            edge_pre_mlp=self.edge_pre_mlp,
+            mlp_implementation=self.mlp_implementation,
+            conditional=cond is not None,
+            backend=self.backend,
+            name="proc",
+        )((x_src, x_dst), edge_attr, edge_index, cond=cond)
+        # node_data_extractor: LayerNorm -> Linear(out) (ref mapper.py:695-706)
+        out = LayerNorm(name="extractor_norm")(x_dst)
+        kernel_init = (
+            nn.initializers.zeros
+            if self.initialise_data_extractor_zero
+            else nn.initializers.lecun_normal()
+        )
+        return nn.Dense(self.out_channels_dst, kernel_init=kernel_init, name="extractor")(out)
+
+
+class GNNForwardMapper(nn.Module):
+    """GNN data -> hidden mapper (ref mapper.py:863-968)."""
+
+    hidden_dim: int
+    mlp_extra_layers: int = 0
+    edge_trainable_size: int = 0
+    mlp_implementation: str = "mlp"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Tuple[jnp.ndarray, jnp.ndarray],
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        cond=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
+            edge_attr
+        )
+        edge_emb = MLP(
+            hidden_dim=self.hidden_dim,
+            out_features=self.hidden_dim,
+            n_extra_layers=self.mlp_extra_layers,
+            implementation=self.mlp_implementation,
+            name="emb_edges",
+        )(edge_attr)
+        edge_emb = jnp.broadcast_to(edge_emb[None], (x[0].shape[0],) + edge_emb.shape)
+        x_src = MLP(
+            hidden_dim=self.hidden_dim,
+            out_features=self.hidden_dim,
+            n_extra_layers=self.mlp_extra_layers,
+            implementation=self.mlp_implementation,
+            name="emb_nodes_src",
+        )(x[0])
+        x_dst = MLP(
+            hidden_dim=self.hidden_dim,
+            out_features=self.hidden_dim,
+            n_extra_layers=self.mlp_extra_layers,
+            implementation=self.mlp_implementation,
+            name="emb_nodes_dst",
+        )(x[1])
+        (x_src, x_dst), _ = GraphConvMapperBlock(
+            out_channels=self.hidden_dim,
+            mlp_extra_layers=self.mlp_extra_layers,
+            update_src_nodes=True,
+            mlp_implementation=self.mlp_implementation,
+            name="proc",
+        )((x_src, x_dst), edge_emb, edge_index)
+        return x_src, x_dst
+
+
+class GNNBackwardMapper(nn.Module):
+    """GNN hidden -> data mapper (ref mapper.py:968-1090)."""
+
+    hidden_dim: int
+    out_channels_dst: int
+    mlp_extra_layers: int = 0
+    edge_trainable_size: int = 0
+    initialise_data_extractor_zero: bool = False
+    mlp_implementation: str = "mlp"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Tuple[jnp.ndarray, jnp.ndarray],
+        edge_attr: jnp.ndarray,
+        edge_index: jnp.ndarray,
+        cond=None,
+    ) -> jnp.ndarray:
+        edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
+            edge_attr
+        )
+        edge_emb = MLP(
+            hidden_dim=self.hidden_dim,
+            out_features=self.hidden_dim,
+            n_extra_layers=self.mlp_extra_layers,
+            implementation=self.mlp_implementation,
+            name="emb_edges",
+        )(edge_attr)
+        edge_emb = jnp.broadcast_to(edge_emb[None], (x[0].shape[0],) + edge_emb.shape)
+        (_, x_dst), _ = GraphConvMapperBlock(
+            out_channels=self.hidden_dim,
+            mlp_extra_layers=self.mlp_extra_layers,
+            update_src_nodes=False,
+            mlp_implementation=self.mlp_implementation,
+            name="proc",
+        )(x, edge_emb, edge_index)
+        return MLP(
+            hidden_dim=self.hidden_dim,
+            out_features=self.out_channels_dst,
+            n_extra_layers=self.mlp_extra_layers,
+            layer_norm=False,
+            implementation=self.mlp_implementation,
+            zero_init_output=self.initialise_data_extractor_zero,
+            name="node_data_extractor",
+        )(x_dst)

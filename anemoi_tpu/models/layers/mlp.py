@@ -1,0 +1,96 @@
+"""Feed-forward layers (flax.linen).
+
+Equivalent of /root/reference/models/src/anemoi/models/layers/mlp.py:97-180
+(MLP with optional gated-GLU hidden layers and trailing LayerNorm).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from anemoi_tpu.models.layers.normalization import LayerNorm
+
+ACTIVATIONS = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "swish": nn.silu,
+    "tanh": jnp.tanh,
+    "identity": lambda x: x,
+}
+
+GATING = {
+    "glu": nn.sigmoid,
+    "swiglu": nn.silu,
+    "geglu": nn.gelu,
+    "reglu": nn.relu,
+}
+
+
+def get_activation(name: str) -> Callable:
+    if name not in ACTIVATIONS:
+        raise ValueError(f"Unknown activation '{name}'. Known: {sorted(ACTIVATIONS)}")
+    return ACTIVATIONS[name]
+
+
+def compute_mlp_hidden_dim(dim: int, ratio: float) -> int:
+    return int(dim * ratio)
+
+
+class FeedForwardLayer(nn.Module):
+    """One hidden layer: Linear+activation, or a gated GLU variant."""
+
+    out_features: int
+    activation: str = "gelu"
+    implementation: str = "mlp"  # mlp | glu | swiglu | geglu | reglu
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.implementation == "mlp":
+            x = nn.Dense(self.out_features, dtype=self.dtype, name="linear")(x)
+            return get_activation(self.activation)(x)
+        if self.implementation not in GATING:
+            raise ValueError(f"Unknown mlp implementation '{self.implementation}'")
+        gate = nn.Dense(self.out_features, dtype=self.dtype, name="gate_proj")(x)
+        value = nn.Dense(self.out_features, dtype=self.dtype, name="value_proj")(x)
+        return GATING[self.implementation](gate) * value
+
+
+class MLP(nn.Module):
+    """Multi-layer perceptron: [in -> hidden (xN extra) -> out] with optional
+    final activation and trailing LayerNorm (ref mlp.py:97)."""
+
+    hidden_dim: int
+    out_features: int
+    n_extra_layers: int = 0
+    activation: str = "gelu"
+    implementation: str = "mlp"
+    final_activation: bool = False
+    layer_norm: bool = True
+    zero_init_output: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = FeedForwardLayer(
+            self.hidden_dim, self.activation, self.implementation, self.dtype, name="ffn_in"
+        )(x)
+        for i in range(self.n_extra_layers):
+            x = FeedForwardLayer(
+                self.hidden_dim, self.activation, self.implementation, self.dtype, name=f"ffn_{i}"
+            )(x)
+        out_init = (
+            nn.initializers.zeros if self.zero_init_output else nn.initializers.lecun_normal()
+        )
+        x = nn.Dense(
+            self.out_features, dtype=self.dtype, kernel_init=out_init, name="linear_out"
+        )(x)
+        if self.final_activation:
+            x = get_activation(self.activation)(x)
+        if self.layer_norm:
+            x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x

@@ -1,0 +1,149 @@
+"""Loss framework: composable dimension-tagged scalers + weighted reductions.
+
+Equivalent of /root/reference/training/src/anemoi/training/losses/base.py:42-250
+(BaseLoss) and scaler_tensor.py:81 (ScaleTensor).
+
+A `ScaleTensor` holds named scalers, each bound to named tensor dimensions of
+the prediction tensor [batch, time, ensemble, grid, variable]; `scale()`
+multiplies them in with broadcasting.  Losses reduce over all dims with
+scaler-aware averaging; NaN targets are masked out (the reference's
+NaN-masking scaler path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from anemoi_tpu.utils.registry import Registry
+
+loss_registry = Registry("loss")
+
+# canonical prediction layout
+DIMS = {"batch": 0, "time": 1, "ensemble": 2, "grid": 3, "variable": 4}
+
+
+class ScaleTensor:
+    """Named scalers bound to named dims of [B, T, E, G, V] tensors."""
+
+    def __init__(self, scalers: Optional[Dict[str, Tuple[Tuple[str, ...], jnp.ndarray]]] = None):
+        # name -> (dims tuple, array whose shape matches those dims in order)
+        self.scalers: Dict[str, Tuple[Tuple[str, ...], jnp.ndarray]] = dict(scalers or {})
+
+    def add_scaler(self, dims, array, name: str) -> "ScaleTensor":
+        if isinstance(dims, str):
+            dims = (dims,)
+        dims = tuple(dims)
+        for d in dims:
+            assert d in DIMS, f"Unknown dim '{d}' (valid: {sorted(DIMS)})"
+        self.scalers[name] = (dims, jnp.asarray(array))
+        return self
+
+    def subset(self, names: Sequence[str]) -> "ScaleTensor":
+        return ScaleTensor({n: self.scalers[n] for n in names if n in self.scalers})
+
+    def without(self, names: Sequence[str]) -> "ScaleTensor":
+        drop = set(names)
+        return ScaleTensor({n: s for n, s in self.scalers.items() if n not in drop})
+
+    def _broadcast(self, dims: Tuple[str, ...], array: jnp.ndarray, ndim: int) -> jnp.ndarray:
+        shape = [1] * ndim
+        for axis_name, size in zip(dims, array.shape):
+            shape[DIMS[axis_name]] = size
+        return array.reshape(shape)
+
+    def scale(self, x: jnp.ndarray) -> jnp.ndarray:
+        for dims, array in self.scalers.values():
+            x = x * self._broadcast(dims, array, x.ndim)
+        return x
+
+    def combined_weight(self, shape: Tuple[int, ...]) -> jnp.ndarray:
+        """The product of all scalers broadcast to ``shape`` (for normalisation)."""
+        w = jnp.ones((1,) * len(shape))
+        for dims, array in self.scalers.values():
+            w = w * self._broadcast(dims, array, len(shape))
+        return jnp.broadcast_to(w, shape)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.scalers
+
+    def __repr__(self) -> str:
+        parts = [f"{n}:{dims}{tuple(a.shape)}" for n, (dims, a) in self.scalers.items()]
+        return f"ScaleTensor({', '.join(parts)})"
+
+
+class BaseLoss:
+    """Scaler-weighted loss with NaN masking.
+
+    Reduction semantics follow the reference (losses/base.py:179-250): the
+    pointwise error is multiplied by every scaler, NaN targets drop out of
+    both numerator and denominator, and the result is the weighted mean.
+    """
+
+    supports_sharding = True
+
+    def __init__(self, scalers: Optional[ScaleTensor] = None, ignore_nans: bool = True):
+        self.scalers = scalers or ScaleTensor()
+        self.ignore_nans = ignore_nans
+
+    # subclasses implement the pointwise error
+    def error(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def __call__(
+        self,
+        pred: jnp.ndarray,  # [B, T, E, G, V]
+        target: jnp.ndarray,
+        squash: bool = True,
+        scaler_subset: Optional[Sequence[str]] = None,
+        without_scalers: Optional[Sequence[str]] = None,
+    ) -> jnp.ndarray:
+        scalers = self.scalers
+        if scaler_subset is not None:
+            scalers = scalers.subset(scaler_subset)
+        if without_scalers is not None:
+            scalers = scalers.without(without_scalers)
+
+        err = self.error(pred, target)
+        if self.ignore_nans:
+            valid = ~jnp.isnan(target)
+            err = jnp.where(valid, err, 0.0)
+        else:
+            valid = jnp.ones_like(err, dtype=bool)
+
+        weighted = scalers.scale(err)
+        weight = scalers.combined_weight(err.shape) * valid.astype(err.dtype)
+
+        if squash:
+            return jnp.sum(weighted) / jnp.maximum(jnp.sum(weight), 1e-12)
+        # per-variable reduction (for metrics): mean over all but variable dim
+        axes = tuple(i for i in range(err.ndim - 1))
+        return jnp.sum(weighted, axis=axes) / jnp.maximum(jnp.sum(weight, axis=axes), 1e-12)
+
+    @property
+    def name(self) -> str:
+        return self.__class__.__name__.lower()
+
+
+def get_loss_function(
+    config: dict,
+    scalers: Optional[Dict[str, Tuple[Tuple[str, ...], jnp.ndarray]]] = None,
+) -> BaseLoss:
+    """Factory (ref losses/loss.py:142): build a loss from config, attaching
+    the requested subset of pre-built scalers.
+
+    config: {"name": "WeightedMSELoss", "scalers": ["area_weight", "variable"], ...}
+    """
+    cfg = dict(config)
+    name = cfg.pop("name", "WeightedMSELoss")
+    wanted = cfg.pop("scalers", ["*"])
+    st = ScaleTensor()
+    available = scalers or {}
+    if "*" in wanted:
+        wanted = list(available)
+    for scaler_name in wanted:
+        if scaler_name in available:
+            dims, arr = available[scaler_name]
+            st.add_scaler(dims, arr, scaler_name)
+    return loss_registry.get(name)(scalers=st, **cfg)

@@ -1,0 +1,267 @@
+"""Training orchestration.
+
+Equivalent of /root/reference/training/src/anemoi/training/train/train.py:63-763
+(AnemoiTrainer): config -> graph (load-or-create) -> datamodule -> model
+interface -> losses/scalers -> optimizer -> jitted step loop with logging,
+validation, checkpointing, rollout curriculum and graceful time-limit stop.
+
+The Lightning machinery is replaced by an explicit loop over jitted steps;
+device transfer is a `jax.device_put` per batch (async dispatch pipelines the
+host->device copy with compute).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from anemoi_tpu.data.datamodule import DataModule
+from anemoi_tpu.data.dataset import open_dataset
+from anemoi_tpu.data_indices.collection import IndexCollection
+from anemoi_tpu.graphs.create import GraphCreator
+from anemoi_tpu.graphs.graph import Graph
+from anemoi_tpu.models.interface import AnemoiModelInterface
+from anemoi_tpu.training.checkpoint import CheckpointManager, save_inference_checkpoint
+from anemoi_tpu.training.losses import get_loss_function
+from anemoi_tpu.training.losses.scalers import create_scalers
+from anemoi_tpu.training.optimizers import build_lr_schedule, build_optimizer
+from anemoi_tpu.training.step import TrainState, make_step_fns
+
+LOGGER = logging.getLogger(__name__)
+
+
+class RolloutSchedule:
+    """Rollout curriculum (ref tasks/forecaster.py RolloutConfig): start value,
+    increment every N epochs, up to a maximum."""
+
+    def __init__(self, config: Optional[dict]) -> None:
+        cfg = dict(config or {})
+        self.start = int(cfg.get("start", 1))
+        self.epoch_increment = int(cfg.get("epoch_increment", 0))
+        self.maximum = int(cfg.get("max", self.start))
+
+    def at_epoch(self, epoch: int) -> int:
+        if self.epoch_increment <= 0:
+            return self.start
+        return min(self.start + (epoch // self.epoch_increment), self.maximum)
+
+
+class AnemoiTrainer:
+    def __init__(self, config: Dict[str, Any], output_dir: Optional[str] = None) -> None:
+        self.config = config
+        self.output_dir = output_dir or config.get("output_dir", "runs/default")
+        os.makedirs(self.output_dir, exist_ok=True)
+
+        # --- graph ----------------------------------------------------
+        graph_cfg = dict(config.get("graph", {}))
+        save_path = graph_cfg.get("save_path")
+        recipe = graph_cfg.get("recipe", graph_cfg)
+        if save_path and os.path.exists(save_path) and not graph_cfg.get("overwrite", False):
+            self.graph = Graph.load(save_path)
+        else:
+            self.graph = GraphCreator(recipe).create(save_path)
+
+        # --- data -----------------------------------------------------
+        data_cfg = dict(config.get("data", {}))
+        datasets = {
+            name: open_dataset(ds_cfg)
+            for name, ds_cfg in data_cfg.get("datasets", {}).items()
+        }
+        assert datasets, "config.data.datasets must define at least one dataset"
+
+        model_cfg = config.get("model", {})
+        training_cfg = dict(config.get("training", {}))
+        self.rollout_schedule = RolloutSchedule(training_cfg.get("rollout"))
+        self.datamodule = DataModule(
+            datasets,
+            n_step_input=int(model_cfg.get("n_step_input", 2)),
+            n_step_output=int(model_cfg.get("n_step_output", 1)),
+            rollout=self.rollout_schedule.start,
+            batch_size=int(config.get("dataloader", {}).get("batch_size", 1)),
+            validation_fraction=float(
+                config.get("dataloader", {}).get("validation_fraction", 0.15)
+            ),
+        )
+
+        # --- indices --------------------------------------------------
+        self.data_indices = {
+            name: IndexCollection(
+                ds.name_to_index,
+                forcing=data_cfg.get("forcing"),
+                diagnostic=data_cfg.get("diagnostic"),
+                target=data_cfg.get("target"),
+            )
+            for name, ds in datasets.items()
+        }
+
+        # --- model ----------------------------------------------------
+        self.interface = AnemoiModelInterface(
+            config=config,
+            graph=self.graph,
+            data_indices=self.data_indices,
+            statistics=self.datamodule.statistics,
+        )
+
+        # --- losses ---------------------------------------------------
+        self.losses = {}
+        for name, ds in datasets.items():
+            scalers = create_scalers(
+                training_cfg.get("scalers"),
+                graph=self.graph,
+                data_indices=self.data_indices[name],
+                statistics=ds.statistics,
+                statistics_tendencies=ds.statistics_tendencies,
+            )
+            self.losses[name] = get_loss_function(
+                dict(training_cfg.get("loss", {"name": "WeightedMSELoss"})), scalers
+            )
+
+        # --- optimizer / state ---------------------------------------
+        self.lr_schedule = build_lr_schedule(training_cfg.get("lr", {}))
+        self.tx = build_optimizer(training_cfg, self.lr_schedule)
+        params = self.interface.init_params()
+        self.state = TrainState.create(params, self.tx)
+        n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+        LOGGER.info("Model has %.2fM parameters", n_params / 1e6)
+        self.num_params = n_params
+
+        self.ckpt = CheckpointManager(
+            os.path.join(self.output_dir, "checkpoints"),
+            max_to_keep=int(config.get("diagnostics", {}).get("checkpoint_keep", 3)),
+        )
+        if training_cfg.get("resume", False):
+            restored = self.ckpt.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                LOGGER.info("Resumed from step %d", int(self.state.step))
+
+        self._step_fns: Dict[int, Any] = {}  # rollout -> (train_step, eval_step)
+        self._log_file = open(os.path.join(self.output_dir, "metrics.jsonl"), "a")
+
+    # ------------------------------------------------------------------
+    def _get_step_fns(self, rollout: int):
+        if rollout not in self._step_fns:
+            self._step_fns[rollout] = make_step_fns(
+                self.interface,
+                self.losses,
+                rollout=rollout,
+                remat_rollout=bool(
+                    self.config.get("training", {}).get("remat_rollout", True)
+                ),
+            )
+        return self._step_fns[rollout]
+
+    def _log(self, record: Dict[str, Any]) -> None:
+        self._log_file.write(json.dumps(record, default=float) + "\n")
+        self._log_file.flush()
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, Any]:
+        cfg = self.config.get("training", {})
+        max_epochs = int(cfg.get("max_epochs", 1))
+        max_steps = int(cfg.get("max_steps", 10**9))
+        log_interval = int(self.config.get("diagnostics", {}).get("log_interval", 10))
+        ckpt_interval = int(self.config.get("diagnostics", {}).get("checkpoint_interval", 500))
+        time_limit_s = float(cfg.get("time_limit_s", 0)) or None
+
+        t_start = time.time()
+        global_step = int(self.state.step)
+        last_loss = float("nan")
+        stop = False
+
+        for epoch in range(max_epochs):
+            rollout = self.rollout_schedule.at_epoch(epoch)
+            self.datamodule.set_rollout(rollout)
+            train_step, _ = self._get_step_fns(rollout)
+
+            t_epoch = time.time()
+            n_batches = 0
+            for batch_np in self.datamodule.train_batches(epoch):
+                batch = jax.device_put(batch_np)
+                self.state, metrics = train_step(self.state, batch)
+                global_step += 1
+                n_batches += 1
+
+                if global_step % log_interval == 0:
+                    loss = float(metrics["loss"])
+                    last_loss = loss
+                    rec = {
+                        "step": global_step,
+                        "epoch": epoch,
+                        "rollout": rollout,
+                        "loss": loss,
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "lr": float(self.lr_schedule(global_step)),
+                        "elapsed_s": time.time() - t_start,
+                    }
+                    self._log(rec)
+                    LOGGER.info(
+                        "step %d epoch %d loss %.5f grad %.3f",
+                        global_step, epoch, rec["loss"], rec["grad_norm"],
+                    )
+                if global_step % ckpt_interval == 0:
+                    self.ckpt.save(global_step, self.state)
+                if global_step >= max_steps:
+                    stop = True
+                    break
+                if time_limit_s and (time.time() - t_start) > time_limit_s:
+                    LOGGER.info("Time limit reached; stopping gracefully")
+                    stop = True
+                    break
+            if n_batches:
+                self._log(
+                    {
+                        "epoch": epoch,
+                        "epoch_time_s": time.time() - t_epoch,
+                        "batches": n_batches,
+                    }
+                )
+            # validation at epoch end
+            val = self.validate(rollout)
+            if val is not None:
+                self._log({"step": global_step, "epoch": epoch, **val})
+            if stop:
+                break
+
+        self.ckpt.save(global_step, self.state)
+        self.save_inference_checkpoint()
+        return {"final_loss": last_loss, "steps": global_step}
+
+    # ------------------------------------------------------------------
+    def validate(self, rollout: Optional[int] = None) -> Optional[Dict[str, float]]:
+        rollout = rollout or self.rollout_schedule.start
+        _, eval_step = self._get_step_fns(rollout)
+        losses = []
+        for batch_np in self.datamodule.val_batches():
+            batch = jax.device_put(batch_np)
+            m = eval_step(self.state, batch)
+            losses.append(float(m["val_loss"]))
+        if not losses:
+            return None
+        return {"val_loss": float(np.mean(losses))}
+
+    # ------------------------------------------------------------------
+    def save_inference_checkpoint(self) -> None:
+        di_config = {
+            ds: {
+                "name_to_index": idx.name_to_index,
+                "forcing": idx.forcing,
+                "diagnostic": idx.diagnostic,
+                "target": idx.target,
+            }
+            for ds, idx in self.data_indices.items()
+        }
+        save_inference_checkpoint(
+            os.path.join(self.output_dir, "inference"),
+            self.state.params,
+            self.config if isinstance(self.config, dict) else dict(self.config),
+            di_config,
+            self.datamodule.statistics,
+            metadata={"num_params": int(self.num_params)},
+        )

@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from anemoi_tpu.data.datamodule import DataModule, usable_window_starts
+from anemoi_tpu.data.dataset import NpyDataset, SyntheticDataset, save_dataset
+
+
+def test_usable_window_starts_missing():
+    starts = usable_window_starts(10, window=3, missing={4})
+    # windows touching t=4 excluded: starts 2,3,4 excluded
+    assert 2 not in starts and 3 not in starts and 4 not in starts
+    assert 0 in starts and 1 in starts and 5 in starts
+    assert starts.max() == 7
+
+
+def test_synthetic_dataset_window():
+    lat = np.linspace(-1.4, 1.4, 20)
+    lon = np.linspace(-3.1, 3.1, 20)
+    ds = SyntheticDataset(lat, lon, ["a", "b", "c"], num_times=16)
+    w = ds.get_window(3, 4)
+    assert w.shape == (4, 1, 20, 3)
+    # deterministic
+    np.testing.assert_array_equal(w, ds.get_window(3, 4))
+    # temporally smooth: consecutive steps correlated
+    corr = np.corrcoef(w[0].ravel(), w[1].ravel())[0, 1]
+    assert corr > 0.8
+
+
+def test_npy_dataset_roundtrip(tmp_path, rng):
+    data = rng.normal(size=(8, 3, 1, 25)).astype(np.float32)
+    save_dataset(
+        str(tmp_path / "ds"),
+        data,
+        variables=["x", "y", "z"],
+        latitudes_deg=np.linspace(-80, 80, 25),
+        longitudes_deg=np.linspace(-170, 170, 25),
+        missing=[5],
+    )
+    ds = NpyDataset(str(tmp_path / "ds"))
+    assert len(ds) == 8
+    assert ds.variables == ["x", "y", "z"]
+    assert ds.missing == {5}
+    w = ds.get_window(1, 2)
+    assert w.shape == (2, 1, 25, 3)
+    np.testing.assert_allclose(w[0, 0, :, 1], data[1, 1, 0, :])
+    assert "stdev" in ds.statistics and ds.statistics["mean"].shape == (3,)
+
+
+def test_datamodule_batches():
+    lat = np.linspace(-1.4, 1.4, 10)
+    ds = SyntheticDataset(lat, lat, ["a", "b"], num_times=32)
+    dm = DataModule({"data": ds}, n_step_input=2, n_step_output=1, rollout=2, batch_size=3)
+    batches = list(dm.train_batches(epoch=0))
+    assert batches, "expected at least one train batch"
+    b = batches[0]["data"]
+    assert b.shape == (3, 4, 1, 10, 2)  # window = 2 + 2*1
+    # different epochs shuffle differently
+    b1 = next(iter(dm.train_batches(epoch=1)))["data"]
+    assert not np.array_equal(b, b1)
+    # val deterministic
+    v1 = next(iter(dm.val_batches()))["data"]
+    v2 = next(iter(dm.val_batches()))["data"]
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_datamodule_rollout_grow():
+    lat = np.linspace(-1.4, 1.4, 10)
+    ds = SyntheticDataset(lat, lat, ["a"], num_times=32)
+    dm = DataModule({"data": ds}, rollout=1, batch_size=2)
+    dm.set_rollout(4)
+    b = next(iter(dm.train_batches(0)))["data"]
+    assert b.shape[1] == 2 + 4  # n_step_input + rollout

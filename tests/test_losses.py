@@ -1,0 +1,104 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from anemoi_tpu.data_indices import IndexCollection
+from anemoi_tpu.training.losses import ScaleTensor, get_loss_function
+from anemoi_tpu.training.losses.leaves import KernelCRPS, WeightedMSELoss
+from anemoi_tpu.training.losses.scalers import create_scalers, split_variable_name
+
+SHAPE = (2, 1, 1, 10, 3)  # B,T,E,G,V
+
+
+def test_unweighted_mse(rng):
+    pred = jnp.asarray(rng.normal(size=SHAPE), dtype=jnp.float32)
+    target = jnp.asarray(rng.normal(size=SHAPE), dtype=jnp.float32)
+    loss = WeightedMSELoss()
+    expected = np.mean((np.asarray(pred) - np.asarray(target)) ** 2)
+    np.testing.assert_allclose(float(loss(pred, target)), expected, rtol=1e-5)
+
+
+def test_grid_scaler_weighting(rng):
+    pred = jnp.asarray(rng.normal(size=SHAPE), dtype=jnp.float32)
+    target = jnp.zeros(SHAPE)
+    w = rng.uniform(0.1, 1.0, SHAPE[3]).astype(np.float32)
+    st = ScaleTensor().add_scaler("grid", w, "area")
+    loss = WeightedMSELoss(scalers=st)
+    err = np.asarray(pred) ** 2
+    expected = (err * w[None, None, None, :, None]).sum() / (
+        w.sum() * SHAPE[0] * SHAPE[1] * SHAPE[2] * SHAPE[4]
+    )
+    np.testing.assert_allclose(float(loss(pred, target)), expected, rtol=1e-5)
+
+
+def test_nan_masking(rng):
+    pred = jnp.ones(SHAPE)
+    target = np.zeros(SHAPE, dtype=np.float32)
+    target[0, 0, 0, :5, 0] = np.nan
+    loss = WeightedMSELoss()
+    # NaNs excluded from numerator and denominator -> still exactly 1.0
+    np.testing.assert_allclose(float(loss(pred, jnp.asarray(target))), 1.0, rtol=1e-6)
+
+
+def test_per_variable_squash_false(rng):
+    pred = jnp.asarray(rng.normal(size=SHAPE), dtype=jnp.float32)
+    target = jnp.zeros(SHAPE)
+    loss = WeightedMSELoss()
+    per_var = loss(pred, target, squash=False)
+    assert per_var.shape == (SHAPE[-1],)
+    expected = np.mean(np.asarray(pred) ** 2, axis=(0, 1, 2, 3))
+    np.testing.assert_allclose(np.asarray(per_var), expected, rtol=1e-5)
+
+
+def test_kernel_crps_perfect_ensemble():
+    # all members equal truth -> CRPS = 0
+    pred = jnp.ones((1, 1, 4, 5, 2))
+    target = jnp.ones((1, 1, 1, 5, 2))
+    loss = KernelCRPS()
+    np.testing.assert_allclose(float(loss(pred, target)), 0.0, atol=1e-6)
+
+
+def test_kernel_crps_spread_reduces_loss(rng):
+    target = jnp.zeros((1, 1, 1, 50, 1))
+    biased = jnp.ones((1, 1, 4, 50, 1))  # all members off by 1
+    spread = jnp.asarray(
+        np.stack([np.full((50, 1), v) for v in [-1.5, -0.5, 0.5, 1.5]])[None, None]
+    )
+    loss = KernelCRPS()
+    assert float(loss(spread, target)) < float(loss(biased, target))
+
+
+def test_loss_factory_with_scalers(tiny_graph):
+    names = {"q": 0, "t_850": 1, "t_500": 2, "cos_lat": 3}
+    idx = IndexCollection(names, forcing=["cos_lat"])
+    scalers = create_scalers(
+        {
+            "area": {"name": "GraphNodeAttributeScaler", "nodes_name": "data",
+                     "attribute_name": "area_weight"},
+            "level": {"name": "ReluVariableLevelScaler", "slope": 0.001,
+                      "y_intercept": 0.2},
+        },
+        graph=tiny_graph,
+        data_indices=idx,
+    )
+    assert scalers["area"][0] == ("grid",)
+    assert scalers["level"][0] == ("variable",)
+    # t_850 -> 0.85, t_500 -> 0.5, q (no level) -> 1
+    lvl = scalers["level"][1]
+    model_names = idx.model.output.ordered_names
+    np.testing.assert_allclose(lvl[model_names.index("t_850")], 0.85, atol=1e-6)
+    np.testing.assert_allclose(lvl[model_names.index("t_500")], 0.5, atol=1e-6)
+    np.testing.assert_allclose(lvl[model_names.index("q")], 1.0)
+
+    loss = get_loss_function({"name": "WeightedMSELoss", "scalers": ["area", "level"]}, scalers)
+    n_grid = tiny_graph["data"].num_nodes
+    pred = jnp.ones((1, 1, 1, n_grid, 3))
+    out = float(loss(pred, jnp.zeros_like(pred)))
+    assert np.isfinite(out) and out > 0
+
+
+def test_split_variable_name():
+    assert split_variable_name("t_850") == ("t", 850)
+    assert split_variable_name("10u") == ("10u", None)
+    assert split_variable_name("z_surface") == ("z_surface", None)

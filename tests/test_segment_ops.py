@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anemoi_tpu.ops.segment import (
+    graph_conv_aggregate,
+    graph_transformer_attention,
+    segment_softmax,
+)
+
+
+def make_graph(rng, n_src=13, n_dst=7, e=40):
+    src = rng.integers(0, n_src, e)
+    dst = np.sort(rng.integers(0, n_dst, e))
+    return np.stack([src, dst]).astype(np.int32), n_src, n_dst
+
+
+def test_segment_softmax_sums_to_one(rng):
+    ei, _, n_dst = make_graph(rng)
+    scores = jnp.asarray(rng.normal(size=(ei.shape[1], 4)), dtype=jnp.float32)
+    alpha = segment_softmax(scores, jnp.asarray(ei[1]), n_dst)
+    sums = jax.ops.segment_sum(alpha, jnp.asarray(ei[1]), num_segments=n_dst)
+    present = np.unique(ei[1])
+    np.testing.assert_allclose(np.asarray(sums)[present], 1.0, atol=1e-5)
+
+
+def dense_reference(q, k, v, e, ei, n_dst):
+    """Dense per-destination softmax attention, the 'obviously correct' oracle."""
+    E = ei.shape[1]
+    H, D = q.shape[1], q.shape[2]
+    out = np.zeros((n_dst, H, D), dtype=np.float64)
+    for d in range(n_dst):
+        edges = np.where(ei[1] == d)[0]
+        if len(edges) == 0:
+            continue
+        k_e = k[ei[0][edges]] + e[edges]
+        v_e = v[ei[0][edges]] + e[edges]
+        logits = np.einsum("hd,ehd->eh", q[d], k_e) / np.sqrt(D)
+        a = np.exp(logits - logits.max(0))
+        a = a / a.sum(0)
+        out[d] = np.einsum("eh,ehd->hd", a, v_e)
+    return out
+
+
+def test_gt_attention_matches_dense(rng):
+    ei, n_src, n_dst = make_graph(rng)
+    H, D = 2, 8
+    q = rng.normal(size=(n_dst, H, D)).astype(np.float32)
+    k = rng.normal(size=(n_src, H, D)).astype(np.float32)
+    v = rng.normal(size=(n_src, H, D)).astype(np.float32)
+    e = rng.normal(size=(ei.shape[1], H, D)).astype(np.float32)
+
+    out = graph_transformer_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(e), jnp.asarray(ei)
+    )
+    expected = dense_reference(q, k, v, e, ei, n_dst)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_gt_attention_grad_finite(rng):
+    ei, n_src, n_dst = make_graph(rng)
+    H, D = 2, 4
+    q = jnp.asarray(rng.normal(size=(n_dst, H, D)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n_src, H, D)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n_src, H, D)), dtype=jnp.float32)
+    e = jnp.asarray(rng.normal(size=(ei.shape[1], H, D)), dtype=jnp.float32)
+
+    def loss(q, k, v, e):
+        return jnp.sum(graph_transformer_attention(q, k, v, e, jnp.asarray(ei)) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, e)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_graph_conv_aggregate(rng):
+    ei, _, n_dst = make_graph(rng)
+    msgs = jnp.asarray(rng.normal(size=(ei.shape[1], 5)), dtype=jnp.float32)
+    out = graph_conv_aggregate(msgs, jnp.asarray(ei[1]), n_dst)
+    expected = np.zeros((n_dst, 5))
+    np.add.at(expected, ei[1], np.asarray(msgs))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
