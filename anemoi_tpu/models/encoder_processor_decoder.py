@@ -55,9 +55,7 @@ def _build_encoder(cfg: dict, hidden_dim: int, backend: str) -> nn.Module:
     cls = ENCODERS[cfg.pop("name", "GraphTransformerForwardMapper")]
     cfg.pop("sub_graph_edge_attributes", None)
     trainable = cfg.pop("trainable_size", 0)
-    if cls is GraphTransformerForwardMapper:
-        return cls(hidden_dim=hidden_dim, edge_trainable_size=trainable, backend=backend, **cfg)
-    return cls(hidden_dim=hidden_dim, edge_trainable_size=trainable, **cfg)
+    return cls(hidden_dim=hidden_dim, edge_trainable_size=trainable, backend=backend, **cfg)
 
 
 def _build_decoder(cfg: dict, hidden_dim: int, out_channels: int, backend: str) -> nn.Module:
@@ -65,16 +63,12 @@ def _build_decoder(cfg: dict, hidden_dim: int, out_channels: int, backend: str) 
     cls = DECODERS[cfg.pop("name", "GraphTransformerBackwardMapper")]
     cfg.pop("sub_graph_edge_attributes", None)
     trainable = cfg.pop("trainable_size", 0)
-    if cls is GraphTransformerBackwardMapper:
-        return cls(
-            hidden_dim=hidden_dim,
-            out_channels_dst=out_channels,
-            edge_trainable_size=trainable,
-            backend=backend,
-            **cfg,
-        )
     return cls(
-        hidden_dim=hidden_dim, out_channels_dst=out_channels, edge_trainable_size=trainable, **cfg
+        hidden_dim=hidden_dim,
+        out_channels_dst=out_channels,
+        edge_trainable_size=trainable,
+        backend=backend,
+        **cfg,
     )
 
 
@@ -83,11 +77,11 @@ def _build_processor(cfg: dict, num_channels: int, backend: str) -> nn.Module:
     cls = PROCESSORS[cfg.pop("name", "GraphTransformerProcessor")]
     cfg.pop("sub_graph_edge_attributes", None)
     trainable = cfg.pop("trainable_size", 0)
-    if cls is GraphTransformerProcessor:
-        return cls(num_channels=num_channels, edge_trainable_size=trainable, backend=backend, **cfg)
-    if cls is GNNProcessor:
-        return cls(num_channels=num_channels, edge_trainable_size=trainable, **cfg)
-    return cls(num_channels=num_channels, **cfg)
+    if cls is PointWiseMLPProcessor:
+        return cls(num_channels=num_channels, **cfg)
+    return cls(
+        num_channels=num_channels, edge_trainable_size=trainable, backend=backend, **cfg
+    )
 
 
 @model_registry.register("AnemoiModelEncProcDec")
@@ -116,7 +110,24 @@ class AnemoiModelEncProcDec(nn.Module):
 
     @property
     def attention_backend(self) -> str:
-        return str(self.config.get("graph_attention_backend", "segment"))
+        return str(self.config.get("graph_attention_backend", "padded"))
+
+    def _maybe_shard(self, x: jnp.ndarray, spec) -> jnp.ndarray:
+        """Apply a sharding constraint when running under a mesh (GSPMD model
+        parallelism: the latent/grid node dim shards over the 'model' axis and
+        XLA inserts the gather/scatter collectives; SURVEY.md §2.3 TPU notes)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if not self.config.get("shard_over_mesh", False):
+            return x
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            if mesh is None or mesh.empty or "model" not in mesh.axis_names:
+                return x
+        except Exception:
+            return x
+        return jax.lax.with_sharding_constraint(x, P(*spec))
 
     def input_dim(self, ds: str) -> int:
         trainable = self.config.get("trainable_parameters", {}) or {}
@@ -129,16 +140,43 @@ class AnemoiModelEncProcDec(nn.Module):
     def output_dim(self, ds: str) -> int:
         return self.n_step_output * self.data_indices[ds].num_model_output_vars
 
+    def build_graph_inputs(self, dtype=jnp.float32) -> Dict:
+        """Device-side graph arrays passed to __call__ as ARGUMENTS.
+
+        Critical for compile time: closed-over arrays get inlined as HLO
+        constants, which the TPU toolchain compiles ~13x slower than the same
+        program with the arrays as entry parameters (measured: 395s vs 29s for
+        one attention grad)."""
+        padded = self.attention_backend != "segment"
+        return {
+            "node_features": {
+                name: jnp.asarray(feat, dtype=dtype)
+                for name, feat in self.graph.node_features.items()
+            },
+            "encoder": {
+                ds: sub.edge_data(dtype=dtype, padded=padded)
+                for ds, sub in self.graph.encoder.items()
+            },
+            "processor": self.graph.processor.edge_data(dtype=dtype, padded=padded),
+            "decoder": {
+                ds: sub.edge_data(dtype=dtype, padded=padded)
+                for ds, sub in self.graph.decoder.items()
+            },
+        }
+
     @nn.compact
     def __call__(
         self,
         x: Dict[str, jnp.ndarray],  # per dataset [B, T, E, G, V_model_in]
+        graph_inputs: Optional[Dict] = None,
         cond: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         graph = self.graph
         hidden = graph.hidden_name
         trainable_cfg = self.config.get("trainable_parameters", {}) or {}
         dataset_names = sorted(x.keys())
+        if graph_inputs is None:  # constants fallback (slow compiles; tests only)
+            graph_inputs = self.build_graph_inputs()
 
         some = x[dataset_names[0]]
         batch, n_time, ens = some.shape[0], some.shape[1], some.shape[2]
@@ -153,7 +191,7 @@ class AnemoiModelEncProcDec(nn.Module):
             num_nodes=graph.num_nodes[hidden],
             trainable_size=int(trainable_cfg.get(hidden, 0)),
             name=f"node_attributes_{hidden}",
-        )(jnp.asarray(graph.node_features[hidden], dtype=compute_dtype))
+        )(graph_inputs["node_features"][hidden].astype(compute_dtype))
         x_hidden_latent = jnp.broadcast_to(
             hidden_attrs[None], (bflat,) + hidden_attrs.shape
         )
@@ -172,7 +210,7 @@ class AnemoiModelEncProcDec(nn.Module):
                 num_nodes=graph.num_nodes[ds],
                 trainable_size=int(trainable_cfg.get(ds, 0)),
                 name=f"node_attributes_{ds}",
-            )(jnp.asarray(graph.node_features[ds], dtype=compute_dtype))
+            )(graph_inputs["node_features"][ds].astype(compute_dtype))
 
             # [B,T,E,G,V] -> [(B E), G, (T V)]
             flat = jnp.transpose(xd, (0, 2, 3, 1, 4)).reshape(
@@ -183,36 +221,33 @@ class AnemoiModelEncProcDec(nn.Module):
                 axis=-1,
             )
 
-            sub = graph.encoder[ds]
             x_data_out, x_latent = _build_encoder(
                 self.config["encoder"], self.num_channels, self.attention_backend
             )(
                 (x_latent_in, x_hidden_latent),
-                jnp.asarray(sub.edge_attr, dtype=compute_dtype),
-                jnp.asarray(sub.edge_index),
+                graph_inputs["encoder"][ds],
             )
             x_data_latent[ds] = x_data_out
             latents.append(x_latent)
 
         x_latent = sum(latents)
+        x_latent = self._maybe_shard(x_latent, (None, "model", None))
 
-        sub = graph.processor
         x_latent_proc = _build_processor(
             self.config["processor"], self.num_channels, self.attention_backend
         )(
             x_latent,
-            jnp.asarray(sub.edge_attr, dtype=compute_dtype),
-            jnp.asarray(sub.edge_index),
+            graph_inputs["processor"],
             cond,
         )
 
         if self.latent_skip:
             x_latent_proc = x_latent_proc + x_latent
+        x_latent_proc = self._maybe_shard(x_latent_proc, (None, "model", None))
 
         out = {}
         for ds in dataset_names:
             idx = self.data_indices[ds]
-            sub = graph.decoder[ds]
             x_out = _build_decoder(
                 self.config["decoder"],
                 self.num_channels,
@@ -220,8 +255,7 @@ class AnemoiModelEncProcDec(nn.Module):
                 self.attention_backend,
             )(
                 (x_latent_proc, x_data_latent[ds]),
-                jnp.asarray(sub.edge_attr, dtype=compute_dtype),
-                jnp.asarray(sub.edge_index),
+                graph_inputs["decoder"][ds],
             )
             # [(B E), G, (T V)] -> [B, T, E, G, V]
             n_grid = x_out.shape[1]
@@ -229,10 +263,22 @@ class AnemoiModelEncProcDec(nn.Module):
             x_out = x_out.reshape(batch, ens, n_grid, self.n_step_output, n_vars)
             x_out = jnp.transpose(x_out, (0, 3, 1, 2, 4))
 
-            # residual on prognostic variables (ref :131-163)
-            prog_out = jnp.asarray(idx.model.output.prognostic)
-            prog_in = jnp.asarray(idx.model.input.prognostic)
-            x_out = x_out.at[..., prog_out].add(x_skip[ds][..., prog_in])
+            # residual on prognostic variables (ref :131-163) -- scatter-free:
+            # per output var, gather the matching input var and mask the add
+            import numpy as np
+
+            prog_out = idx.model.output.prognostic
+            prog_in = idx.model.input.prognostic
+            n_out_vars = idx.num_model_output_vars
+            add_mask = np.zeros(n_out_vars, dtype=bool)
+            skip_gather = np.zeros(n_out_vars, dtype=np.int32)
+            add_mask[prog_out] = True
+            skip_gather[prog_out] = prog_in
+            x_out = x_out + jnp.where(
+                jnp.asarray(add_mask),
+                jnp.take(x_skip[ds], jnp.asarray(skip_gather), axis=-1),
+                0.0,
+            )
 
             for bounding in build_boundings(
                 self.config.get("bounding"), idx.model.output.name_to_index

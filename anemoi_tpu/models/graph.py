@@ -12,21 +12,40 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from anemoi_tpu.graphs.graph import Graph
 from anemoi_tpu.models.layers.embed import sincos_coordinates
+from anemoi_tpu.ops.padded import PaddedCSR
+
+
+@struct.dataclass
+class EdgeData:
+    """Device-side edge arrays for one sub-graph, passed through the model as
+    a pytree (jit/remat-friendly).  ``tables`` holds the padded-CSR forward +
+    transpose tables (None when using the segment backend only)."""
+
+    edge_attr: jnp.ndarray  # [E, F]
+    edge_index: jnp.ndarray  # [2, E] dst-sorted
+    tables: Optional[object] = None  # PaddedTables pytree
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_index.shape[1])
 
 
 @dataclass
 class SubGraphArrays:
-    """One directed sub-graph's static arrays."""
+    """One directed sub-graph's static arrays (host-side)."""
 
     edge_index: np.ndarray  # [2, E] int32, dst-sorted
     edge_attr: np.ndarray  # [E, F] float32
     dst_ptr: np.ndarray  # [num_dst+1] CSR pointer
     num_src: int
     num_dst: int
+    _csr: Optional[PaddedCSR] = None
 
     @property
     def num_edges(self) -> int:
@@ -35,6 +54,25 @@ class SubGraphArrays:
     @property
     def edge_dim(self) -> int:
         return int(self.edge_attr.shape[1])
+
+    @property
+    def padded_csr(self) -> PaddedCSR:
+        if self._csr is None:
+            self._csr = PaddedCSR.from_edge_index(
+                self.edge_index, self.dst_ptr, num_src=self.num_src
+            )
+        return self._csr
+
+    def edge_data(self, dtype=jnp.float32, padded: bool = True) -> EdgeData:
+        """Device-ready EdgeData (padded tables included unless disabled)."""
+        from anemoi_tpu.ops.padded import PaddedTables
+
+        tables = PaddedTables.from_csr(self.padded_csr) if padded else None
+        return EdgeData(
+            edge_attr=jnp.asarray(self.edge_attr, dtype=dtype),
+            edge_index=jnp.asarray(self.edge_index),
+            tables=tables,
+        )
 
 
 @dataclass

@@ -59,6 +59,9 @@ class AnemoiModelInterface:
         self.model = model_registry.get(model_name)(
             graph=self.model_graph, data_indices=data_indices, config=model_cfg
         )
+        # device-side graph arrays, passed to every apply as ARGUMENTS (compile
+        # time: constants inline into HLO and compile ~13x slower)
+        self.graph_inputs = self.model.build_graph_inputs()
 
         processors_cfg = config.get("data", {}).get("processors")
         self.pre_processors: Dict[str, Processors] = {}
@@ -88,7 +91,11 @@ class AnemoiModelInterface:
                 ),
                 dtype=jnp.float32,
             )
-        return jax.jit(self.model.init)(rng, x)
+        return jax.jit(self.model.init)(rng, x, self.graph_inputs)
+
+    def apply(self, params: Any, x: Dict[str, jnp.ndarray], cond=None) -> Dict[str, jnp.ndarray]:
+        """Forward pass routing the graph arrays in as arguments."""
+        return self.model.apply(params, x, self.graph_inputs, cond)
 
     # ------------------------------------------------------------------
     def predict_step(
@@ -105,7 +112,7 @@ class AnemoiModelInterface:
             xb = batch[ds][:, : self.model.n_step_input]
             xb = self.pre_processors[ds].transform(xb)
             x[ds] = xb[..., jnp.asarray(idx.data.input.full)]
-        y = self.model.apply(params, x)
+        y = self.model.apply(params, x, self.graph_inputs)
         out = {}
         for ds, idx in self.data_indices.items():
             out[ds] = self.pre_processors[ds].inverse_transform(y[ds])

@@ -24,21 +24,32 @@ def _leaky_hardtanh(x, min_val, max_val, slope=0.01):
 
 
 class Bounding:
-    """A prepared bounding: holds resolved variable indices + the transform."""
+    """A prepared bounding: holds resolved variable indices + the transform.
 
-    def __init__(self, indices: np.ndarray, fn, total_indices: Optional[np.ndarray] = None):
-        self.indices = jnp.asarray(indices)
+    Applied scatter-free: the transform is evaluated on the full variable dim
+    and selected back with a static boolean mask (cheap VPU select; avoids
+    slow TPU scatters from ``.at[idx].set``)."""
+
+    def __init__(
+        self,
+        indices: np.ndarray,
+        fn,
+        num_vars: int,
+        total_indices: Optional[np.ndarray] = None,
+    ):
+        mask = np.zeros(num_vars, dtype=bool)
+        mask[indices] = True
+        self.var_mask = jnp.asarray(mask)
         self.total_indices = None if total_indices is None else jnp.asarray(total_indices)
         self.fn = fn
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        sub = x[..., self.indices]
         if self.total_indices is not None:
-            total = x[..., self.total_indices]
-            sub = self.fn(sub, total)
+            total = x[..., self.total_indices]  # [..., 1]
+            transformed = self.fn(x, total)
         else:
-            sub = self.fn(sub)
-        return x.at[..., self.indices].set(sub)
+            transformed = self.fn(x)
+        return jnp.where(self.var_mask, transformed, x)
 
 
 def _resolve(variables: Sequence[str], name_to_index: Dict[str, int]) -> np.ndarray:
@@ -51,7 +62,10 @@ def _resolve(variables: Sequence[str], name_to_index: Dict[str, int]) -> np.ndar
 
 @bounding_registry.register("relu")
 def relu_bounding(variables, name_to_index, **_) -> Bounding:
-    return Bounding(_resolve(variables, name_to_index), lambda x: jnp.maximum(x, 0.0))
+    return Bounding(
+        _resolve(variables, name_to_index), lambda x: jnp.maximum(x, 0.0),
+        num_vars=len(name_to_index),
+    )
 
 
 @bounding_registry.register("leaky_relu")
@@ -59,13 +73,15 @@ def leaky_relu_bounding(variables, name_to_index, negative_slope: float = 0.01, 
     return Bounding(
         _resolve(variables, name_to_index),
         lambda x: jnp.where(x >= 0, x, negative_slope * x),
+        num_vars=len(name_to_index),
     )
 
 
 @bounding_registry.register("hardtanh")
 def hardtanh_bounding(variables, name_to_index, min_val: float, max_val: float, **_) -> Bounding:
     return Bounding(
-        _resolve(variables, name_to_index), lambda x: jnp.clip(x, min_val, max_val)
+        _resolve(variables, name_to_index), lambda x: jnp.clip(x, min_val, max_val),
+        num_vars=len(name_to_index),
     )
 
 
@@ -76,6 +92,7 @@ def leaky_hardtanh_bounding(
     return Bounding(
         _resolve(variables, name_to_index),
         lambda x: _leaky_hardtanh(x, min_val, max_val, slope),
+        num_vars=len(name_to_index),
     )
 
 
@@ -87,6 +104,7 @@ def fraction_bounding(
     return Bounding(
         _resolve(variables, name_to_index),
         lambda x, total: jnp.clip(x, min_val, max_val) * total,
+        num_vars=len(name_to_index),
         total_indices=_resolve([total_var], name_to_index),
     )
 
@@ -98,6 +116,7 @@ def leaky_fraction_bounding(
     return Bounding(
         _resolve(variables, name_to_index),
         lambda x, total: _leaky_hardtanh(x, min_val, max_val, slope) * total,
+        num_vars=len(name_to_index),
         total_indices=_resolve([total_var], name_to_index),
     )
 

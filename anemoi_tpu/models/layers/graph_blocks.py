@@ -9,8 +9,12 @@ Conventions (TPU-first):
 - node features are ``[batch, N, C]``; edge features ``[E, F]`` are shared
   across the batch (the graph is static), so edge projections are computed
   once and broadcast through `jax.vmap`,
-- edges are dst-sorted; attention dispatches to the pure-JAX segment backend
-  or the Pallas CSC kernel via ``backend``.
+- edges arrive as an :class:`~anemoi_tpu.models.graph.EdgeData` pytree
+  (dst-sorted edge_index + optional padded-CSR tables),
+- sparse attention dispatches between backends:
+    "segment" -- jax segment ops (reference semantics, scatter-based)
+    "padded"  -- scatter-free padded-CSR gathers (TPU default)
+    "pallas"  -- fused Pallas kernel
 """
 
 from __future__ import annotations
@@ -28,21 +32,58 @@ from anemoi_tpu.models.layers.normalization import (
     LayerNorm,
     RMSNorm,
 )
+from anemoi_tpu.ops.padded import (
+    gather_dst_to_edges,
+    gather_src_to_edges,
+    padded_conv_aggregate,
+    padded_gt_attention,
+)
 from anemoi_tpu.ops.segment import graph_conv_aggregate, graph_transformer_attention
 
 
-def _gt_attention(query, key, value, edges, edge_index, num_dst, backend: str):
+def _gt_attention(query, key, value, edges_proj, edge_data, num_dst, backend: str):
     """Dispatch sparse graph attention over the batch axis.
 
-    query: [B, N_dst, H, D]; key/value: [B, N_src, H, D]; edges: [E, H, D].
+    query: [B, N_dst, H, D]; key/value: [B, N_src, H, D]; edges_proj: [E, H, D].
     """
     if backend == "pallas":
         from anemoi_tpu.ops.pallas.gt_attention import gt_attention_pallas
 
-        fn = partial(gt_attention_pallas, num_dst=num_dst)
-    else:
-        fn = partial(graph_transformer_attention, num_dst=num_dst)
-    return jax.vmap(fn, in_axes=(0, 0, 0, None, None))(query, key, value, edges, edge_index)
+        return jax.vmap(gt_attention_pallas, in_axes=(0, 0, 0, None, None))(
+            query, key, value, edges_proj, edge_data.tables
+        )
+    if backend == "padded":
+        assert edge_data.tables is not None, "padded backend needs PaddedCSR tables"
+        return jax.vmap(padded_gt_attention, in_axes=(0, 0, 0, None, None))(
+            query, key, value, edges_proj, edge_data.tables
+        )
+    fn = partial(graph_transformer_attention, num_dst=num_dst)
+    return jax.vmap(fn, in_axes=(0, 0, 0, None, None))(
+        query, key, value, edges_proj, edge_data.edge_index
+    )
+
+
+def _conv_aggregate(edges_new, edge_data, num_dst, backend: str):
+    """Dispatch the GNN segment-sum aggregation. edges_new: [B, E, C]."""
+    if backend != "segment" and edge_data.tables is not None:
+        return jax.vmap(padded_conv_aggregate, in_axes=(0, None))(
+            edges_new, edge_data.tables
+        )
+    dst = edge_data.edge_index[1]
+    return jax.vmap(partial(graph_conv_aggregate, num_dst=num_dst), in_axes=(0, None))(
+        edges_new, dst
+    )
+
+
+def _gather_edge_endpoints(x_src, x_dst, edge_data, backend: str):
+    """Per-edge endpoint features [B, E, C] with gather-only backward when
+    padded tables are available."""
+    if backend != "segment" and edge_data.tables is not None:
+        x_j = jax.vmap(gather_src_to_edges, in_axes=(0, None))(x_src, edge_data.tables)
+        x_i = jax.vmap(gather_dst_to_edges, in_axes=(0, None))(x_dst, edge_data.tables)
+        return x_i, x_j
+    src, dst = edge_data.edge_index[0], edge_data.edge_index[1]
+    return jnp.take(x_dst, dst, axis=1), jnp.take(x_src, src, axis=1)
 
 
 def _norm(conditional: bool, name: str):
@@ -50,7 +91,7 @@ def _norm(conditional: bool, name: str):
 
 
 class GraphTransformerAttention(nn.Module):
-    """The shared q/k/v/edge projection + sparse attention + output projection
+    """The shared q/k/v/edge projection + sparse attention
     (GraphTransformerBaseBlock.get_qkve/_forward_edges_sharded_attention,
     ref block.py:624-700)."""
 
@@ -66,8 +107,7 @@ class GraphTransformerAttention(nn.Module):
         self,
         x_src: jnp.ndarray,  # [B, N_src, C]
         x_dst: jnp.ndarray,  # [B, N_dst, C]
-        edge_attr: jnp.ndarray,  # [E, F]
-        edge_index: jnp.ndarray,  # [2, E] dst-sorted
+        edge_data,
     ) -> jnp.ndarray:
         h, hd = self.num_heads, self.attn_channels
         assert hd % h == 0, f"attn_channels {hd} not divisible by num_heads {h}"
@@ -78,7 +118,7 @@ class GraphTransformerAttention(nn.Module):
         query = nn.Dense(hd, name="lin_query")(x_dst)
         key = nn.Dense(hd, name="lin_key")(x_src)
         value = nn.Dense(hd, name="lin_value")(x_src)
-        e = edge_attr
+        e = edge_data.edge_attr
         if self.edge_pre_mlp:
             e = MLP(
                 hidden_dim=e.shape[-1], out_features=e.shape[-1], layer_norm=False,
@@ -95,7 +135,7 @@ class GraphTransformerAttention(nn.Module):
             query = RMSNorm(name="q_norm")(query)
             key = RMSNorm(name="k_norm")(key)
 
-        out = _gt_attention(query, key, value, edges, edge_index, n_dst, self.backend)
+        out = _gt_attention(query, key, value, edges, edge_data, n_dst, self.backend)
         return out.reshape(batch, n_dst, hd)
 
 
@@ -117,10 +157,9 @@ class GraphTransformerMapperBlock(nn.Module):
     def __call__(
         self,
         x: Tuple[jnp.ndarray, jnp.ndarray],  # ([B,N_src,C], [B,N_dst,C])
-        edge_attr: jnp.ndarray,
-        edge_index: jnp.ndarray,
+        edge_data,
         cond: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    ):
         x_skip = x
         attn_channels = self.attn_channels or self.out_channels
         cond_src = {"cond": cond[0]} if cond is not None else {}
@@ -138,7 +177,7 @@ class GraphTransformerMapperBlock(nn.Module):
             edge_pre_mlp=self.edge_pre_mlp,
             backend=self.backend,
             name="attention",
-        )(x_src, x_dst, edge_attr, edge_index)
+        )(x_src, x_dst, edge_data)
 
         out = nn.Dense(self.out_channels, name="projection")(out + x_r)
         out = out + x_skip[1]
@@ -164,7 +203,7 @@ class GraphTransformerMapperBlock(nn.Module):
         else:
             nodes_new_src = x_skip[0]
 
-        return (nodes_new_src, nodes_new_dst), edge_attr
+        return (nodes_new_src, nodes_new_dst), edge_data
 
 
 class GraphTransformerProcessorBlock(nn.Module):
@@ -184,10 +223,9 @@ class GraphTransformerProcessorBlock(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,  # [B, N, C]
-        edge_attr: jnp.ndarray,
-        edge_index: jnp.ndarray,
+        edge_data,
         cond: Optional[jnp.ndarray] = None,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ):
         x_skip = x
         attn_channels = self.attn_channels or self.out_channels
         cond_kw = {"cond": cond} if cond is not None else {}
@@ -202,7 +240,7 @@ class GraphTransformerProcessorBlock(nn.Module):
             edge_pre_mlp=self.edge_pre_mlp,
             backend=self.backend,
             name="attention",
-        )(x, x, edge_attr, edge_index)
+        )(x, x, edge_data)
 
         out = nn.Dense(self.out_channels, name="projection")(out + x_r)
         out = out + x_skip
@@ -214,7 +252,7 @@ class GraphTransformerProcessorBlock(nn.Module):
             implementation=self.mlp_implementation,
             name="node_dst_mlp",
         )(normed) + out
-        return nodes_new, edge_attr
+        return nodes_new, edge_data
 
 
 class GraphConv(nn.Module):
@@ -224,6 +262,7 @@ class GraphConv(nn.Module):
     out_channels: int
     mlp_extra_layers: int = 0
     mlp_implementation: str = "mlp"
+    backend: str = "padded"
 
     @nn.compact
     def __call__(
@@ -231,12 +270,10 @@ class GraphConv(nn.Module):
         x_src: jnp.ndarray,  # [B, N_src, C]
         x_dst: jnp.ndarray,  # [B, N_dst, C]
         edge_attr: jnp.ndarray,  # [B, E, C] (already embedded / updated)
-        edge_index: jnp.ndarray,
+        edge_data,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        src, dst = edge_index[0], edge_index[1]
         n_dst = x_dst.shape[1]
-        x_i = jnp.take(x_dst, dst, axis=1)  # dst features per edge
-        x_j = jnp.take(x_src, src, axis=1)  # src features per edge
+        x_i, x_j = _gather_edge_endpoints(x_src, x_dst, edge_data, self.backend)
         edges_new = MLP(
             hidden_dim=self.out_channels,
             out_features=self.out_channels,
@@ -244,9 +281,7 @@ class GraphConv(nn.Module):
             implementation=self.mlp_implementation,
             name="edge_mlp",
         )(jnp.concatenate([x_i, x_j, edge_attr], axis=-1)) + edge_attr
-        out = jax.vmap(partial(graph_conv_aggregate, num_dst=n_dst), in_axes=(0, None))(
-            edges_new, dst
-        )
+        out = _conv_aggregate(edges_new, edge_data, n_dst, self.backend)
         return out, edges_new
 
 
@@ -258,13 +293,14 @@ class GraphConvProcessorBlock(nn.Module):
     mlp_hidden_ratio: float = 1.0
     edge_dim: Optional[int] = None  # set on the first layer to embed raw edge attrs
     mlp_implementation: str = "mlp"
+    backend: str = "padded"
 
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,  # [B, N, C]
         edge_attr: jnp.ndarray,  # [B, E, C] or [E, F] raw on first layer
-        edge_index: jnp.ndarray,
+        edge_data,
         cond: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         hidden = compute_mlp_hidden_dim(self.out_channels, self.mlp_hidden_ratio)
@@ -284,8 +320,9 @@ class GraphConvProcessorBlock(nn.Module):
             out_channels=self.out_channels,
             mlp_extra_layers=self.mlp_extra_layers,
             mlp_implementation=self.mlp_implementation,
+            backend=self.backend,
             name="conv",
-        )(x, x, edge_attr, edge_index)
+        )(x, x, edge_attr, edge_data)
         nodes_new = MLP(
             hidden_dim=hidden,
             out_features=self.out_channels,
@@ -304,23 +341,25 @@ class GraphConvMapperBlock(nn.Module):
     mlp_hidden_ratio: float = 1.0
     update_src_nodes: bool = True
     mlp_implementation: str = "mlp"
+    backend: str = "padded"
 
     @nn.compact
     def __call__(
         self,
         x: Tuple[jnp.ndarray, jnp.ndarray],
         edge_attr: jnp.ndarray,  # [B, E, C] already embedded
-        edge_index: jnp.ndarray,
+        edge_data,
         cond=None,
-    ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    ):
         hidden = compute_mlp_hidden_dim(self.out_channels, self.mlp_hidden_ratio)
         x_src, x_dst = x
         out, edges_new = GraphConv(
             out_channels=self.out_channels,
             mlp_extra_layers=self.mlp_extra_layers,
             mlp_implementation=self.mlp_implementation,
+            backend=self.backend,
             name="conv",
-        )(x_src, x_dst, edge_attr, edge_index)
+        )(x_src, x_dst, edge_attr, edge_data)
         node_mlp = MLP(
             hidden_dim=hidden,
             out_features=self.out_channels,

@@ -61,14 +61,15 @@ class GraphTransformerForwardMapper(nn.Module):
     def __call__(
         self,
         x: Tuple[jnp.ndarray, jnp.ndarray],  # ([B,N_src,F_src], [B,N_dst,F_dst])
-        edge_attr: jnp.ndarray,
-        edge_index: jnp.ndarray,
+        edge_data,
         cond: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x_src = nn.Dense(self.hidden_dim, name="emb_nodes_src")(x[0])
         x_dst = nn.Dense(self.hidden_dim, name="emb_nodes_dst")(x[1])
-        edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
-            edge_attr
+        edge_data = edge_data.replace(
+            edge_attr=TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
+                edge_data.edge_attr
+            )
         )
         (x_src, x_dst), _ = GraphTransformerMapperBlock(
             num_heads=self.num_heads,
@@ -82,7 +83,7 @@ class GraphTransformerForwardMapper(nn.Module):
             conditional=cond is not None,
             backend=self.backend,
             name="proc",
-        )((x_src, x_dst), edge_attr, edge_index, cond=cond)
+        )((x_src, x_dst), edge_data, cond=cond)
         # src returned un-updated (reference returns x[0]); dst is the latent
         return x[0], x_dst
 
@@ -106,14 +107,15 @@ class GraphTransformerBackwardMapper(nn.Module):
     def __call__(
         self,
         x: Tuple[jnp.ndarray, jnp.ndarray],  # ([B,N_hidden,hidden], [B,N_data,F])
-        edge_attr: jnp.ndarray,
-        edge_index: jnp.ndarray,
+        edge_data,
         cond: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         x_src = x[0]
         x_dst = nn.Dense(self.hidden_dim, name="emb_nodes_dst")(x[1])
-        edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
-            edge_attr
+        edge_data = edge_data.replace(
+            edge_attr=TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
+                edge_data.edge_attr
+            )
         )
         (_, x_dst), _ = GraphTransformerMapperBlock(
             num_heads=self.num_heads,
@@ -127,7 +129,7 @@ class GraphTransformerBackwardMapper(nn.Module):
             conditional=cond is not None,
             backend=self.backend,
             name="proc",
-        )((x_src, x_dst), edge_attr, edge_index, cond=cond)
+        )((x_src, x_dst), edge_data, cond=cond)
         # node_data_extractor: LayerNorm -> Linear(out) (ref mapper.py:695-706)
         out = LayerNorm(name="extractor_norm")(x_dst)
         kernel_init = (
@@ -145,17 +147,17 @@ class GNNForwardMapper(nn.Module):
     mlp_extra_layers: int = 0
     edge_trainable_size: int = 0
     mlp_implementation: str = "mlp"
+    backend: str = "padded"
 
     @nn.compact
     def __call__(
         self,
         x: Tuple[jnp.ndarray, jnp.ndarray],
-        edge_attr: jnp.ndarray,
-        edge_index: jnp.ndarray,
+        edge_data,
         cond=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
-            edge_attr
+            edge_data.edge_attr
         )
         edge_emb = MLP(
             hidden_dim=self.hidden_dim,
@@ -184,8 +186,9 @@ class GNNForwardMapper(nn.Module):
             mlp_extra_layers=self.mlp_extra_layers,
             update_src_nodes=True,
             mlp_implementation=self.mlp_implementation,
+            backend=self.backend,
             name="proc",
-        )((x_src, x_dst), edge_emb, edge_index)
+        )((x_src, x_dst), edge_emb, edge_data)
         return x_src, x_dst
 
 
@@ -198,17 +201,17 @@ class GNNBackwardMapper(nn.Module):
     edge_trainable_size: int = 0
     initialise_data_extractor_zero: bool = False
     mlp_implementation: str = "mlp"
+    backend: str = "padded"
 
     @nn.compact
     def __call__(
         self,
         x: Tuple[jnp.ndarray, jnp.ndarray],
-        edge_attr: jnp.ndarray,
-        edge_index: jnp.ndarray,
+        edge_data,
         cond=None,
     ) -> jnp.ndarray:
         edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
-            edge_attr
+            edge_data.edge_attr
         )
         edge_emb = MLP(
             hidden_dim=self.hidden_dim,
@@ -223,8 +226,9 @@ class GNNBackwardMapper(nn.Module):
             mlp_extra_layers=self.mlp_extra_layers,
             update_src_nodes=False,
             mlp_implementation=self.mlp_implementation,
+            backend=self.backend,
             name="proc",
-        )(x, edge_emb, edge_index)
+        )(x, edge_emb, edge_data)
         return MLP(
             hidden_dim=self.hidden_dim,
             out_features=self.out_channels_dst,

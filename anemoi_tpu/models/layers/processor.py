@@ -27,7 +27,12 @@ from anemoi_tpu.models.layers.mlp import compute_mlp_hidden_dim
 
 
 class GraphTransformerProcessor(nn.Module):
-    """Stack of graph-transformer blocks over the hidden mesh."""
+    """Stack of graph-transformer blocks over the hidden mesh.
+
+    ``scan_layers`` (default True) runs the stack as `nn.scan` over stacked
+    per-layer parameters: the XLA program contains ONE block regardless of
+    depth, which keeps compile time flat in num_layers (the reference's
+    16-layer default would otherwise unroll 16 copies)."""
 
     num_layers: int
     num_channels: int
@@ -40,36 +45,66 @@ class GraphTransformerProcessor(nn.Module):
     mlp_implementation: str = "mlp"
     conditional: bool = False
     gradient_checkpointing: bool = True
+    scan_layers: bool = True
     backend: str = "segment"
 
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,  # [B, N, C]
-        edge_attr: jnp.ndarray,
-        edge_index: jnp.ndarray,
+        edge_data,
         cond: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
-            edge_attr
+        edge_data = edge_data.replace(
+            edge_attr=TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
+                edge_data.edge_attr
+            )
         )
+        block_kwargs = dict(
+            num_heads=self.num_heads,
+            hidden_dim=compute_mlp_hidden_dim(self.num_channels, self.mlp_hidden_ratio),
+            out_channels=self.num_channels,
+            attn_channels=self.attn_channels,
+            qk_norm=self.qk_norm,
+            edge_pre_mlp=self.edge_pre_mlp,
+            mlp_implementation=self.mlp_implementation,
+            conditional=self.conditional,
+            backend=self.backend,
+        )
+        if self.scan_layers:
+            body_cls = _GTScanBody
+            if self.gradient_checkpointing:
+                body_cls = nn.remat(body_cls, static_argnums=(), prevent_cse=False)
+            scanned = nn.scan(
+                body_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )(block_kwargs=block_kwargs, name="blocks")
+            x, _ = scanned(x, edge_data, cond)
+            return x
         block_cls = GraphTransformerProcessorBlock
         if self.gradient_checkpointing:
-            block_cls = nn.remat(block_cls, static_argnums=())
+            block_cls = nn.remat(block_cls, static_argnums=(), prevent_cse=False)
         for i in range(self.num_layers):
-            x, edge_attr = block_cls(
-                num_heads=self.num_heads,
-                hidden_dim=compute_mlp_hidden_dim(self.num_channels, self.mlp_hidden_ratio),
-                out_channels=self.num_channels,
-                attn_channels=self.attn_channels,
-                qk_norm=self.qk_norm,
-                edge_pre_mlp=self.edge_pre_mlp,
-                mlp_implementation=self.mlp_implementation,
-                conditional=self.conditional,
-                backend=self.backend,
-                name=f"blocks_{i}",
-            )(x, edge_attr, edge_index, cond)
+            x, edge_data = block_cls(**block_kwargs, name=f"blocks_{i}")(
+                x, edge_data, cond
+            )
         return x
+
+
+class _GTScanBody(nn.Module):
+    """nn.scan body: carry = node features; edge_data/cond broadcast."""
+
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x, edge_data, cond):
+        y, _ = GraphTransformerProcessorBlock(**self.block_kwargs, name="block")(
+            x, edge_data, cond
+        )
+        return y, ()
 
 
 class GNNProcessor(nn.Module):
@@ -83,31 +118,66 @@ class GNNProcessor(nn.Module):
     edge_trainable_size: int = 0
     mlp_implementation: str = "mlp"
     gradient_checkpointing: bool = True
+    scan_layers: bool = True
+    backend: str = "padded"
 
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,
-        edge_attr: jnp.ndarray,
-        edge_index: jnp.ndarray,
+        edge_data,
         cond: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
-            edge_attr
+            edge_data.edge_attr
+        )
+        block_kwargs = dict(
+            out_channels=self.num_channels,
+            mlp_extra_layers=self.mlp_extra_layers,
+            mlp_hidden_ratio=self.mlp_hidden_ratio,
+            mlp_implementation=self.mlp_implementation,
+            backend=self.backend,
         )
         block_cls = GraphConvProcessorBlock
         if self.gradient_checkpointing:
-            block_cls = nn.remat(block_cls, static_argnums=())
-        for i in range(self.num_layers):
-            x, edge_attr = block_cls(
-                out_channels=self.num_channels,
-                mlp_extra_layers=self.mlp_extra_layers,
-                mlp_hidden_ratio=self.mlp_hidden_ratio,
-                edge_dim=edge_attr.shape[-1] if i == 0 else None,
-                mlp_implementation=self.mlp_implementation,
-                name=f"blocks_{i}",
-            )(x, edge_attr, edge_index, cond)
+            block_cls = nn.remat(block_cls, static_argnums=(), prevent_cse=False)
+        # layer 0 embeds the raw edge attributes
+        x, edge_attr = block_cls(
+            **block_kwargs, edge_dim=edge_attr.shape[-1], name="blocks_0"
+        )(x, edge_attr, edge_data, cond)
+        if self.num_layers > 1:
+            if self.scan_layers:
+                body_cls = _GNNScanBody
+                if self.gradient_checkpointing:
+                    body_cls = nn.remat(body_cls, static_argnums=(), prevent_cse=False)
+                scanned = nn.scan(
+                    body_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=(nn.broadcast, nn.broadcast),
+                    length=self.num_layers - 1,
+                )(block_kwargs=block_kwargs, name="blocks")
+                (x, edge_attr), _ = scanned((x, edge_attr), edge_data, cond)
+            else:
+                for i in range(1, self.num_layers):
+                    x, edge_attr = block_cls(**block_kwargs, name=f"blocks_{i}")(
+                        x, edge_attr, edge_data, cond
+                    )
         return x
+
+
+class _GNNScanBody(nn.Module):
+    """nn.scan body for GNN layers: carry = (x, edge_attr)."""
+
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, carry, edge_data, cond):
+        x, edge_attr = carry
+        x, edge_attr = GraphConvProcessorBlock(**self.block_kwargs, name="block")(
+            x, edge_attr, edge_data, cond
+        )
+        return (x, edge_attr), ()
 
 
 class PointWiseMLPProcessor(nn.Module):
@@ -123,8 +193,7 @@ class PointWiseMLPProcessor(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        edge_attr: Optional[jnp.ndarray] = None,
-        edge_index: Optional[jnp.ndarray] = None,
+        edge_data=None,
         cond: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         for i in range(self.num_layers):

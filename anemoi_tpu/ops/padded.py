@@ -1,37 +1,53 @@
-"""Padded-CSR sparse graph ops: the TPU-native formulation.
+"""Padded-CSR sparse graph ops: the TPU-native, scatter-free formulation.
 
-Scatters are slow on TPU (serialized updates); gathers + dense masked math are
-fast.  Because the framework invariant keeps edges dst-sorted with a CSR
-``dst_ptr``, every destination's incoming edges can be laid out as a padded
-neighbour table computed once on the host:
+Scatters are slow on TPU (serialized updates + very slow XLA compiles on some
+toolchains); gathers + dense masked math are fast.  Because the framework
+invariant keeps edges dst-sorted with a CSR ``dst_ptr``, every destination's
+incoming edges can be laid out as padded neighbour tables computed once on the
+host:
 
-    edge_slots [N_dst, K]  -- edge id per slot (K = max in-degree), pad -> E
-    mask       [N_dst, K]  -- slot validity
+    dst side (forward):   src_slots/edge_slots/mask        [N_dst, K_in]
+    src side (backward):  src_gather_slots/src_gather_mask [N_src, K_out]
+                          (flat indices into the [N_dst*K_in] slot space)
+    edge side (backward): edge_gather_slot                 [E]
 
-Attention then becomes gather -> dense masked softmax over K -> weighted sum:
-pure gathers + VPU math, no scatter in forward OR backward (the backward of a
-take over unique slot indices is a take-transpose XLA handles well).
-
-This is the "reference-fast" backend; the Pallas kernel fuses the same
-computation to avoid materialising [N, K, H, D] intermediates in HBM.
+With both table sets, attention AND its VJP are pure gathers + dense masked
+reductions -- no scatter appears in forward or backward XLA programs.  The
+custom VJPs below implement exactly that (the same two-pass structure as the
+reference's Triton backward, models/src/anemoi/models/triton/gt.py:183-389,
+re-derived for gather-only hardware).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 @dataclass(frozen=True)
 class PaddedCSR:
     """Host-precomputed padded neighbour tables for one dst-sorted edge set."""
 
-    edge_slots: np.ndarray  # [N_dst, K] int32, pad = num_edges (sentinel row)
-    src_slots: np.ndarray  # [N_dst, K] int32 source node per slot, pad = 0
-    mask: np.ndarray  # [N_dst, K] bool
+    # forward (by destination)
+    edge_slots: np.ndarray  # [N_dst, K_in] int32, pad = num_edges
+    src_slots: np.ndarray  # [N_dst, K_in] int32 source node per slot, pad = 0
+    mask: np.ndarray  # [N_dst, K_in] bool
+    # backward (by source): flat indices into the [N_dst * K_in] slot space
+    src_gather_slots: np.ndarray  # [N_src, K_out] int32, pad = N_dst*K_in
+    src_gather_mask: np.ndarray  # [N_src, K_out] bool
+    # backward (by edge): each edge's flat slot index
+    edge_gather_slot: np.ndarray  # [E] int32
+    edge_dst: np.ndarray  # [E] int32 (dst node per edge)
+    edge_src: np.ndarray  # [E] int32 (src node per edge)
     num_edges: int
     num_src: int
 
@@ -40,8 +56,16 @@ class PaddedCSR:
         return int(self.edge_slots.shape[0])
 
     @property
-    def max_degree(self) -> int:
+    def max_in_degree(self) -> int:
         return int(self.edge_slots.shape[1])
+
+    @property
+    def max_degree(self) -> int:  # backwards-compat alias
+        return self.max_in_degree
+
+    @property
+    def max_out_degree(self) -> int:
+        return int(self.src_gather_slots.shape[1])
 
     @classmethod
     def from_edge_index(
@@ -51,99 +75,340 @@ class PaddedCSR:
         num_src: int,
         bucket_multiple: int = 8,
     ) -> "PaddedCSR":
-        """Build tables from dst-sorted edges + CSR pointer.
-
-        K is the max in-degree rounded up to ``bucket_multiple`` (lane-friendly).
-        """
+        """Build all tables from dst-sorted edges + CSR pointer."""
         num_dst = len(dst_ptr) - 1
         num_edges = int(edge_index.shape[1])
-        degrees = np.diff(dst_ptr)
-        k = int(max(1, degrees.max()))
-        k = ((k + bucket_multiple - 1) // bucket_multiple) * bucket_multiple
-
-        edge_slots = np.full((num_dst, k), num_edges, dtype=np.int32)
-        src_slots = np.zeros((num_dst, k), dtype=np.int32)
-        mask = np.zeros((num_dst, k), dtype=bool)
-        # vectorised fill: position of each edge within its dst segment
+        src = edge_index[0]
         dst = edge_index[1]
+
+        in_deg = np.diff(dst_ptr)
+        k_in = _round_up(int(max(1, in_deg.max() if len(in_deg) else 1)), bucket_multiple)
+
+        edge_slots = np.full((num_dst, k_in), num_edges, dtype=np.int32)
+        src_slots = np.zeros((num_dst, k_in), dtype=np.int32)
+        mask = np.zeros((num_dst, k_in), dtype=bool)
         within = np.arange(num_edges) - dst_ptr[dst]
         edge_slots[dst, within] = np.arange(num_edges, dtype=np.int32)
-        src_slots[dst, within] = edge_index[0]
+        src_slots[dst, within] = src
         mask[dst, within] = True
+
+        # flat slot index per edge (into [N_dst * K_in])
+        edge_gather_slot = (dst * k_in + within).astype(np.int32)
+
+        # src-side transpose tables
+        out_deg = np.bincount(src, minlength=num_src)
+        k_out = _round_up(int(max(1, out_deg.max() if num_edges else 1)), bucket_multiple)
+        src_gather_slots = np.full((num_src, k_out), num_dst * k_in, dtype=np.int32)
+        src_gather_mask = np.zeros((num_src, k_out), dtype=bool)
+        order = np.argsort(src, kind="stable")
+        src_sorted = src[order]
+        src_ptr = np.zeros(num_src + 1, dtype=np.int64)
+        np.cumsum(out_deg, out=src_ptr[1:])
+        within_src = np.arange(num_edges) - src_ptr[src_sorted]
+        src_gather_slots[src_sorted, within_src] = edge_gather_slot[order]
+        src_gather_mask[src_sorted, within_src] = True
+
         return cls(
             edge_slots=edge_slots,
             src_slots=src_slots,
             mask=mask,
+            src_gather_slots=src_gather_slots,
+            src_gather_mask=src_gather_mask,
+            edge_gather_slot=edge_gather_slot,
+            edge_dst=dst.astype(np.int32),
+            edge_src=src.astype(np.int32),
             num_edges=num_edges,
             num_src=num_src,
         )
 
 
-def padded_gt_attention(
-    query: jnp.ndarray,  # [N_dst, H, D]
-    key: jnp.ndarray,  # [N_src, H, D]
-    value: jnp.ndarray,  # [N_src, H, D]
-    edge_attr: Optional[jnp.ndarray],  # [E, H, D]
-    csr: PaddedCSR,
-    src_slots: Optional[jnp.ndarray] = None,
-    edge_slots: Optional[jnp.ndarray] = None,
-    mask: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Graph-transformer attention over padded neighbour tables.
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class PaddedTables:
+    """Device-side table pytree (flows through jit/remat/vmap)."""
 
-    Same math as ops.segment.graph_transformer_attention (reference conv.py:84)
-    but formulated scatter-free.  The table arrays may be passed explicitly as
-    jnp arrays (e.g. pre-device-put shards); otherwise taken from ``csr``.
-    """
-    src_slots = jnp.asarray(csr.src_slots) if src_slots is None else src_slots
-    mask = jnp.asarray(csr.mask) if mask is None else mask
-    d = query.shape[-1]
+    src_slots: jnp.ndarray
+    edge_slots: jnp.ndarray
+    mask: jnp.ndarray
+    src_gather_slots: jnp.ndarray
+    src_gather_mask: jnp.ndarray
+    edge_gather_slot: jnp.ndarray
+    edge_dst: jnp.ndarray
+    edge_src: jnp.ndarray
 
-    k_nbr = jnp.take(key, src_slots.reshape(-1), axis=0).reshape(
-        src_slots.shape + key.shape[1:]
-    )  # [N, K, H, D]
-    v_nbr = jnp.take(value, src_slots.reshape(-1), axis=0).reshape(
-        src_slots.shape + value.shape[1:]
+    @classmethod
+    def from_csr(cls, csr: PaddedCSR) -> "PaddedTables":
+        return cls(
+            src_slots=jnp.asarray(csr.src_slots),
+            edge_slots=jnp.asarray(csr.edge_slots),
+            mask=jnp.asarray(csr.mask),
+            src_gather_slots=jnp.asarray(csr.src_gather_slots),
+            src_gather_mask=jnp.asarray(csr.src_gather_mask),
+            edge_gather_slot=jnp.asarray(csr.edge_gather_slot),
+            edge_dst=jnp.asarray(csr.edge_dst),
+            edge_src=jnp.asarray(csr.edge_src),
+        )
+
+    def tree_flatten(self):
+        return (
+            (
+                self.src_slots,
+                self.edge_slots,
+                self.mask,
+                self.src_gather_slots,
+                self.src_gather_mask,
+                self.edge_gather_slot,
+                self.edge_dst,
+                self.edge_src,
+            ),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+# ----------------------------------------------------------------------
+# scatter-free primitives
+# ----------------------------------------------------------------------
+def _gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x[idx] for a 2-D index table idx: returns idx.shape + x.shape[1:]."""
+    return jnp.take(x, idx.reshape(-1), axis=0).reshape(idx.shape + x.shape[1:])
+
+
+def _slot_sum_to_src(flat_slots: jnp.ndarray, tables: PaddedTables) -> jnp.ndarray:
+    """Sum per-slot values [N_dst*K_in(+1), ...] into source nodes -- the
+    gather-only transpose of the src->slot broadcast."""
+    g = _gather_rows(flat_slots, tables.src_gather_slots)  # [Ns, K_out, ...]
+    m = tables.src_gather_mask.reshape(
+        tables.src_gather_mask.shape + (1,) * (g.ndim - 2)
     )
+    return jnp.sum(jnp.where(m, g, 0.0), axis=1)
+
+
+def _pad_flat(x_slots: jnp.ndarray) -> jnp.ndarray:
+    """[Nd, K, ...] -> [Nd*K + 1, ...] with a zero pad row for masked gathers."""
+    flat = x_slots.reshape((-1,) + x_slots.shape[2:])
+    return jnp.concatenate([flat, jnp.zeros((1,) + flat.shape[1:], flat.dtype)], axis=0)
+
+
+# ----------------------------------------------------------------------
+# graph-transformer attention with gather-only VJP
+# ----------------------------------------------------------------------
+# TPU layout note: every gathered tensor stays 2-D [rows, H*D] (lane dim a
+# multiple of 128) -- gathers into [rows, H, D] with D=16/32 minor waste 4-8x
+# of the vector lanes AND force transposed gather layouts (observed 4.4 ms vs
+# 0.5 ms per gather at o32/mesh4 scale).  Head structure is recovered with
+# free row-major reshapes; reductions run over the trailing D lanes.
+
+
+def _nbr_flat(x_flat, tables):
+    """Gather per-slot neighbour rows: [Ns, HD] -> [Nd*K, HD]."""
+    return jnp.take(x_flat, tables.src_slots.reshape(-1), axis=0)
+
+
+def _edge_flat(e_flat, tables):
+    """Gather per-slot edge rows: [E, HD] (+pad row) -> [Nd*K, HD]."""
+    e_pad = jnp.concatenate(
+        [e_flat, jnp.zeros((1, e_flat.shape[1]), e_flat.dtype)], axis=0
+    )
+    return jnp.take(e_pad, tables.edge_slots.reshape(-1), axis=0)
+
+
+def _mask3(tables, n, k, h):
+    return tables.mask.reshape(n, k, 1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def padded_gt_attention_flat(query, key, value, edge_attr, num_heads, tables):
+    out, _ = _gt_fwd_impl(query, key, value, edge_attr, num_heads, tables)
+    return out
+
+
+def _gt_fwd_impl(query, key, value, edge_attr, num_heads, tables):
+    """query [Nd,HD]; key/value [Ns,HD]; edge_attr [E,HD] or None. All flat."""
+    n, hd = query.shape
+    h = num_heads
+    d = hd // h
+    k_dim = tables.src_slots.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=query.dtype))
+
+    k_nbr = _nbr_flat(key, tables)  # [N*K, HD]
+    v_nbr = _nbr_flat(value, tables)
     if edge_attr is not None:
-        edge_slots = jnp.asarray(csr.edge_slots) if edge_slots is None else edge_slots
-        e_pad = jnp.concatenate(
-            [edge_attr, jnp.zeros((1,) + edge_attr.shape[1:], edge_attr.dtype)], axis=0
-        )
-        e_nbr = jnp.take(e_pad, edge_slots.reshape(-1), axis=0).reshape(
-            edge_slots.shape + edge_attr.shape[1:]
-        )
+        e_nbr = _edge_flat(edge_attr, tables)
         k_nbr = k_nbr + e_nbr
         v_nbr = v_nbr + e_nbr
 
-    logits = jnp.einsum("nhd,nkhd->nkh", query, k_nbr) / jnp.sqrt(
-        jnp.asarray(d, dtype=query.dtype)
+    # logits[n,k,h] = sum_d q . k_nbr   (multiply in flat layout, reduce D)
+    q_rep = jnp.repeat(query, k_dim, axis=0)  # [N*K, HD] (row-broadcast)
+    logits = jnp.sum((q_rep * k_nbr).reshape(n, k_dim, h, d), axis=-1) * scale
+    mask = _mask3(tables, n, k_dim, h)
+    logits = jnp.where(mask, logits, -jnp.inf)
+    lmax = jnp.max(logits, axis=1, keepdims=True)
+    lmax = jnp.where(jnp.isfinite(lmax), lmax, 0.0)
+    ex = jnp.where(mask, jnp.exp(logits - lmax), 0.0)
+    denom = jnp.maximum(jnp.sum(ex, axis=1, keepdims=True), 1e-16)
+    alpha = ex / denom  # [N, K, H]
+
+    alpha_rep = jnp.repeat(alpha.reshape(n * k_dim, h), d, axis=-1)  # [N*K, HD]
+    out = jnp.sum((alpha_rep * v_nbr).reshape(n, k_dim, hd), axis=1)
+    return out, alpha
+
+
+def _gt_fwd(query, key, value, edge_attr, num_heads, tables):
+    out, alpha = _gt_fwd_impl(query, key, value, edge_attr, num_heads, tables)
+    return out, (query, key, value, edge_attr, alpha, tables)
+
+
+def _gt_bwd(num_heads, res, g):
+    query, key, value, edge_attr, alpha, tables = res
+    n, hd = query.shape
+    h = num_heads
+    d = hd // h
+    k_dim = tables.src_slots.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=query.dtype))
+
+    # recompute gathered neighbours (cheap flat gathers)
+    k_nbr = _nbr_flat(key, tables)
+    v_nbr = _nbr_flat(value, tables)
+    if edge_attr is not None:
+        e_nbr = _edge_flat(edge_attr, tables)
+        k_nbr = k_nbr + e_nbr
+        v_nbr = v_nbr + e_nbr
+
+    alpha_flat = jnp.repeat(alpha.reshape(n * k_dim, h), d, axis=-1)  # [N*K, HD]
+    g_rep = jnp.repeat(g, k_dim, axis=0)  # [N*K, HD]
+
+    d_v_nbr = alpha_flat * g_rep  # [N*K, HD]
+    d_alpha = jnp.sum((g_rep * v_nbr).reshape(n, k_dim, h, d), axis=-1)  # [N,K,H]
+    inner = jnp.sum(alpha * d_alpha, axis=1, keepdims=True)
+    d_logits = alpha * (d_alpha - inner)
+    d_logits = jnp.where(_mask3(tables, n, k_dim, h), d_logits, 0.0)
+    d_logits_rep = jnp.repeat(d_logits.reshape(n * k_dim, h), d, axis=-1) * scale
+
+    q_rep = jnp.repeat(query, k_dim, axis=0)
+    d_query = jnp.sum((d_logits_rep * k_nbr).reshape(n, k_dim, hd), axis=1)
+    d_k_nbr = d_logits_rep * q_rep  # [N*K, HD]
+
+    # transpose the slot grads back to sources / edges -- gather-only
+    dk_flat = jnp.concatenate([d_k_nbr, jnp.zeros((1, hd), d_k_nbr.dtype)], axis=0)
+    dv_flat = jnp.concatenate([d_v_nbr, jnp.zeros((1, hd), d_v_nbr.dtype)], axis=0)
+    d_key = _slot_sum_to_src(dk_flat, tables)
+    d_value = _slot_sum_to_src(dv_flat, tables)
+    if edge_attr is not None:
+        d_edge = jnp.take(dk_flat, tables.edge_gather_slot, axis=0) + jnp.take(
+            dv_flat, tables.edge_gather_slot, axis=0
+        )
+    else:
+        d_edge = None
+    return d_query, d_key, d_value, d_edge, None
+
+
+padded_gt_attention_flat.defvjp(_gt_fwd, _gt_bwd)
+
+
+def padded_gt_attention(query, key, value, edge_attr, tables):
+    """Head-structured wrapper: q [Nd,H,D], k/v [Ns,H,D], e [E,H,D]."""
+    n, h, d = query.shape
+    out = padded_gt_attention_flat(
+        query.reshape(n, h * d),
+        key.reshape(key.shape[0], h * d),
+        value.reshape(value.shape[0], h * d),
+        None if edge_attr is None else edge_attr.reshape(edge_attr.shape[0], h * d),
+        h,
+        tables,
     )
-    logits = jnp.where(mask[..., None], logits, -jnp.inf)
-    logits_max = jnp.max(logits, axis=1, keepdims=True)
-    # all-padded rows produce -inf max; zero them so exp() stays finite
-    logits_max = jnp.where(jnp.isfinite(logits_max), logits_max, 0.0)
-    alpha = jnp.exp(logits - logits_max)
-    alpha = jnp.where(mask[..., None], alpha, 0.0)
-    denom = jnp.sum(alpha, axis=1, keepdims=True)
-    alpha = alpha / jnp.maximum(denom, 1e-16)
-    return jnp.einsum("nkh,nkhd->nhd", alpha, v_nbr)
+    return out.reshape(n, h, d)
 
 
-def padded_graph_conv_aggregate(
-    messages: jnp.ndarray,  # [E, C] per-edge messages (dst-sorted order)
-    csr: PaddedCSR,
-    edge_slots: Optional[jnp.ndarray] = None,
-    mask: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Scatter-free segment sum of edge messages into destinations."""
-    edge_slots = jnp.asarray(csr.edge_slots) if edge_slots is None else edge_slots
-    mask = jnp.asarray(csr.mask) if mask is None else mask
+# ----------------------------------------------------------------------
+# edge-message aggregation with gather-only VJP
+# ----------------------------------------------------------------------
+@jax.custom_vjp
+def padded_conv_aggregate(messages, tables):
+    """sum of per-edge messages into destinations; messages [E, C] dst-sorted."""
     m_pad = jnp.concatenate(
         [messages, jnp.zeros((1,) + messages.shape[1:], messages.dtype)], axis=0
     )
-    gathered = jnp.take(m_pad, edge_slots.reshape(-1), axis=0).reshape(
-        edge_slots.shape + messages.shape[1:]
-    )
-    gathered = jnp.where(mask[..., None], gathered, 0.0)
+    gathered = _gather_rows(m_pad, tables.edge_slots)  # [Nd, K, C]
+    gathered = jnp.where(tables.mask[..., None], gathered, 0.0)
     return jnp.sum(gathered, axis=1)
+
+
+def _agg_fwd(messages, tables):
+    return padded_conv_aggregate(messages, tables), tables
+
+
+def _agg_bwd(tables, g):
+    # d_messages[e] = g[dst(e)] -- a pure gather
+    return jnp.take(g, tables.edge_dst, axis=0), None
+
+
+padded_conv_aggregate.defvjp(_agg_fwd, _agg_bwd)
+
+
+@jax.custom_vjp
+def gather_src_to_edges(x_src, tables):
+    """x_src[src(e)] per edge, with a gather-only backward.
+
+    Forward: [Ns, C] -> [E, C] (gather by edge source).
+    Backward: sum of edge grads into sources via the src-side tables.
+    """
+    return jnp.take(x_src, tables.edge_src, axis=0)
+
+
+def _gse_fwd(x_src, tables):
+    return gather_src_to_edges(x_src, tables), tables
+
+
+def _gse_bwd(tables, g):
+    # gather-only: per source, sum the grads of its out-edges.  The src-side
+    # table holds flat SLOT ids; map slot -> edge id via edge_slots (with the
+    # pad slot mapping to the zero pad row of g).
+    num_edges = g.shape[0]
+    slot_to_edge = jnp.concatenate(
+        [tables.edge_slots.reshape(-1),
+         jnp.asarray([num_edges], dtype=tables.edge_slots.dtype)]
+    )
+    edge_ids = jnp.take(slot_to_edge, tables.src_gather_slots, axis=0)  # [Ns, K_out]
+    g_pad = jnp.concatenate([g, jnp.zeros((1,) + g.shape[1:], g.dtype)], axis=0)
+    gathered = _gather_rows(g_pad, edge_ids)
+    m = tables.src_gather_mask.reshape(
+        tables.src_gather_mask.shape + (1,) * (gathered.ndim - 2)
+    )
+    return (jnp.sum(jnp.where(m, gathered, 0.0), axis=1), None)
+
+
+gather_src_to_edges.defvjp(_gse_fwd, _gse_bwd)
+
+
+@jax.custom_vjp
+def gather_dst_to_edges(x_dst, tables):
+    """x_dst[dst(e)] per edge, with a gather-only backward (padded aggregate)."""
+    return jnp.take(x_dst, tables.edge_dst, axis=0)
+
+
+def _gde_fwd(x_dst, tables):
+    return gather_dst_to_edges(x_dst, tables), tables
+
+
+def _gde_bwd(tables, g):
+    return padded_conv_aggregate(g, tables), None
+
+
+gather_dst_to_edges.defvjp(_gde_fwd, _gde_bwd)
+
+
+# ----------------------------------------------------------------------
+# compatibility wrappers (csr-object API used by older call sites/tests)
+# ----------------------------------------------------------------------
+def padded_gt_attention_csr(query, key, value, edge_attr, csr: PaddedCSR):
+    return padded_gt_attention(query, key, value, edge_attr, PaddedTables.from_csr(csr))
+
+
+def padded_graph_conv_aggregate(messages, csr=None, edge_slots=None, mask=None, tables=None):
+    if tables is None:
+        tables = PaddedTables.from_csr(csr)
+    return padded_conv_aggregate(messages, tables)

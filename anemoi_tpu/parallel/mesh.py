@@ -1,0 +1,67 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's flat process-group arithmetic
+(/root/reference/training/src/anemoi/training/distributed/groups.py and
+strategy.py, SURVEY.md §2.3): a single `jax.sharding.Mesh` with named axes
+
+    data     -- data parallelism (batch axis; DDP-group equivalent)
+    model    -- model/sequence parallelism (grid + hidden node axes;
+                model_comm_group equivalent)
+    ensemble -- ensemble parallelism (ens_comm_group equivalent)
+
+World factorisation W = data x model x ensemble mirrors
+``model_comm_num_groups x num_gpus_per_model (x ens factor)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshSpec:
+    data: int = 1
+    model: int = 1
+    ensemble: int = 1
+
+    @property
+    def world(self) -> int:
+        return self.data * self.model * self.ensemble
+
+    @classmethod
+    def from_config(cls, config: dict, num_devices: Optional[int] = None) -> "MeshSpec":
+        """Derive the mesh from config (num_gpus_per_model equivalent)."""
+        n = num_devices if num_devices is not None else len(jax.devices())
+        model = int(config.get("num_devices_per_model", 1))
+        ensemble = int(config.get("num_devices_per_ensemble", 1))
+        assert n % (model * ensemble) == 0, (
+            f"{n} devices not divisible by model({model}) x ensemble({ensemble})"
+        )
+        return cls(data=n // (model * ensemble), model=model, ensemble=ensemble)
+
+
+def create_mesh(spec: MeshSpec, devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())[: spec.world]
+    arr = np.asarray(devices).reshape(spec.data, spec.model, spec.ensemble)
+    return Mesh(arr, axis_names=("data", "model", "ensemble"))
+
+
+def batch_sharding(mesh: Mesh, shard_grid: bool = True) -> NamedSharding:
+    """Sharding for [B, T, E, G, V] batches: batch over 'data', grid over
+    'model' (reader-group-style sharded loading), ensemble over 'ensemble'."""
+    grid_axis = "model" if shard_grid else None
+    return NamedSharding(mesh, P("data", None, "ensemble", grid_axis, None))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params):
+    """Replicate parameters across the mesh (DDP-style; FSDP comes later)."""
+    return jax.device_put(params, replicate(mesh))

@@ -39,7 +39,7 @@ class ModelSchema(BaseModel):
     n_step_input: int = Field(default=2, ge=1)
     n_step_output: int = Field(default=1, ge=1)
     latent_skip: bool = True
-    graph_attention_backend: str = "segment"
+    graph_attention_backend: str = "padded"
     encoder: EncoderConfig = EncoderConfig()
     processor: ProcessorConfig = ProcessorConfig()
     decoder: DecoderConfig = DecoderConfig()
@@ -50,7 +50,7 @@ class ModelSchema(BaseModel):
     @field_validator("graph_attention_backend")
     @classmethod
     def _backend(cls, v: str) -> str:
-        assert v in ("segment", "pallas"), f"unknown graph_attention_backend '{v}'"
+        assert v in ("segment", "padded", "pallas"), f"unknown graph_attention_backend '{v}'"
         return v
 
 

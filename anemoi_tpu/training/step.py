@@ -45,22 +45,36 @@ class TrainState(struct.PyTreeNode):
 
 
 def _index_arrays(idx: IndexCollection) -> Dict[str, np.ndarray]:
-    """Static index arrays used by the rollout (computed host-side once)."""
+    """Static index arrays used by the rollout (computed host-side once).
+
+    The per-variable routing of `advance_input` is precomputed as gather maps
+    so the rollout contains no scatters: for every model-INPUT variable j,
+    - if prognostic: take y_pred[..., from_pred[j]]
+    - if forcing:    take batch[..., from_data[j]] at the new time
+    (model input = forcing + prognostic exactly, so this covers all j)."""
+    n_in = idx.num_model_input_vars
+    input_names = idx.model.input.ordered_names
+    out_pos = {n: p for p, n in enumerate(idx.model.output.ordered_names)}
+    is_prog = np.zeros(n_in, dtype=bool)
+    from_pred = np.zeros(n_in, dtype=np.int32)
+    from_data = np.zeros(n_in, dtype=np.int32)
+    forcing_set = set(idx.forcing)
+    for j, name in enumerate(input_names):
+        from_data[j] = idx.name_to_index[name]
+        if name in forcing_set:
+            is_prog[j] = False
+        else:
+            is_prog[j] = True
+            from_pred[j] = out_pos[name]
     model_out_in_data = np.asarray(
         [idx.name_to_index[n] for n in idx.model.output.ordered_names], dtype=np.int32
-    )
-    forcing_in_data = np.asarray(
-        [idx.name_to_index[n] for n in idx.model.input.ordered_names
-         if n in set(idx.forcing)],
-        dtype=np.int32,
     )
     return {
         "data_input_full": np.asarray(idx.data.input.full, dtype=np.int32),
         "model_out_in_data": model_out_in_data,
-        "model_in_prognostic": np.asarray(idx.model.input.prognostic, dtype=np.int32),
-        "model_in_forcing": np.asarray(idx.model.input.forcing, dtype=np.int32),
-        "model_out_prognostic": np.asarray(idx.model.output.prognostic, dtype=np.int32),
-        "forcing_in_data": forcing_in_data,
+        "is_prog": is_prog,
+        "from_pred": from_pred,
+        "from_data": from_data,
     }
 
 
@@ -72,19 +86,17 @@ def advance_input(
     ia: Dict[str, np.ndarray],
 ) -> jnp.ndarray:
     """Roll the input window one model step forward (ref forecaster.py:207-228):
-    shift time, insert predicted prognostics, re-read forcings from the batch."""
+    shift time, insert predicted prognostics, re-read forcings from the batch.
+    Scatter-free: the new steps are assembled with per-variable gathers."""
     n_out = y_pred.shape[1]
-    x_new = jnp.roll(x, -n_out, axis=1)
-    # newest input steps <- prediction's prognostic part + true forcings
-    new_steps = x_new[:, -n_out:]
-    new_steps = new_steps.at[..., jnp.asarray(ia["model_in_prognostic"])].set(
-        y_pred[..., jnp.asarray(ia["model_out_prognostic"])]
+    from_pred = jnp.take(y_pred, jnp.asarray(ia["from_pred"]), axis=-1)
+    from_data = jnp.take(
+        batch_norm[:, time_offset : time_offset + n_out],
+        jnp.asarray(ia["from_data"]),
+        axis=-1,
     )
-    forcing = batch_norm[
-        :, time_offset : time_offset + n_out, ..., jnp.asarray(ia["forcing_in_data"])
-    ]
-    new_steps = new_steps.at[..., jnp.asarray(ia["model_in_forcing"])].set(forcing)
-    return x_new.at[:, -n_out:].set(new_steps)
+    new_steps = jnp.where(jnp.asarray(ia["is_prog"]), from_pred, from_data)
+    return jnp.concatenate([x[:, n_out:], new_steps], axis=1)
 
 
 def make_step_fns(
@@ -106,7 +118,7 @@ def make_step_fns(
     ia = {ds: _index_arrays(idx) for ds, idx in indices.items()}
     dataset_names = sorted(indices.keys())
 
-    def rollout_loss(params, batch):
+    def rollout_loss(params, batch, graph_inputs):
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
         x = {
             ds: batch_norm[ds][:, :m, ..., jnp.asarray(ia[ds]["data_input_full"])]
@@ -114,7 +126,7 @@ def make_step_fns(
         }
 
         def forward(params, x):
-            return model.apply(params, x)
+            return model.apply(params, x, graph_inputs)
 
         if remat_rollout:
             forward = jax.checkpoint(forward)
@@ -135,16 +147,24 @@ def make_step_fns(
                 }
         return total / (rollout * len(dataset_names))
 
+    graph_inputs = interface.graph_inputs
+
     @jax.jit
-    def train_step(state: TrainState, batch):
-        loss_val, grads = jax.value_and_grad(rollout_loss)(state.params, batch)
+    def _train_step(state: TrainState, batch, graph_inputs):
+        loss_val, grads = jax.value_and_grad(rollout_loss)(state.params, batch, graph_inputs)
         new_state = state.apply_gradients(grads)
         gnorm = optax.global_norm(grads)
         return new_state, {"loss": loss_val, "grad_norm": gnorm}
 
     @jax.jit
-    def eval_step(state: TrainState, batch):
-        loss_val = rollout_loss(state.params, batch)
+    def _eval_step(state: TrainState, batch, graph_inputs):
+        loss_val = rollout_loss(state.params, batch, graph_inputs)
         return {"val_loss": loss_val}
+
+    def train_step(state, batch):
+        return _train_step(state, batch, graph_inputs)
+
+    def eval_step(state, batch):
+        return _eval_step(state, batch, graph_inputs)
 
     return train_step, eval_step

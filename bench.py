@@ -1,0 +1,146 @@
+"""Benchmark: one full training step (fwd+bwd+optimizer) of the flagship
+GraphTransformer EncProcDec at the reference benchmark scale
+(num_channels=512, 16 layers, 16 heads, batch 1 -- mirrors
+/root/reference/training/tests/integration/config/benchmark/*.yaml), on an
+O96 reduced-Gaussian grid -> level-5 icosahedral mesh.
+
+Prints ONE json line: grid-points/s/chip on the available accelerator.
+Env overrides: BENCH_GRID, BENCH_MESH_LEVEL, BENCH_CHANNELS, BENCH_LAYERS,
+BENCH_HEADS, BENCH_STEPS, BENCH_ROLLOUT, BENCH_DTYPE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+import numpy as np
+
+
+def main() -> None:
+    # persistent compile cache: the axon/TPU toolchain compiles large graphs
+    # slowly; cache across bench runs (harmless elsewhere)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import jax
+    import jax.numpy as jnp
+
+    grid = os.environ.get("BENCH_GRID", "o96")
+    mesh_level = int(os.environ.get("BENCH_MESH_LEVEL", "5"))
+    channels = int(os.environ.get("BENCH_CHANNELS", "512"))
+    layers = int(os.environ.get("BENCH_LAYERS", "16"))
+    heads = int(os.environ.get("BENCH_HEADS", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    rollout = int(os.environ.get("BENCH_ROLLOUT", "1"))
+
+    from __graft_entry__ import _build_interface
+    from anemoi_tpu.training.losses import get_loss_function
+    from anemoi_tpu.training.losses.scalers import create_scalers
+    from anemoi_tpu.training.optimizers import build_optimizer
+    from anemoi_tpu.training.step import TrainState, make_step_fns
+
+    log(f"building graph {grid} -> ico{mesh_level} ...")
+    t0 = time.time()
+    iface, graph = _build_interface(
+        grid=grid,
+        mesh_resolution=mesh_level,
+        num_channels=channels,
+        num_layers=layers,
+        num_heads=heads,
+    )
+    build_s = time.time() - t0
+    log(f"graph+iface built in {build_s:.1f}s")
+
+    idx = iface.data_indices["data"]
+    n_grid = graph["data"].num_nodes
+    n_vars = idx.num_data_vars
+    window = iface.model.n_step_input + rollout
+
+    scalers = create_scalers(
+        {
+            "area": {
+                "name": "GraphNodeAttributeScaler",
+                "nodes_name": "data",
+                "attribute_name": "area_weight",
+            }
+        },
+        graph=graph,
+        data_indices=idx,
+    )
+    losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": ["area"]}, scalers)}
+    tx = build_optimizer(
+        {"lr": {"rate": 1e-4, "warmup": 10, "iterations": 1000},
+         "gradient_clip": {"val": 32.0, "algorithm": "value"}}
+    )
+
+    log("initialising params (jit) ...")
+    t0 = time.time()
+    params = iface.init_params()
+    state = TrainState.create(params, tx)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    init_s = time.time() - t0
+    log(f"init in {init_s:.1f}s")
+
+    train_step, _ = make_step_fns(iface, losses, rollout=rollout, remat_rollout=True)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "data": jax.device_put(
+            rng.normal(size=(1, window, 1, n_grid, n_vars)).astype(np.float32)
+        )
+    }
+
+    log("compiling train step ...")
+    t0 = time.time()
+    state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.time() - t0
+    log(f"train step compiled in {compile_s:.1f}s")
+
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    step_time = (time.time() - t0) / steps
+
+    gps = n_grid * rollout / step_time  # grid-points advanced per second per chip
+    baseline = 15007.6  # round-1 anchor (BENCH_BASELINE.json); ref publishes no absolute numbers
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")) as f:
+            baseline = float(json.load(f)["value"])
+    except Exception:
+        pass
+    result = {
+        "metric": "train_grid_points_per_s_per_chip",
+        "value": round(gps, 1),
+        "unit": "gridpoints/s",
+        "vs_baseline": round(gps / baseline, 3),
+        "detail": {
+            "grid": grid,
+            "n_grid": n_grid,
+            "mesh_level": mesh_level,
+            "channels": channels,
+            "layers": layers,
+            "heads": heads,
+            "rollout": rollout,
+            "step_time_ms": round(step_time * 1000, 2),
+            "params_m": round(n_params / 1e6, 2),
+            "compile_s": round(compile_s, 1),
+            "build_s": round(build_s, 1),
+            "init_s": round(init_s, 1),
+            "device": str(jax.devices()[0]),
+            "loss": float(metrics["loss"]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,7 @@ def test_forward_shapes(tiny_graph, flavour, rng):
     params = iface.init_params(jax.random.PRNGKey(0))
     n_grid = tiny_graph["data"].num_nodes
     x = {"data": jnp.asarray(rng.normal(size=(2, 2, 1, n_grid, 5)), dtype=jnp.float32)}
-    out = iface.model.apply(params, x)
+    out = iface.apply(params, x)
     assert out["data"].shape == (2, 1, 1, n_grid, 4)  # 4 model output vars
     assert np.isfinite(np.asarray(out["data"])).all()
     # bounding: tp (diagnostic, model-output index 3) must be >= 0
@@ -108,7 +108,7 @@ def test_gradients_flow(tiny_graph, rng):
     x = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, 5)), dtype=jnp.float32)}
 
     def loss(p):
-        out = iface.model.apply(p, x)
+        out = iface.apply(p, x)
         return jnp.mean(out["data"] ** 2)
 
     grads = jax.grad(loss)(params)
@@ -138,8 +138,8 @@ def test_jit_forward(tiny_graph, rng):
     n_grid = tiny_graph["data"].num_nodes
     x = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, 5)), dtype=jnp.float32)}
     jitted = jax.jit(iface.model.apply)
-    out1 = jitted(params, x)
-    out2 = iface.model.apply(params, x)
+    out1 = jitted(params, x, iface.graph_inputs)
+    out2 = iface.apply(params, x)
     np.testing.assert_allclose(
         np.asarray(out1["data"]), np.asarray(out2["data"]), atol=1e-5
     )
