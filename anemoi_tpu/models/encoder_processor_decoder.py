@@ -32,6 +32,7 @@ from anemoi_tpu.models.layers.processor import (
     GNNProcessor,
     GraphTransformerProcessor,
     PointWiseMLPProcessor,
+    TransformerProcessor,
 )
 from anemoi_tpu.models.layers.residual import build_residual
 
@@ -46,6 +47,7 @@ DECODERS = {
 PROCESSORS = {
     "GraphTransformerProcessor": GraphTransformerProcessor,
     "GNNProcessor": GNNProcessor,
+    "TransformerProcessor": TransformerProcessor,
     "PointWiseMLPProcessor": PointWiseMLPProcessor,
 }
 
@@ -77,7 +79,7 @@ def _build_processor(cfg: dict, num_channels: int, backend: str) -> nn.Module:
     cls = PROCESSORS[cfg.pop("name", "GraphTransformerProcessor")]
     cfg.pop("sub_graph_edge_attributes", None)
     trainable = cfg.pop("trainable_size", 0)
-    if cls is PointWiseMLPProcessor:
+    if cls in (PointWiseMLPProcessor, TransformerProcessor):
         return cls(num_channels=num_channels, **cfg)
     return cls(
         num_channels=num_channels, edge_trainable_size=trainable, backend=backend, **cfg
@@ -128,6 +130,10 @@ class AnemoiModelEncProcDec(nn.Module):
         except Exception:
             return x
         return jax.lax.with_sharding_constraint(x, P(*spec))
+
+    def _noise_hook(self, x_latent: jnp.ndarray):
+        """Hook between encoder and processor; ensemble models inject noise."""
+        return x_latent, None
 
     def input_dim(self, ds: str) -> int:
         trainable = self.config.get("trainable_parameters", {}) or {}
@@ -233,6 +239,11 @@ class AnemoiModelEncProcDec(nn.Module):
         x_latent = sum(latents)
         x_latent = self._maybe_shard(x_latent, (None, "model", None))
 
+        # ensemble noise hook (base model: identity, no conditioning)
+        x_latent, noise_cond = self._noise_hook(x_latent)
+        if cond is None:
+            cond = noise_cond
+
         x_latent_proc = _build_processor(
             self.config["processor"], self.num_channels, self.attention_backend
         )(
@@ -294,3 +305,21 @@ class AnemoiModelAutoEncoder(AnemoiModelEncProcDec):
     input state to a reconstruction/diagnostic output (ref models/autoencoder.py).
     Configure with residual: {name: NoResidualConnection} and a pointwise or
     shallow processor."""
+
+
+@model_registry.register("AnemoiEnsModelEncProcDec")
+class AnemoiEnsModelEncProcDec(AnemoiModelEncProcDec):
+    """Ensemble model: per-member noise injected between encoder and processor
+    (ref models/ens_encoder_processor_decoder.py:35, noise at :60,252-269).
+
+    Each ensemble member (dim 2 of the input) runs through the same weights
+    with an independent noise draw; with `NoiseConditioning` the processor
+    blocks must be conditional (set processor.conditional: true)."""
+
+    def _noise_hook(self, x_latent: jnp.ndarray):
+        from anemoi_tpu.models.layers.ensemble import build_noise_injector
+
+        injector = build_noise_injector(
+            self.config.get("noise_injector"), self.num_channels
+        )
+        return injector(x_latent)

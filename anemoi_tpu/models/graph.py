@@ -86,6 +86,7 @@ class ModelGraph:
     decoder: Dict[str, SubGraphArrays]  # dataset name -> (hidden -> data)
     hidden_name: str = "hidden"
     dataset_names: List[str] = field(default_factory=list)
+    source_graph: Optional[Graph] = None  # host-side, for hierarchy subgraphs
 
 
 def extract_subgraph(
@@ -111,7 +112,9 @@ def build_model_graph(
     decoder_edge_attributes: Optional[List[str]] = None,
 ) -> ModelGraph:
     if dataset_names is None:
-        dataset_names = [n for n in graph.node_names() if n != hidden_name]
+        dataset_names = [
+            n for n in graph.node_names() if n != hidden_name and not n.startswith("hidden")
+        ]
     node_features = {
         name: sincos_coordinates(graph[name].coords) for name in graph.node_names()
     }
@@ -133,4 +136,5 @@ def build_model_graph(
         decoder=decoder,
         hidden_name=hidden_name,
         dataset_names=list(dataset_names),
+        source_graph=graph,
     )

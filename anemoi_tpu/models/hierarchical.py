@@ -1,0 +1,215 @@
+"""Hierarchical encoder-processor-decoder.
+
+Equivalent of /root/reference/models/src/anemoi/models/models/hierarchical.py
+(AnemoiModelEncProcDecHierarchical, 473 LoC) and
+hierarchical_autoencoder.py: a V-cycle over multiple hidden mesh levels
+
+    data -> h1 -> h2 -> ... -> hL -> ... -> h2 -> h1 -> data
+
+with per-level processors on the way down and up, downscale/upscale mappers
+between levels, and skip connections between the down and up states.
+
+Graph requirements: node sets ``hidden_1..hidden_L`` plus edge sets
+(data->hidden_1), (hidden_i->hidden_{i+1}), (hidden_{i+1}->hidden_i),
+(hidden_i->hidden_i) for the processed levels, and (hidden_1->data).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from anemoi_tpu.models import model_registry
+from anemoi_tpu.models.encoder_processor_decoder import (
+    AnemoiModelEncProcDec,
+    _build_decoder,
+    _build_encoder,
+    _build_processor,
+)
+from anemoi_tpu.models.layers.embed import TrainableNodeAttributes
+
+
+@model_registry.register("AnemoiModelEncProcDecHierarchical")
+class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
+    """Multi-level V-cycle model."""
+
+    @property
+    def hidden_names(self) -> List[str]:
+        names = self.config.get("hidden_names")
+        if names:
+            return list(names)
+        # infer hidden_1..hidden_L from the graph
+        ns = sorted(
+            (n for n in self.graph.num_nodes if n.startswith("hidden")),
+            key=lambda s: int(s.split("_")[1]) if "_" in s else 1,
+        )
+        return ns
+
+    @property
+    def level_process(self) -> bool:
+        return bool(self.config.get("level_process", True))
+
+    def build_graph_inputs(self, dtype=jnp.float32) -> Dict:
+        """All hierarchy sub-graphs as device arrays."""
+        from anemoi_tpu.models.graph import extract_subgraph
+
+        padded = self.attention_backend != "segment"
+        g = self.graph
+        levels = self.hidden_names
+        out = {
+            "node_features": {
+                name: jnp.asarray(feat, dtype=dtype)
+                for name, feat in g.node_features.items()
+            },
+            "encoder": {
+                ds: sub.edge_data(dtype=dtype, padded=padded)
+                for ds, sub in g.encoder.items()
+            },
+            "decoder": {
+                ds: sub.edge_data(dtype=dtype, padded=padded)
+                for ds, sub in g.decoder.items()
+            },
+            "down": {},
+            "up": {},
+            "level": {},
+        }
+        source = g.source_graph
+        for i, name in enumerate(levels):
+            if (name, name) in source:
+                out["level"][name] = extract_subgraph(
+                    source, name, name, self.config["processor"].get("sub_graph_edge_attributes")
+                ).edge_data(dtype=dtype, padded=padded)
+            if i + 1 < len(levels):
+                nxt = levels[i + 1]
+                out["down"][name] = extract_subgraph(
+                    source, name, nxt, self.config["encoder"].get("sub_graph_edge_attributes")
+                ).edge_data(dtype=dtype, padded=padded)
+                out["up"][nxt] = extract_subgraph(
+                    source, nxt, name, self.config["decoder"].get("sub_graph_edge_attributes")
+                ).edge_data(dtype=dtype, padded=padded)
+        return out
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Dict[str, jnp.ndarray],
+        graph_inputs: Optional[Dict] = None,
+        cond: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        from anemoi_tpu.models.layers.bounding import build_boundings
+        from anemoi_tpu.models.layers.residual import build_residual
+
+        graph = self.graph
+        levels = self.hidden_names
+        trainable_cfg = self.config.get("trainable_parameters", {}) or {}
+        dataset_names = sorted(x.keys())
+        if graph_inputs is None:
+            graph_inputs = self.build_graph_inputs()
+
+        some = x[dataset_names[0]]
+        batch, n_time, ens = some.shape[0], some.shape[1], some.shape[2]
+        bflat = batch * ens
+        compute_dtype = some.dtype
+
+        def node_attrs(name):
+            attrs = TrainableNodeAttributes(
+                num_nodes=graph.num_nodes[name],
+                trainable_size=int(trainable_cfg.get(name, 0)),
+                name=f"node_attributes_{name}",
+            )(graph_inputs["node_features"][name].astype(compute_dtype))
+            return jnp.broadcast_to(attrs[None], (bflat,) + attrs.shape)
+
+        # ---- encode data -> h1 ---------------------------------------
+        h1 = levels[0]
+        x_h = node_attrs(h1)
+        x_skip = {}
+        x_data_latent = {}
+        latents = []
+        for ds in dataset_names:
+            idx = self.data_indices[ds]
+            xd = x[ds]
+            residual = build_residual(self.config.get("residual"))
+            x_skip[ds] = residual(xd, n_step_output=self.n_step_output)
+            attrs = node_attrs(ds)
+            flat = jnp.transpose(xd, (0, 2, 3, 1, 4)).reshape(
+                bflat, xd.shape[3], n_time * xd.shape[4]
+            )
+            x_in = jnp.concatenate([flat, attrs], axis=-1)
+            x_data_out, x_latent = _build_encoder(
+                self.config["encoder"], self.num_channels, self.attention_backend
+            )((x_in, x_h), graph_inputs["encoder"][ds])
+            x_data_latent[ds] = x_data_out
+            latents.append(x_latent)
+        state = sum(latents)
+
+        # ---- V-cycle down --------------------------------------------
+        down_states = {}
+        for i, name in enumerate(levels):
+            if self.level_process and name in graph_inputs["level"]:
+                state = _build_processor(
+                    self.config["processor"], self.num_channels, self.attention_backend
+                )(state, graph_inputs["level"][name], cond)
+            down_states[name] = state
+            if i + 1 < len(levels):
+                nxt = levels[i + 1]
+                _, state = _build_encoder(
+                    self.config["encoder"], self.num_channels, self.attention_backend
+                )((state, node_attrs(nxt)), graph_inputs["down"][name])
+
+        # ---- V-cycle up ----------------------------------------------
+        for i in range(len(levels) - 2, -1, -1):
+            name = levels[i]
+            nxt = levels[i + 1]
+            state = _build_decoder(
+                self.config["up_mapper"] if "up_mapper" in self.config else self.config["decoder"],
+                self.num_channels,
+                self.num_channels,
+                self.attention_backend,
+            )((state, down_states[name]), graph_inputs["up"][nxt])
+            state = state + down_states[name]  # skip connection across the V
+            if self.level_process and name in graph_inputs["level"]:
+                state = _build_processor(
+                    self.config["processor"], self.num_channels, self.attention_backend
+                )(state, graph_inputs["level"][name], cond)
+
+        # ---- decode h1 -> data ---------------------------------------
+        out = {}
+        import numpy as np
+
+        for ds in dataset_names:
+            idx = self.data_indices[ds]
+            x_out = _build_decoder(
+                self.config["decoder"],
+                self.num_channels,
+                self.output_dim(ds),
+                self.attention_backend,
+            )((state, x_data_latent[ds]), graph_inputs["decoder"][ds])
+            n_grid = x_out.shape[1]
+            n_vars = idx.num_model_output_vars
+            x_out = x_out.reshape(batch, ens, n_grid, self.n_step_output, n_vars)
+            x_out = jnp.transpose(x_out, (0, 3, 1, 2, 4))
+            prog_out = idx.model.output.prognostic
+            prog_in = idx.model.input.prognostic
+            add_mask = np.zeros(n_vars, dtype=bool)
+            skip_gather = np.zeros(n_vars, dtype=np.int32)
+            add_mask[prog_out] = True
+            skip_gather[prog_out] = prog_in
+            x_out = x_out + jnp.where(
+                jnp.asarray(add_mask),
+                jnp.take(x_skip[ds], jnp.asarray(skip_gather), axis=-1),
+                0.0,
+            )
+            for bounding in build_boundings(
+                self.config.get("bounding"), idx.model.output.name_to_index
+            ):
+                x_out = bounding(x_out)
+            out[ds] = x_out
+        return out
+
+
+@model_registry.register("AnemoiModelHierarchicalAutoEncoder")
+class AnemoiModelHierarchicalAutoEncoder(AnemoiModelEncProcDecHierarchical):
+    """Hierarchical autoencoder: configure residual NoResidualConnection
+    (ref models/hierarchical_autoencoder.py)."""

@@ -38,11 +38,21 @@ class AnemoiModelInterface:
         self.metadata = metadata or {}
 
         model_cfg = dict(config["model"])
+        hidden_name = "hidden"
+        if model_cfg.get("hidden_names"):
+            hidden_name = model_cfg["hidden_names"][0]
+        elif isinstance(graph, ModelGraph):
+            hidden_name = graph.hidden_name
+        elif "hidden" not in graph.node_names():
+            hiddens = sorted(n for n in graph.node_names() if n.startswith("hidden"))
+            if hiddens:
+                hidden_name = hiddens[0]
         if isinstance(graph, ModelGraph):
             self.model_graph = graph
         else:
             self.model_graph = build_model_graph(
                 graph,
+                hidden_name=hidden_name,
                 dataset_names=sorted(data_indices.keys()),
                 encoder_edge_attributes=model_cfg.get("encoder", {}).get(
                     "sub_graph_edge_attributes"
@@ -91,11 +101,19 @@ class AnemoiModelInterface:
                 ),
                 dtype=jnp.float32,
             )
-        return jax.jit(self.model.init)(rng, x, self.graph_inputs)
+        rngs = {"params": rng, "noise": jax.random.fold_in(rng, 1)}
+        return jax.jit(self.model.init)(rngs, x, self.graph_inputs)
 
-    def apply(self, params: Any, x: Dict[str, jnp.ndarray], cond=None) -> Dict[str, jnp.ndarray]:
+    def apply(
+        self,
+        params: Any,
+        x: Dict[str, jnp.ndarray],
+        cond=None,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, jnp.ndarray]:
         """Forward pass routing the graph arrays in as arguments."""
-        return self.model.apply(params, x, self.graph_inputs, cond)
+        rngs = {"noise": rng} if rng is not None else {"noise": context_key("noise")}
+        return self.model.apply(params, x, self.graph_inputs, cond, rngs=rngs)
 
     # ------------------------------------------------------------------
     def predict_step(
@@ -112,7 +130,7 @@ class AnemoiModelInterface:
             xb = batch[ds][:, : self.model.n_step_input]
             xb = self.pre_processors[ds].transform(xb)
             x[ds] = xb[..., jnp.asarray(idx.data.input.full)]
-        y = self.model.apply(params, x, self.graph_inputs)
+        y = self.apply(params, x)
         out = {}
         for ds, idx in self.data_indices.items():
             out[ds] = self.pre_processors[ds].inverse_transform(y[ds])

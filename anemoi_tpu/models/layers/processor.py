@@ -180,6 +180,113 @@ class _GNNScanBody(nn.Module):
         return (x, edge_attr), ()
 
 
+class TransformerProcessorBlock(nn.Module):
+    """Dense transformer block with sliding-window MHSA (ref block.py:126-200)."""
+
+    num_channels: int
+    hidden_dim: int
+    num_heads: int
+    window_size: Optional[int] = None
+    attn_channels: Optional[int] = None
+    qk_norm: bool = False
+    softcap: Optional[float] = None
+    use_alibi_slopes: bool = False
+    mlp_implementation: str = "mlp"
+    conditional: bool = False
+
+    @nn.compact
+    def __call__(self, x, edge_data=None, cond=None):
+        from anemoi_tpu.models.layers.attention import MultiHeadSelfAttention
+        from anemoi_tpu.models.layers.graph_blocks import _norm
+        from anemoi_tpu.models.layers.mlp import MLP
+
+        cond_kw = {"cond": cond} if cond is not None else {}
+        normed = _norm(self.conditional, "layer_norm_attention")(x, **cond_kw)
+        x = x + MultiHeadSelfAttention(
+            num_heads=self.num_heads,
+            attn_channels=self.attn_channels,
+            window_size=self.window_size,
+            qk_norm=self.qk_norm,
+            softcap=self.softcap,
+            use_alibi_slopes=self.use_alibi_slopes,
+            name="attention",
+        )(normed)
+        normed = _norm(self.conditional, "layer_norm_mlp")(x, **cond_kw)
+        x = x + MLP(
+            hidden_dim=self.hidden_dim,
+            out_features=self.num_channels,
+            layer_norm=False,
+            implementation=self.mlp_implementation,
+            name="mlp",
+        )(normed)
+        return x, edge_data
+
+
+class _TransformerScanBody(nn.Module):
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x, edge_data, cond):
+        y, _ = TransformerProcessorBlock(**self.block_kwargs, name="block")(
+            x, edge_data, cond
+        )
+        return y, ()
+
+
+class TransformerProcessor(nn.Module):
+    """Stack of dense sliding-window transformer blocks over the hidden mesh
+    (ref processor.py:204-319).  This is the reference's "transformer" model
+    flavour; its Ulysses head-sharding maps to mesh all_to_all in round 2."""
+
+    num_layers: int
+    num_channels: int
+    num_heads: int
+    mlp_hidden_ratio: float = 4.0
+    window_size: Optional[int] = None
+    attn_channels: Optional[int] = None
+    qk_norm: bool = False
+    softcap: Optional[float] = None
+    use_alibi_slopes: bool = False
+    mlp_implementation: str = "mlp"
+    conditional: bool = False
+    gradient_checkpointing: bool = True
+    scan_layers: bool = True
+
+    @nn.compact
+    def __call__(self, x, edge_data=None, cond=None):
+        block_kwargs = dict(
+            num_channels=self.num_channels,
+            hidden_dim=compute_mlp_hidden_dim(self.num_channels, self.mlp_hidden_ratio),
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            attn_channels=self.attn_channels,
+            qk_norm=self.qk_norm,
+            softcap=self.softcap,
+            use_alibi_slopes=self.use_alibi_slopes,
+            mlp_implementation=self.mlp_implementation,
+            conditional=self.conditional,
+        )
+        if self.scan_layers:
+            body_cls = _TransformerScanBody
+            if self.gradient_checkpointing:
+                body_cls = nn.remat(body_cls, static_argnums=(), prevent_cse=False)
+            scanned = nn.scan(
+                body_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )(block_kwargs=block_kwargs, name="blocks")
+            x, _ = scanned(x, edge_data, cond)
+            return x
+        block_cls = TransformerProcessorBlock
+        if self.gradient_checkpointing:
+            block_cls = nn.remat(block_cls, static_argnums=(), prevent_cse=False)
+        for i in range(self.num_layers):
+            x, _ = block_cls(**block_kwargs, name=f"blocks_{i}")(x, edge_data, cond)
+        return x
+
+
 class PointWiseMLPProcessor(nn.Module):
     """Stack of point-wise MLP blocks; no message passing (ref :150-204)."""
 

@@ -1,0 +1,149 @@
+"""Transport (diffusion / flow) encoder-processor-decoder.
+
+Equivalent of /root/reference/models/src/anemoi/models/models/transport_encoder_processor_decoder.py
+(AnemoiTransportModelEncProcDec, AnemoiTransportTendModelEncProcDec):
+the network learns a denoiser (EDM) or velocity field (stochastic interpolant)
+for the next state, conditioned on the input window.
+
+Architecture: the (scaled) noised target is concatenated to the input-window
+features at the encoder; the noise level / time enters as a Fourier embedding
+conditioning every ConditionalLayerNorm in the processor.  The EDM skip/out
+combination lives in the objective (transport/objectives.py), so this module
+returns the raw network output F.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from anemoi_tpu.models import model_registry
+from anemoi_tpu.models.encoder_processor_decoder import (
+    AnemoiModelEncProcDec,
+    _build_decoder,
+    _build_encoder,
+    _build_processor,
+)
+from anemoi_tpu.models.layers.embed import TrainableNodeAttributes
+from anemoi_tpu.models.transport.objectives import fourier_time_embedding
+
+
+@model_registry.register("AnemoiTransportModelEncProcDec")
+class AnemoiTransportModelEncProcDec(AnemoiModelEncProcDec):
+    """Denoiser / velocity network over the grid->mesh->grid architecture."""
+
+    @property
+    def noise_embed_dim(self) -> int:
+        return int(self.config.get("noise_embed_dim", 16))
+
+    def input_dim(self, ds: str) -> int:
+        trainable = self.config.get("trainable_parameters", {}) or {}
+        return (
+            self.n_step_input * self.data_indices[ds].num_model_input_vars
+            + self.n_step_output * self.data_indices[ds].num_model_output_vars
+            + self.graph.node_features[ds].shape[1]
+            + int(trainable.get(ds, 0))
+        )
+
+    @nn.compact
+    def __call__(  # noqa: C901
+        self,
+        x: Dict[str, jnp.ndarray],  # conditioning window [B, T_in, E, G, V_in]
+        y_noised: Dict[str, jnp.ndarray] = None,  # [B, T_out, E, G, V_out] (c_in-scaled)
+        noise_level: jnp.ndarray = None,  # [B, E] (c_noise or time t)
+        graph_inputs: Optional[Dict] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        graph = self.graph
+        hidden = graph.hidden_name
+        trainable_cfg = self.config.get("trainable_parameters", {}) or {}
+        dataset_names = sorted(x.keys())
+        if graph_inputs is None:
+            graph_inputs = self.build_graph_inputs()
+        assert y_noised is not None and noise_level is not None
+
+        some = x[dataset_names[0]]
+        batch, n_time, ens = some.shape[0], some.shape[1], some.shape[2]
+        bflat = batch * ens
+        compute_dtype = some.dtype
+
+        # noise conditioning vector, broadcast per node later
+        cond_vec = fourier_time_embedding(
+            noise_level.reshape(bflat), self.noise_embed_dim
+        ).astype(compute_dtype)  # [bflat, emb]
+
+        hidden_attrs = TrainableNodeAttributes(
+            num_nodes=graph.num_nodes[hidden],
+            trainable_size=int(trainable_cfg.get(hidden, 0)),
+            name=f"node_attributes_{hidden}",
+        )(graph_inputs["node_features"][hidden].astype(compute_dtype))
+        x_hidden_latent = jnp.broadcast_to(
+            hidden_attrs[None], (bflat,) + hidden_attrs.shape
+        )
+        cond_hidden = jnp.broadcast_to(
+            cond_vec[:, None, :], (bflat, graph.num_nodes[hidden], cond_vec.shape[-1])
+        )
+
+        x_data_latent = {}
+        latents = []
+        for ds in dataset_names:
+            node_attrs = TrainableNodeAttributes(
+                num_nodes=graph.num_nodes[ds],
+                trainable_size=int(trainable_cfg.get(ds, 0)),
+                name=f"node_attributes_{ds}",
+            )(graph_inputs["node_features"][ds].astype(compute_dtype))
+
+            xd = x[ds]
+            flat_x = jnp.transpose(xd, (0, 2, 3, 1, 4)).reshape(
+                bflat, xd.shape[3], n_time * xd.shape[4]
+            )
+            yn = y_noised[ds]
+            flat_y = jnp.transpose(yn, (0, 2, 3, 1, 4)).reshape(
+                bflat, yn.shape[3], yn.shape[1] * yn.shape[4]
+            )
+            x_latent_in = jnp.concatenate(
+                [flat_x, flat_y,
+                 jnp.broadcast_to(node_attrs[None], (bflat,) + node_attrs.shape)],
+                axis=-1,
+            )
+
+            x_data_out, x_latent = _build_encoder(
+                self.config["encoder"], self.num_channels, self.attention_backend
+            )((x_latent_in, x_hidden_latent), graph_inputs["encoder"][ds])
+            x_data_latent[ds] = x_data_out
+            latents.append(x_latent)
+
+        x_latent = sum(latents)
+        x_latent = self._maybe_shard(x_latent, (None, "model", None))
+
+        proc_cfg = dict(self.config["processor"])
+        proc_cfg.setdefault("conditional", True)
+        x_latent_proc = _build_processor(
+            proc_cfg, self.num_channels, self.attention_backend
+        )(x_latent, graph_inputs["processor"], cond_hidden)
+
+        if self.latent_skip:
+            x_latent_proc = x_latent_proc + x_latent
+
+        out = {}
+        for ds in dataset_names:
+            idx = self.data_indices[ds]
+            x_out = _build_decoder(
+                self.config["decoder"],
+                self.num_channels,
+                self.output_dim(ds),
+                self.attention_backend,
+            )((x_latent_proc, x_data_latent[ds]), graph_inputs["decoder"][ds])
+            n_grid = x_out.shape[1]
+            n_vars = idx.num_model_output_vars
+            x_out = x_out.reshape(batch, ens, n_grid, self.n_step_output, n_vars)
+            out[ds] = jnp.transpose(x_out, (0, 3, 1, 2, 4))
+        return out
+
+
+@model_registry.register("AnemoiTransportTendModelEncProcDec")
+class AnemoiTransportTendModelEncProcDec(AnemoiTransportModelEncProcDec):
+    """Tendency variant: the diffusion target is the state increment
+    (ref transport_encoder_processor_decoder.py tendency flavour).  The
+    training method computes tendency targets; the network is identical."""

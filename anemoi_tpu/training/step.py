@@ -104,11 +104,16 @@ def make_step_fns(
     losses: Dict[str, Callable],
     rollout: int,
     remat_rollout: bool = True,
+    ensemble_size: int = 1,
+    base_rng: jnp.ndarray = None,
 ) -> Tuple[Callable, Callable]:
     """Build jitted (train_step, eval_step) closures.
 
     interface: AnemoiModelInterface (model + pre-processors + indices).
     losses: per-dataset loss callables (pred, target) -> scalar.
+    ensemble_size: members to run per sample (EnsembleTraining,
+    ref train/methods/ensemble.py:35 -- inputs tiled over the ensemble dim,
+    targets stay single-truth for the CRPS loss).
     """
     model = interface.model
     pre = interface.pre_processors
@@ -117,23 +122,36 @@ def make_step_fns(
     n_out = model.n_step_output
     ia = {ds: _index_arrays(idx) for ds, idx in indices.items()}
     dataset_names = sorted(indices.keys())
+    if base_rng is None:
+        from anemoi_tpu.utils.seeding import context_key
 
-    def rollout_loss(params, batch, graph_inputs):
+        base_rng = context_key("ensemble-noise")
+
+    def rollout_loss(params, batch, graph_inputs, rng):
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
         x = {
             ds: batch_norm[ds][:, :m, ..., jnp.asarray(ia[ds]["data_input_full"])]
             for ds in dataset_names
         }
+        if ensemble_size > 1:
+            # tile the (size-1) ensemble dim: every member starts identical,
+            # spread comes from the per-member noise rng
+            x = {
+                ds: jnp.broadcast_to(
+                    v, v.shape[:2] + (ensemble_size,) + v.shape[3:]
+                )
+                for ds, v in x.items()
+            }
 
-        def forward(params, x):
-            return model.apply(params, x, graph_inputs)
+        def forward(params, x, key):
+            return model.apply(params, x, graph_inputs, rngs={"noise": key})
 
         if remat_rollout:
             forward = jax.checkpoint(forward)
 
         total = 0.0
         for step in range(rollout):
-            y_pred = forward(params, x)
+            y_pred = forward(params, x, jax.random.fold_in(rng, step))
             t0 = m + step * n_out
             for ds in dataset_names:
                 target = batch_norm[ds][
@@ -151,14 +169,19 @@ def make_step_fns(
 
     @jax.jit
     def _train_step(state: TrainState, batch, graph_inputs):
-        loss_val, grads = jax.value_and_grad(rollout_loss)(state.params, batch, graph_inputs)
+        rng = jax.random.fold_in(base_rng, state.step)
+        loss_val, grads = jax.value_and_grad(rollout_loss)(
+            state.params, batch, graph_inputs, rng
+        )
         new_state = state.apply_gradients(grads)
         gnorm = optax.global_norm(grads)
         return new_state, {"loss": loss_val, "grad_norm": gnorm}
 
     @jax.jit
     def _eval_step(state: TrainState, batch, graph_inputs):
-        loss_val = rollout_loss(state.params, batch, graph_inputs)
+        loss_val = rollout_loss(
+            state.params, batch, graph_inputs, jax.random.fold_in(base_rng, 2**31 - 1)
+        )
         return {"val_loss": loss_val}
 
     def train_step(state, batch):

@@ -147,13 +147,13 @@ class AnemoiTrainer:
     # ------------------------------------------------------------------
     def _get_step_fns(self, rollout: int):
         if rollout not in self._step_fns:
+            training_cfg = self.config.get("training", {})
             self._step_fns[rollout] = make_step_fns(
                 self.interface,
                 self.losses,
                 rollout=rollout,
-                remat_rollout=bool(
-                    self.config.get("training", {}).get("remat_rollout", True)
-                ),
+                remat_rollout=bool(training_cfg.get("remat_rollout", True)),
+                ensemble_size=int(training_cfg.get("ensemble_size", 1)),
             )
         return self._step_fns[rollout]
 

@@ -1,0 +1,184 @@
+"""Transport (diffusion / interpolant) training and sampling steps.
+
+Equivalents of the reference's transport training method and sampling path
+(/root/reference/training/src/anemoi/training/train/methods/transport.py:309-500,
+methods/edm_diffusion.py:25, models/samplers/): one jitted EDM training step
+(draw sigma -> noise target -> denoiser loss) and a scan-based sampler for
+generation, both conditioned on the input window.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from anemoi_tpu.models.transport.objectives import (
+    EDMConfig,
+    edm_denoise,
+    edm_preconditioning,
+    edm_training_targets,
+    interpolant_training_targets,
+)
+from anemoi_tpu.models.transport.samplers import SAMPLERS
+from anemoi_tpu.models.transport.schedules import SIGMA_SCHEDULES, unit_time_schedule
+from anemoi_tpu.training.step import TrainState, _index_arrays
+from anemoi_tpu.utils.seeding import context_key
+
+
+def make_transport_step_fns(
+    interface,
+    losses: Dict[str, Callable],
+    objective: str = "edm",
+    edm: EDMConfig = EDMConfig(),
+    tendency: bool = False,
+    interpolant_gamma: float = 0.0,
+    base_rng=None,
+) -> Tuple[Callable, Callable]:
+    """Build (train_step, eval_step) for diffusion/interpolant training."""
+    model = interface.model
+    pre = interface.pre_processors
+    indices = interface.data_indices
+    m = model.n_step_input
+    n_out = model.n_step_output
+    ia = {ds: _index_arrays(idx) for ds, idx in indices.items()}
+    dataset_names = sorted(indices.keys())
+    if base_rng is None:
+        base_rng = context_key("transport-noise")
+
+    def targets_and_inputs(batch):
+        batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
+        x = {
+            ds: batch_norm[ds][:, :m, ..., jnp.asarray(ia[ds]["data_input_full"])]
+            for ds in dataset_names
+        }
+        y = {}
+        for ds in dataset_names:
+            target = batch_norm[ds][
+                :, m : m + n_out, ..., jnp.asarray(ia[ds]["model_out_in_data"])
+            ]
+            if tendency:
+                prev = batch_norm[ds][
+                    :, m - 1 : m - 1 + n_out, ..., jnp.asarray(ia[ds]["model_out_in_data"])
+                ]
+                target = target - prev
+            y[ds] = target
+        return x, y
+
+    def loss_fn(params, batch, graph_inputs, rng):
+        x, y = targets_and_inputs(batch)
+        total = 0.0
+        if objective == "edm":
+            for i, ds in enumerate(dataset_names):
+                key = jax.random.fold_in(rng, i)
+                y_noised, sigma, weight = edm_training_targets(key, y[ds], edm)
+                _, _, c_in, c_noise = edm_preconditioning(sigma, edm.sigma_data)
+                f_out = model.apply(
+                    params,
+                    x,
+                    {ds: c_in * y_noised},
+                    c_noise[:, 0, :, 0, 0],
+                    graph_inputs,
+                )
+                d = edm_denoise(f_out[ds], y_noised, sigma, edm)
+                total = total + losses[ds](jnp.sqrt(weight) * d, jnp.sqrt(weight) * y[ds])
+        elif objective == "interpolant":
+            for i, ds in enumerate(dataset_names):
+                key = jax.random.fold_in(rng, i)
+                k_init, k_t = jax.random.split(key)
+                y0 = jax.random.normal(k_init, y[ds].shape, y[ds].dtype)
+                x_t, t, velocity = interpolant_training_targets(
+                    k_t, y0, y[ds], interpolant_gamma
+                )
+                f_out = model.apply(params, x, {ds: x_t}, t[:, 0, :, 0, 0], graph_inputs)
+                total = total + losses[ds](f_out[ds], velocity)
+        else:
+            raise ValueError(f"Unknown transport objective '{objective}'")
+        return total / len(dataset_names)
+
+    graph_inputs = interface.graph_inputs
+
+    @jax.jit
+    def _train_step(state: TrainState, batch, graph_inputs):
+        rng = jax.random.fold_in(base_rng, state.step)
+        loss_val, grads = jax.value_and_grad(loss_fn)(state.params, batch, graph_inputs, rng)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss_val, "grad_norm": optax.global_norm(grads)}
+
+    @jax.jit
+    def _eval_step(state: TrainState, batch, graph_inputs):
+        loss_val = loss_fn(
+            state.params, batch, graph_inputs, jax.random.fold_in(base_rng, 2**31 - 1)
+        )
+        return {"val_loss": loss_val}
+
+    return (
+        lambda state, batch: _train_step(state, batch, graph_inputs),
+        lambda state, batch: _eval_step(state, batch, graph_inputs),
+    )
+
+
+def make_sampler(
+    interface,
+    objective: str = "edm",
+    sampler: str = "edm_heun",
+    num_steps: int = 20,
+    schedule: str = "karras",
+    edm: EDMConfig = EDMConfig(),
+):
+    """Build a jitted generation fn(params, x_window, key) -> sample.
+
+    x_window: model-space conditioning {ds: [B, T_in, E, G, V_in]} (normalised).
+    Returns the generated model-space output {ds: [B, T_out, E, G, V_out]}.
+    """
+    model = interface.model
+    indices = interface.data_indices
+    dataset_names = sorted(indices.keys())
+    graph_inputs = interface.graph_inputs
+    n_out = model.n_step_output
+
+    if objective == "edm":
+        sigmas = jnp.asarray(
+            SIGMA_SCHEDULES[schedule](num_steps, edm.sigma_min, edm.sigma_max)
+        )
+    else:
+        times = jnp.asarray(unit_time_schedule(num_steps))
+    sample_fn = SAMPLERS[sampler]
+
+    @jax.jit
+    def generate(params, x, key):
+        out = {}
+        for i, ds in enumerate(dataset_names):
+            idx = indices[ds]
+            xd = x[ds]
+            b, _, e = xd.shape[0], xd.shape[1], xd.shape[2]
+            g = xd.shape[3]
+            v = idx.num_model_output_vars
+            shape = (b, n_out, e, g, v)
+            k = jax.random.fold_in(key, i)
+
+            if objective == "edm":
+                def denoise_fn(y, sigma, ds=ds):
+                    sig = jnp.broadcast_to(sigma, (b, 1, e, 1, 1)).astype(y.dtype)
+                    _, _, c_in, c_noise = edm_preconditioning(sig, edm.sigma_data)
+                    f = model.apply(
+                        params, x, {ds: c_in * y}, c_noise[:, 0, :, 0, 0], graph_inputs
+                    )
+                    return edm_denoise(f[ds], y, sig, edm)
+
+                y0 = jax.random.normal(k, shape) * sigmas[0]
+                out[ds] = sample_fn(denoise_fn, y0, sigmas)
+            else:
+                def velocity_fn(xt, t, ds=ds):
+                    tb = jnp.broadcast_to(t, (b, e)).astype(xt.dtype)
+                    f = model.apply(params, x, {ds: xt}, tb, graph_inputs)
+                    return f[ds]
+
+                x0 = jax.random.normal(k, shape)
+                out[ds] = sample_fn(velocity_fn, x0, times)
+        return out
+
+    return generate

@@ -1,0 +1,139 @@
+"""Transport (diffusion / interpolant) model tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anemoi_tpu.models.interface import AnemoiModelInterface
+from anemoi_tpu.models.transport.objectives import (
+    EDMConfig,
+    edm_denoise,
+    edm_preconditioning,
+    edm_training_targets,
+    interpolant_training_targets,
+)
+from anemoi_tpu.models.transport.samplers import edm_heun_sample, vector_field_euler_sample
+from anemoi_tpu.models.transport.schedules import karras_sigma_schedule
+from tests.test_models import make_indices, make_statistics
+
+
+def transport_interface(tiny_graph):
+    cfg = {
+        "name": "AnemoiTransportModelEncProcDec",
+        "num_channels": 16,
+        "n_step_input": 2,
+        "n_step_output": 1,
+        "noise_embed_dim": 8,
+        "encoder": {"name": "GNNForwardMapper"},
+        "processor": {"name": "GraphTransformerProcessor", "num_layers": 2,
+                      "num_heads": 4, "mlp_hidden_ratio": 2.0, "conditional": True},
+        "decoder": {"name": "GNNBackwardMapper"},
+    }
+    return AnemoiModelInterface(
+        config={"model": cfg, "data": {"processors": []}},
+        graph=tiny_graph,
+        data_indices={"data": make_indices()},
+        statistics={"data": make_statistics()},
+    )
+
+
+def test_edm_preconditioning_limits():
+    cfg = EDMConfig(sigma_data=1.0)
+    # tiny sigma -> denoiser dominated by skip (identity)
+    c_skip, c_out, c_in, _ = edm_preconditioning(jnp.asarray(1e-4), 1.0)
+    assert float(c_skip) > 0.999 and float(c_out) < 1e-3
+    # huge sigma -> output dominated by the network
+    c_skip, c_out, c_in, _ = edm_preconditioning(jnp.asarray(80.0), 1.0)
+    assert float(c_skip) < 1e-3
+
+
+def test_edm_training_targets(rng):
+    y = jnp.asarray(rng.normal(size=(2, 1, 1, 10, 3)), dtype=jnp.float32)
+    y_noised, sigma, weight = edm_training_targets(jax.random.PRNGKey(0), y, EDMConfig())
+    assert sigma.shape == (2, 1, 1, 1, 1)
+    assert np.all(np.asarray(sigma) > 0)
+    # denoising the noised target with the TRUE y as network output is exact
+    c_skip, c_out, c_in, _ = edm_preconditioning(sigma, 1.0)
+    f_perfect = (y - c_skip * y_noised) / c_out
+    d = edm_denoise(f_perfect, y_noised, sigma, EDMConfig())
+    np.testing.assert_allclose(np.asarray(d), np.asarray(y), atol=1e-4)
+
+
+def test_interpolant_endpoints(rng):
+    y0 = jnp.zeros((1, 1, 1, 5, 2))
+    y1 = jnp.ones((1, 1, 1, 5, 2))
+    x_t, t, v = interpolant_training_targets(jax.random.PRNGKey(0), y0, y1, gamma=0.0)
+    np.testing.assert_allclose(
+        np.asarray(x_t), np.broadcast_to(np.asarray(t), x_t.shape), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(v), 1.0, atol=1e-6)
+
+
+def test_heun_sampler_recovers_target():
+    """With a perfect denoiser D(y,sigma)=y_true, sampling returns y_true."""
+    y_true = jnp.full((1, 1, 1, 8, 2), 0.7)
+    sigmas = jnp.asarray(karras_sigma_schedule(10, 0.02, 10.0))
+    y0 = jax.random.normal(jax.random.PRNGKey(0), y_true.shape) * sigmas[0]
+    out = edm_heun_sample(lambda y, s: y_true, y0, sigmas)
+    np.testing.assert_allclose(np.asarray(out), 0.7, atol=0.05)
+
+
+def test_vf_euler_integrates_linear():
+    x0 = jnp.zeros((4,))
+    times = jnp.linspace(0.0, 1.0, 11)
+    out = vector_field_euler_sample(lambda x, t: jnp.ones_like(x), x0, times)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+def test_transport_model_forward(tiny_graph, rng):
+    iface = transport_interface(tiny_graph)
+    n_grid = tiny_graph["data"].num_nodes
+    x = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, 5)), dtype=jnp.float32)}
+    y = {"data": jnp.asarray(rng.normal(size=(1, 1, 1, n_grid, 4)), dtype=jnp.float32)}
+    noise_level = jnp.zeros((1, 1))
+    gi = iface.graph_inputs
+    params = jax.jit(iface.model.init)(jax.random.PRNGKey(0), x, y, noise_level, gi)
+    out = iface.model.apply(params, x, y, noise_level, gi)
+    assert out["data"].shape == (1, 1, 1, n_grid, 4)
+    assert np.isfinite(np.asarray(out["data"])).all()
+    # different noise level changes the output (conditioning is wired)...
+    # at init ConditionalLayerNorm is zero-init, so outputs match; check the
+    # noised-target input channel is wired instead
+    y2 = {"data": y["data"] + 1.0}
+    out2 = iface.model.apply(params, x, y2, noise_level, gi)
+    assert not np.allclose(np.asarray(out["data"]), np.asarray(out2["data"]))
+
+
+def test_transport_training_and_sampling(tiny_graph, rng):
+    import optax
+
+    from anemoi_tpu.training.losses import get_loss_function
+    from anemoi_tpu.training.optimizers import build_optimizer
+    from anemoi_tpu.training.step import TrainState
+    from anemoi_tpu.training.transport_step import make_sampler, make_transport_step_fns
+
+    iface = transport_interface(tiny_graph)
+    n_grid = tiny_graph["data"].num_nodes
+    x = {"data": jnp.zeros((1, 2, 1, n_grid, 5))}
+    y = {"data": jnp.zeros((1, 1, 1, n_grid, 4))}
+    gi = iface.graph_inputs
+    params = jax.jit(iface.model.init)(jax.random.PRNGKey(0), x, y, jnp.zeros((1, 1)), gi)
+
+    losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": []}, {})}
+    tx = build_optimizer({}, schedule=optax.constant_schedule(1e-3))
+    state = TrainState.create(params, tx)
+    train_step, eval_step = make_transport_step_fns(iface, losses, objective="edm")
+
+    batch = {"data": jnp.asarray(rng.normal(size=(1, 3, 1, n_grid, 6)), dtype=jnp.float32)}
+    state2, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    m = eval_step(state2, batch)
+    assert np.isfinite(float(m["val_loss"]))
+
+    generate = make_sampler(iface, objective="edm", sampler="edm_heun", num_steps=4)
+    xw = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, 5)), dtype=jnp.float32)}
+    sample = generate(state2.params, xw, jax.random.PRNGKey(3))
+    assert sample["data"].shape == (1, 1, 1, n_grid, 4)
+    assert np.isfinite(np.asarray(sample["data"])).all()
