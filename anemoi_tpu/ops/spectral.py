@@ -1,0 +1,122 @@
+"""Spectral transforms (JAX).
+
+Equivalents of /root/reference/models/src/anemoi/models/layers/spectral_transforms.py
+and spectral_helpers.py (RegularSHT :228, FFT2D :51, DCT2D :188):
+- spherical-harmonic analysis/synthesis on full Gaussian grids F<n>
+  (per-ring rFFT over longitude + Gauss-Legendre quadrature over latitude
+  with precomputed associated Legendre matrices)
+- FFT2D / DCT2D for regular grids
+
+The SHT matrices are host-precomputed numpy (static per grid); the transforms
+themselves are jit-friendly matmuls + FFTs (MXU/VPU work).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def associated_legendre(lmax: int, x: np.ndarray) -> np.ndarray:
+    """Normalised associated Legendre P_l^m(x) for 0<=m<=l<=lmax.
+
+    Returns [lmax+1, lmax+1, len(x)] with orthonormal (spherical-harmonic)
+    normalisation; entries with m>l are zero.  Standard stable recurrence.
+    """
+    n = len(x)
+    p = np.zeros((lmax + 1, lmax + 1, n))
+    p[0, 0] = 1.0 / np.sqrt(4.0 * np.pi)
+    somx2 = np.sqrt(np.clip(1.0 - x * x, 0.0, None))
+    # diagonal: P_m^m
+    for m in range(1, lmax + 1):
+        p[m, m] = -np.sqrt((2 * m + 1) / (2.0 * m)) * somx2 * p[m - 1, m - 1]
+    # off-diagonal: P_{m+1}^m
+    for m in range(lmax):
+        p[m + 1, m] = np.sqrt(2 * m + 3.0) * x * p[m, m]
+    # upward recurrence in l
+    for m in range(lmax + 1):
+        for l in range(m + 2, lmax + 1):
+            a = np.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+            b = np.sqrt(((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2 - 1.0))
+            p[l, m] = a * (x * p[l - 1, m] - b * p[l - 2, m])
+    return p
+
+
+@dataclass(frozen=True)
+class GaussianSHT:
+    """Spherical-harmonic transform on a full Gaussian grid F<n>
+    (2n latitudes x 4n longitudes), truncation lmax (default 2n-1)."""
+
+    nlat: int
+    nlon: int
+    lmax: int
+    plm: np.ndarray  # [lmax+1, lmax+1, nlat] legendre at gaussian nodes
+    weights: np.ndarray  # [nlat] quadrature weights
+
+    @classmethod
+    @lru_cache(maxsize=8)
+    def create(cls, n: int, lmax: int | None = None) -> "GaussianSHT":
+        nodes, weights = np.polynomial.legendre.leggauss(2 * n)
+        # north->south ordering to match grid generation
+        order = np.argsort(-nodes)
+        nodes, weights = nodes[order], weights[order]
+        lmax = lmax if lmax is not None else 2 * n - 1
+        plm = associated_legendre(lmax, nodes)
+        return cls(nlat=2 * n, nlon=4 * n, lmax=lmax, plm=plm, weights=weights)
+
+    def analysis(self, field: jnp.ndarray) -> jnp.ndarray:
+        """[..., nlat, nlon] -> complex coefficients [..., lmax+1, lmax+1]
+        (l index, m index; m <= l)."""
+        fm = jnp.fft.rfft(field, axis=-1) * (2.0 * np.pi / self.nlon)  # [..., nlat, nlon/2+1]
+        fm = fm[..., : self.lmax + 1]
+        # integrate over latitude with gaussian weights
+        wplm = jnp.asarray(self.plm * self.weights[None, None, :])  # [L, M, nlat]
+        return jnp.einsum("...jm,lmj->...lm", fm, wplm)
+
+    def synthesis(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """Inverse: coefficients [..., L, M] -> field [..., nlat, nlon]."""
+        plm = jnp.asarray(self.plm)  # [L, M, nlat]
+        fm = jnp.einsum("...lm,lmj->...jm", coeffs, plm)  # [..., nlat, M]
+        full = jnp.zeros(fm.shape[:-1] + (self.nlon // 2 + 1,), dtype=fm.dtype)
+        full = full.at[..., : self.lmax + 1].set(fm)
+        return jnp.fft.irfft(full, n=self.nlon, axis=-1) * self.nlon
+
+    def power_spectrum(self, field: jnp.ndarray) -> jnp.ndarray:
+        """Per-degree power: sum_m |a_lm|^2 (m>0 doubled). [..., lmax+1]."""
+        c = self.analysis(field)
+        p = jnp.abs(c) ** 2
+        p = p.at[..., :, 1:].multiply(2.0)
+        return jnp.sum(p, axis=-1)
+
+
+def fft2(field: jnp.ndarray) -> jnp.ndarray:
+    """2-D FFT over the trailing two dims (ref FFT2D :51)."""
+    return jnp.fft.fft2(field, axes=(-2, -1))
+
+
+def ifft2(coeffs: jnp.ndarray) -> jnp.ndarray:
+    return jnp.fft.ifft2(coeffs, axes=(-2, -1)).real
+
+
+def dct2(field: jnp.ndarray) -> jnp.ndarray:
+    """2-D type-II DCT via FFT of the even extension (ref DCT2D :188)."""
+
+    def dct1d(x):
+        n = x.shape[-1]
+        ext = jnp.concatenate([x, jnp.flip(x, axis=-1)], axis=-1)
+        spec = jnp.fft.fft(ext, axis=-1)[..., :n]
+        phase = jnp.exp(-1j * np.pi * jnp.arange(n) / (2.0 * n))
+        return (spec * phase).real
+
+    return dct1d(jnp.swapaxes(dct1d(field), -1, -2)).swapaxes(-1, -2)
+
+
+def ring_power_spectrum(field: jnp.ndarray, nlat: int, nlon: int) -> jnp.ndarray:
+    """Mean zonal power per wavenumber for a regular [..., nlat*nlon] field."""
+    f = field.reshape(field.shape[:-1] + (nlat, nlon))
+    spec = jnp.abs(jnp.fft.rfft(f, axis=-1)) ** 2
+    return jnp.mean(spec, axis=-2)  # average over latitude rings

@@ -1,0 +1,217 @@
+"""Composable checkpoint-loading pipeline.
+
+Equivalent of /root/reference/training/src/anemoi/training/checkpoint/
+(CheckpointPipeline pipeline.py:107, sources/{local,http,s3}, loading
+strategies.py:26-259, FreezingModifierStage modifiers/freezing.py:27):
+
+    Source -> LoadingStrategy -> Modifier*
+
+operating on a CheckpointContext {params, opt_state, step, metadata}.
+Strategies: cold-start / weights-only / warm-start / transfer-learning
+(name+shape-matched partial load).  The freezing modifier returns an optax
+mask so frozen submodules receive zero updates.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import flax
+import jax
+import numpy as np
+from flax import serialization
+
+from anemoi_tpu.utils.registry import Registry
+
+source_registry = Registry("checkpoint source")
+strategy_registry = Registry("loading strategy")
+modifier_registry = Registry("checkpoint modifier")
+
+
+@dataclass
+class CheckpointContext:
+    """State threaded through the pipeline (ref checkpoint/base.py:57)."""
+
+    params: Any  # current (template/target) params
+    opt_state: Any = None
+    step: int = 0
+    loaded: Optional[Dict] = None  # raw payload from the source
+    trainable_mask: Any = None  # optax mask (True = trainable)
+    metadata: Dict = field(default_factory=dict)
+
+
+# --- sources ----------------------------------------------------------
+@source_registry.register("local")
+class LocalSource:
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
+        path = self.path
+        if os.path.isdir(path):  # inference bundle directory
+            path = os.path.join(path, "params.msgpack")
+        with open(path, "rb") as f:
+            blob = f.read()
+        template = jax.device_get(ctx.params)
+        try:
+            ctx.loaded = {"params": serialization.from_bytes(template, blob)}
+        except Exception:
+            # structure mismatch: keep the raw state dict for transfer loading
+            ctx.loaded = {"params": serialization.msgpack_restore(blob)}
+        ctx.metadata["source"] = self.path
+        return ctx
+
+
+@source_registry.register("http")
+class HTTPSource:
+    """Download a checkpoint over HTTP (ref sources/http.py:44)."""
+
+    def __init__(self, url: str, cache_dir: str = "/tmp/anemoi_tpu_ckpt_cache"):
+        self.url = url
+        self.cache_dir = cache_dir
+
+    def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
+        import urllib.request
+
+        os.makedirs(self.cache_dir, exist_ok=True)
+        local = os.path.join(self.cache_dir, os.path.basename(self.url))
+        if not os.path.exists(local):
+            urllib.request.urlretrieve(self.url, local)  # noqa: S310
+        return LocalSource(local)(ctx)
+
+
+@source_registry.register("s3")
+class S3Source:
+    """S3 checkpoint source (ref sources/s3.py:46); needs boto3 at runtime."""
+
+    def __init__(self, bucket: str, key: str, cache_dir: str = "/tmp/anemoi_tpu_ckpt_cache"):
+        self.bucket, self.key, self.cache_dir = bucket, key, cache_dir
+
+    def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
+        try:
+            import boto3  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("S3Source requires boto3") from e
+        os.makedirs(self.cache_dir, exist_ok=True)
+        local = os.path.join(self.cache_dir, os.path.basename(self.key))
+        if not os.path.exists(local):
+            boto3.client("s3").download_file(self.bucket, self.key, local)
+        return LocalSource(local)(ctx)
+
+
+# --- loading strategies -----------------------------------------------
+@strategy_registry.register("cold_start")
+class ColdStart:
+    def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
+        return ctx  # keep freshly initialised params
+
+
+@strategy_registry.register("weights_only")
+class WeightsOnly:
+    """Load weights, reset optimizer state (ref strategies.py:26)."""
+
+    def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
+        assert ctx.loaded is not None, "weights_only needs a source stage first"
+        ctx.params = ctx.loaded["params"]
+        ctx.metadata["loading"] = "weights_only"
+        return ctx
+
+
+@strategy_registry.register("warm_start")
+class WarmStart:
+    """Load weights + optimizer state + step (ref strategies.py:172)."""
+
+    def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
+        assert ctx.loaded is not None
+        ctx.params = ctx.loaded["params"]
+        if "opt_state" in ctx.loaded:
+            ctx.opt_state = ctx.loaded["opt_state"]
+        ctx.step = int(ctx.loaded.get("step", ctx.step))
+        ctx.metadata["loading"] = "warm_start"
+        return ctx
+
+
+@strategy_registry.register("transfer_learning")
+class TransferLearning:
+    """Partial load: copy leaves whose path AND shape match; everything else
+    keeps its fresh initialisation (ref strategies.py:94 + the reference's
+    variable-matching transfer loader in utils/checkpoint.py)."""
+
+    def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
+        assert ctx.loaded is not None
+        target = flax.traverse_util.flatten_dict(jax.device_get(ctx.params))
+        source = flax.traverse_util.flatten_dict(ctx.loaded["params"])
+        copied, skipped = 0, []
+        merged = {}
+        for k, v in target.items():
+            sv = source.get(k)
+            if sv is not None and np.shape(sv) == np.shape(v):
+                merged[k] = sv
+                copied += 1
+            else:
+                merged[k] = v
+                skipped.append("/".join(map(str, k)))
+        ctx.params = flax.traverse_util.unflatten_dict(merged)
+        ctx.metadata["loading"] = "transfer_learning"
+        ctx.metadata["transfer_copied"] = copied
+        ctx.metadata["transfer_skipped"] = skipped
+        return ctx
+
+
+# --- modifiers --------------------------------------------------------
+@modifier_registry.register("freeze")
+class FreezingModifier:
+    """Freeze submodules by name substring (ref modifiers/freezing.py:27).
+
+    Produces ``trainable_mask`` for `optax.masked`; the trainer multiplies
+    updates by the mask so frozen parameters stay fixed."""
+
+    def __init__(self, submodules: List[str]):
+        self.submodules = list(submodules)
+
+    def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
+        flat = flax.traverse_util.flatten_dict(jax.device_get(ctx.params))
+        mask = {
+            k: not any(name in "/".join(map(str, k)) for name in self.submodules)
+            for k in flat
+        }
+        ctx.trainable_mask = flax.traverse_util.unflatten_dict(mask)
+        ctx.metadata["frozen_submodules"] = self.submodules
+        return ctx
+
+
+class CheckpointPipeline:
+    """Ordered stages applied to a context (ref pipeline.py:107-513).
+
+    Config: [{"stage": "source", "name": "local", "path": ...},
+             {"stage": "loading", "name": "transfer_learning"},
+             {"stage": "modifier", "name": "freeze", "submodules": ["encoder"]}]
+    Stage ordering is validated: sources before strategies before modifiers.
+    """
+
+    ORDER = {"source": 0, "loading": 1, "modifier": 2}
+
+    def __init__(self, stage_configs: List[dict]):
+        self.stages = []
+        last = -1
+        for cfg in stage_configs:
+            cfg = dict(cfg)
+            kind = cfg.pop("stage")
+            assert kind in self.ORDER, f"unknown stage kind '{kind}'"
+            assert self.ORDER[kind] >= last, (
+                f"invalid stage order: '{kind}' cannot follow a later stage"
+            )
+            last = self.ORDER[kind]
+            registry = {
+                "source": source_registry,
+                "loading": strategy_registry,
+                "modifier": modifier_registry,
+            }[kind]
+            self.stages.append(registry.build_from_config(cfg))
+
+    def run(self, ctx: CheckpointContext) -> CheckpointContext:
+        for stage in self.stages:
+            ctx = stage(ctx)
+        return ctx

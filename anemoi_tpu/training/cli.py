@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 
@@ -25,11 +26,30 @@ def main(argv=None) -> int:
     p_val.add_argument("config")
     p_val.add_argument("overrides", nargs="*")
 
+    p_eval = sub.add_parser("evaluate", help="Validation pass from the latest checkpoint")
+    p_eval.add_argument("config")
+    p_eval.add_argument("overrides", nargs="*")
+    p_eval.add_argument("--output-dir", default=None)
+    p_eval.add_argument("--rollout", type=int, default=None)
+
+    p_prof = sub.add_parser("profile", help="Short profiled run with speed/memory reports")
+    p_prof.add_argument("config")
+    p_prof.add_argument("overrides", nargs="*")
+    p_prof.add_argument("--output-dir", default=None)
+    p_prof.add_argument("--steps", type=int, default=20)
+    p_prof.add_argument("--trace", action="store_true")
+    p_prof.add_argument("--benchmark-store", default=None,
+                        help="Push results to this commit-keyed store directory")
+
     args = parser.parse_args(argv)
 
+    import anemoi_tpu
     from anemoi_tpu.utils.config import load_config
 
-    cfg = load_config(args.config, overrides=list(args.overrides))
+    packaged = os.path.join(os.path.dirname(anemoi_tpu.__file__), "config")
+    cfg = load_config(
+        args.config, overrides=list(args.overrides), search_paths=[packaged]
+    )
 
     if args.command == "validate":
         from anemoi_tpu.training.schemas import validate_config
@@ -47,6 +67,52 @@ def main(argv=None) -> int:
         trainer = AnemoiTrainer(cfg.to_dict(), output_dir=args.output_dir)
         result = trainer.train()
         print(f"training done: {result}")
+        return 0
+
+    if args.command == "evaluate":
+        from anemoi_tpu.training.trainer import AnemoiTrainer
+
+        conf = cfg.to_dict()
+        conf.setdefault("training", {})["resume"] = True
+        trainer = AnemoiTrainer(conf, output_dir=args.output_dir)
+        rollout = args.rollout or trainer.rollout_schedule.maximum
+        trainer.datamodule.set_rollout(rollout)
+        val = trainer.validate(rollout)
+        from anemoi_tpu.training.metrics import make_rollout_eval_fn
+
+        fn = make_rollout_eval_fn(trainer.interface, rollout)
+        import jax as _jax
+        import numpy as _np
+
+        agg = {}
+        for i, batch_np in enumerate(trainer.datamodule.val_batches()):
+            out = fn(trainer.state.params, _jax.device_put(batch_np))
+            for k, v in out.items():
+                agg.setdefault(k, []).append(float(v))
+            if i >= 4:
+                break
+        metrics = {k: float(_np.mean(v)) for k, v in agg.items()}
+        print(f"evaluation: {val} {metrics}")
+        return 0
+
+    if args.command == "profile":
+        from anemoi_tpu.training.profiler import profile_training
+        from anemoi_tpu.training.trainer import AnemoiTrainer
+
+        trainer = AnemoiTrainer(cfg.to_dict(), output_dir=args.output_dir)
+        result = profile_training(trainer, num_steps=args.steps, trace=args.trace)
+        print(f"profile: {result}")
+        if args.benchmark_store:
+            from anemoi_tpu.training.benchmark_store import BenchmarkStore
+
+            store = BenchmarkStore(args.benchmark_store)
+            commit = store.push(
+                {k: v for k, v in result.items() if isinstance(v, (int, float))}
+            )
+            comparison = store.compare(
+                {k: v for k, v in result.items() if isinstance(v, (int, float))}
+            )
+            print(f"benchmark store: commit={commit[:12]} {comparison}")
         return 0
 
     return 1

@@ -126,6 +126,30 @@ class AnemoiTrainer:
         self.lr_schedule = build_lr_schedule(training_cfg.get("lr", {}))
         self.tx = build_optimizer(training_cfg, self.lr_schedule)
         params = self.interface.init_params()
+
+        # composable checkpoint-loading pipeline (sources/strategies/modifiers)
+        pipeline_cfg = training_cfg.get("checkpoint_pipeline")
+        if pipeline_cfg:
+            import optax
+
+            from anemoi_tpu.training.checkpoint_pipeline import (
+                CheckpointContext,
+                CheckpointPipeline,
+            )
+
+            ctx = CheckpointPipeline(list(pipeline_cfg)).run(
+                CheckpointContext(params=params)
+            )
+            params = jax.device_put(ctx.params)
+            if ctx.trainable_mask is not None:
+                frozen_mask = jax.tree_util.tree_map(
+                    lambda trainable: not trainable, ctx.trainable_mask
+                )
+                self.tx = optax.chain(
+                    self.tx, optax.masked(optax.set_to_zero(), frozen_mask)
+                )
+            LOGGER.info("Checkpoint pipeline: %s", ctx.metadata)
+
         self.state = TrainState.create(params, self.tx)
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
         LOGGER.info("Model has %.2fM parameters", n_params / 1e6)
@@ -143,6 +167,12 @@ class AnemoiTrainer:
 
         self._step_fns: Dict[int, Any] = {}  # rollout -> (train_step, eval_step)
         self._log_file = open(os.path.join(self.output_dir, "metrics.jsonl"), "a")
+
+        from anemoi_tpu.training.callbacks import build_callbacks
+
+        self.callbacks = build_callbacks(
+            config.get("diagnostics", {}).get("callbacks")
+        )
 
     # ------------------------------------------------------------------
     def _get_step_fns(self, rollout: int):
@@ -188,6 +218,8 @@ class AnemoiTrainer:
                 global_step += 1
                 n_batches += 1
 
+                for cb in self.callbacks:
+                    cb.on_step(self, global_step, metrics)
                 if global_step % log_interval == 0:
                     loss = float(metrics["loss"])
                     last_loss = loss
@@ -214,6 +246,10 @@ class AnemoiTrainer:
                     LOGGER.info("Time limit reached; stopping gracefully")
                     stop = True
                     break
+                if any(cb.should_stop(self) for cb in self.callbacks):
+                    LOGGER.info("Callback requested stop")
+                    stop = True
+                    break
             if n_batches:
                 self._log(
                     {
@@ -225,7 +261,12 @@ class AnemoiTrainer:
             # validation at epoch end
             val = self.validate(rollout)
             if val is not None:
+                for cb in self.callbacks:
+                    cb.on_validation(self, global_step, val)
                 self._log({"step": global_step, "epoch": epoch, **val})
+            if not stop and any(cb.should_stop(self) for cb in self.callbacks):
+                LOGGER.info("Callback requested stop after validation")
+                stop = True
             if stop:
                 break
 

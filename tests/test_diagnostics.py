@@ -1,0 +1,84 @@
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anemoi_tpu.training.callbacks import (
+    EarlyStopping,
+    TimeLimit,
+    WeightAveraging,
+)
+from anemoi_tpu.training.metrics import make_rollout_eval_fn, variable_groups
+
+
+def test_variable_groups():
+    groups = variable_groups(["t_850", "t_500", "q_850", "10u", "tp"])
+    assert groups["t"] == [0, 1]
+    assert groups["q"] == [2]
+    assert groups["sfc"] == [3, 4]
+
+
+def test_rollout_eval_metrics(tiny_graph, rng):
+    from tests.test_models import build_interface
+
+    iface = build_interface(tiny_graph)
+    params = iface.init_params(jax.random.PRNGKey(0))
+    fn = make_rollout_eval_fn(iface, rollout=2)
+    n_grid = tiny_graph["data"].num_nodes
+    batch = {"data": jnp.asarray(rng.normal(size=(1, 4, 1, n_grid, 6)), dtype=jnp.float32)}
+    out = fn(params, batch)
+    # groups: q,t,u prognostic + tp diagnostic are all surface names -> 'sfc'
+    assert any(k.startswith("rmse/data/sfc/") for k in out)
+    assert {k.rsplit("/", 1)[1] for k in out} == {"1", "2"}
+    assert all(np.isfinite(float(v)) for v in out.values())
+
+
+def test_early_stopping():
+    cb = EarlyStopping(monitor="val_loss", patience=2)
+    for v in [1.0, 0.9, 0.95, 0.96]:
+        cb.on_validation(None, 0, {"val_loss": v})
+    assert cb.should_stop(None)
+    cb2 = EarlyStopping(monitor="val_loss", patience=2)
+    for v in [1.0, 0.9, 0.8, 0.7]:
+        cb2.on_validation(None, 0, {"val_loss": v})
+    assert not cb2.should_stop(None)
+
+
+def test_time_limit():
+    cb = TimeLimit(limit="00:00:01")
+    assert cb.limit_s == 1.0
+    assert not cb.should_stop(None)
+    cb.start -= 2
+    assert cb.should_stop(None)
+
+
+def test_weight_averaging_ema():
+    class FakeTrainer:
+        class state:
+            params = {"w": jnp.asarray(0.0)}
+
+    cb = WeightAveraging(decay=0.5)
+    t = FakeTrainer()
+    cb.on_step(t, 0, {})
+    t.state.params = {"w": jnp.asarray(1.0)}
+    cb.on_step(t, 0, {})
+    np.testing.assert_allclose(float(cb.avg_params["w"]), 0.5)
+    t.state.params = {"w": jnp.asarray(1.0)}
+    cb.on_step(t, 0, {})
+    np.testing.assert_allclose(float(cb.avg_params["w"]), 0.75)
+
+
+def test_weight_averaging_swa():
+    class FakeTrainer:
+        class state:
+            params = {"w": jnp.asarray(0.0)}
+
+    cb = WeightAveraging(kind="swa")
+    t = FakeTrainer()
+    for v in [0.0, 1.0, 2.0]:
+        t.state.params = {"w": jnp.asarray(v)}
+        cb.on_step(t, 0, {})
+    np.testing.assert_allclose(float(cb.avg_params["w"]), 1.0)  # mean of 0,1,2
