@@ -1,0 +1,99 @@
+"""Inference: autoregressive forecasting from an inference checkpoint.
+
+Equivalent of the anemoi-inference entry path over the reference's
+`AnemoiModelInterface.predict_step` (models/interface/__init__.py:211,
+models/models/base.py:303): given a raw data-space window containing the
+initial conditions and future forcings, roll the model forward N steps and
+return denormalised model-space forecasts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anemoi_tpu.training.step import _index_arrays, advance_input
+
+
+def make_forecast_fn(interface, steps: int):
+    """Jitted fn(params, batch) -> {ds: [B, steps*n_out, E, G, V_out]} physical.
+
+    batch: raw data-space {ds: [B, m + steps*n_out, E, G, V_data]} -- the
+    window beyond the first m steps supplies the future forcings (analysis
+    forcings for hindcasts; climatological or computed forcings in production).
+    """
+    model = interface.model
+    pre = interface.pre_processors
+    indices = interface.data_indices
+    m = model.n_step_input
+    n_out = model.n_step_output
+    ia = {ds: _index_arrays(idx) for ds, idx in indices.items()}
+    dataset_names = sorted(indices.keys())
+    graph_inputs = interface.graph_inputs
+
+    @jax.jit
+    def forecast(params, batch):
+        batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
+        x = {
+            ds: batch_norm[ds][:, :m, ..., jnp.asarray(ia[ds]["data_input_full"])]
+            for ds in dataset_names
+        }
+        outputs = {ds: [] for ds in dataset_names}
+        for step in range(steps):
+            y_pred = model.apply(params, x, graph_inputs)
+            t0 = m + step * n_out
+            for ds in dataset_names:
+                outputs[ds].append(pre[ds].inverse_transform(y_pred[ds]))
+            if step + 1 < steps:
+                x = {
+                    ds: advance_input(x[ds], y_pred[ds], batch_norm[ds], t0, ia[ds])
+                    for ds in dataset_names
+                }
+        return {ds: jnp.concatenate(v, axis=1) for ds, v in outputs.items()}
+
+    return forecast
+
+
+def run_forecast_cli(args) -> int:
+    """`anemoi-tpu-training predict` implementation."""
+    import os
+
+    import anemoi_tpu
+    from anemoi_tpu.data.dataset import open_dataset
+    from anemoi_tpu.training.checkpoint import load_inference_checkpoint
+    from anemoi_tpu.utils.config import load_config
+
+    iface, params = load_inference_checkpoint(args.checkpoint)
+    steps = args.steps
+    forecast = make_forecast_fn(iface, steps)
+
+    packaged = os.path.join(os.path.dirname(anemoi_tpu.__file__), "config")
+    cfg = load_config(args.config, search_paths=[packaged]) if args.config else None
+    datasets = {}
+    data_cfg = (cfg or {}).get("data", {})
+    for name, ds_cfg in data_cfg.get("datasets", {}).items():
+        datasets[name] = open_dataset(ds_cfg)
+    assert datasets, "predict needs a config with data.datasets for initial conditions"
+
+    m = iface.model.n_step_input
+    n_out = iface.model.n_step_output
+    window = m + steps * n_out
+    start = args.start_index
+    batch = {
+        name: ds.get_window(start, window)[None]  # [1, T, E, G, V]
+        for name, ds in datasets.items()
+    }
+    out = forecast(params, jax.device_put(batch))
+    arrays = {}
+    for ds_name, arr in out.items():
+        arrays[f"{ds_name}|forecast"] = np.asarray(arr)
+        arrays[f"{ds_name}|variables"] = np.asarray(
+            iface.data_indices[ds_name].model.output.ordered_names
+        )
+    np.savez_compressed(args.output, **arrays)
+    shapes = {k: v.shape for k, v in out.items()}
+    print(f"forecast written to {args.output}: {shapes}")
+    return 0

@@ -74,15 +74,22 @@ class PaddedCSR:
         dst_ptr: np.ndarray,
         num_src: int,
         bucket_multiple: int = 8,
+        k_in: Optional[int] = None,
     ) -> "PaddedCSR":
-        """Build all tables from dst-sorted edges + CSR pointer."""
+        """Build all tables from dst-sorted edges + CSR pointer.
+
+        ``k_in`` overrides the padded in-degree (required when several shards
+        must share one flat-slot indexing space)."""
         num_dst = len(dst_ptr) - 1
         num_edges = int(edge_index.shape[1])
         src = edge_index[0]
         dst = edge_index[1]
 
         in_deg = np.diff(dst_ptr)
-        k_in = _round_up(int(max(1, in_deg.max() if len(in_deg) else 1)), bucket_multiple)
+        if k_in is None:
+            k_in = _round_up(int(max(1, in_deg.max() if len(in_deg) else 1)), bucket_multiple)
+        else:
+            assert k_in >= (in_deg.max() if len(in_deg) else 0)
 
         edge_slots = np.full((num_dst, k_in), num_edges, dtype=np.int32)
         src_slots = np.zeros((num_dst, k_in), dtype=np.int32)

@@ -1,0 +1,186 @@
+"""Halo-exchange model parallelism (shard_map + ICI collectives).
+
+TPU-native replacement for the reference's halo machinery
+(/root/reference/models/src/anemoi/models/distributed/graph.py:439
+halo_exchange + primitives.py:375-474): the hidden mesh is contiguously
+sharded over the 'model' axis; before sparse attention every shard sends its
+boundary nodes to the peers that read them with ONE `lax.all_to_all` of
+equal-shaped buffers, computes attention for its local destinations over
+[local | halo] sources, and the backward pass scatter-adds halo gradients
+home -- expressed gather-only via precomputed transpose tables (the same
+trick as ops.padded), with the reverse all_to_all inserted by AD.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from anemoi_tpu.ops.padded import padded_gt_attention_flat, PaddedTables
+
+
+# --- boundary-row gather with gather-only backward ---------------------
+@jax.custom_vjp
+def gather_send_rows(x_local, send_idx, send_mask, send_t_idx, send_t_mask):
+    """x_local [n_local, C] -> send buffer [S, h_pair, C] (masked rows zero)."""
+    buf = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(
+        send_idx.shape + (x_local.shape[-1],)
+    )
+    return jnp.where(send_mask[..., None], buf, 0.0)
+
+
+def _gsr_fwd(x_local, send_idx, send_mask, send_t_idx, send_t_mask):
+    out = gather_send_rows(x_local, send_idx, send_mask, send_t_idx, send_t_mask)
+    return out, (send_t_idx, send_t_mask, x_local.shape)
+
+
+def _gsr_bwd(res, g):
+    send_t_idx, send_t_mask, x_shape = res
+    # g: [S, h_pair, C] -> flat [(S*h_pair)+1, C]; per local node sum its slots
+    flat = g.reshape(-1, g.shape[-1])
+    flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[-1]), flat.dtype)], axis=0)
+    gathered = jnp.take(flat, send_t_idx.reshape(-1), axis=0).reshape(
+        send_t_idx.shape + (flat.shape[-1],)
+    )  # [n_local, T, C]
+    d_x = jnp.sum(jnp.where(send_t_mask[..., None], gathered, 0.0), axis=1)
+    return d_x, None, None, None, None
+
+
+gather_send_rows.defvjp(_gsr_fwd, _gsr_bwd)
+
+
+def halo_exchange(
+    x_local: jnp.ndarray,  # [n_local, C] this shard's nodes
+    tables,  # per-shard slice of ShardedGraph tables (dict of arrays)
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """Return [n_local + S*h_pair, C]: local nodes + received halo rows.
+
+    Must run inside shard_map over ``axis_name``.  The backward pass is the
+    reverse all_to_all + transpose-table gather (no scatters)."""
+    send_buf = gather_send_rows(
+        x_local,
+        tables["send_idx"],
+        tables["send_mask"],
+        tables["send_transpose_idx"],
+        tables["send_transpose_mask"],
+    )  # [S, h_pair, C]
+    recv = jax.lax.all_to_all(
+        send_buf, axis_name, split_axis=0, concat_axis=0, tiled=False
+    )  # row j = rows sent to me by shard j
+    return jnp.concatenate([x_local, recv.reshape(-1, x_local.shape[-1])], axis=0)
+
+
+def sharded_gt_attention(
+    query_local: jnp.ndarray,  # [n_local, H*D]
+    key_local: jnp.ndarray,
+    value_local: jnp.ndarray,
+    edge_attr_local,  # [E_loc, H*D] per-shard edge projections, or None
+    tables,  # per-shard table dict (see shard_tables)
+    num_heads: int,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """Graph-transformer attention for this shard's destinations, with halo
+    exchange of k/v sources over the model axis.  Runs inside shard_map."""
+    k_ext = halo_exchange(key_local, tables, axis_name)
+    v_ext = halo_exchange(value_local, tables, axis_name)
+    pt = PaddedTables(
+        src_slots=tables["src_slots"],
+        edge_slots=tables["edge_slots"],
+        mask=tables["mask"],
+        # backward-to-source transposes are handled by halo_exchange's vjp;
+        # within the shard the standard src-side tables apply:
+        src_gather_slots=tables["src_gather_slots"],
+        src_gather_mask=tables["src_gather_mask"],
+        edge_gather_slot=tables["edge_gather_slot"],
+        edge_dst=tables["edge_dst"],
+        edge_src=tables["edge_src"],
+    )
+    return padded_gt_attention_flat(
+        query_local, k_ext, v_ext, edge_attr_local, num_heads, pt
+    )
+
+
+def shard_tables(sharded_graph, num_src_ext: int):
+    """Stack the ShardedGraph numpy tables into jnp arrays with a leading
+    shard axis, including per-shard src-side transpose tables computed for
+    the [local | halo] extended source space."""
+    import numpy as np
+
+    from anemoi_tpu.ops.padded import PaddedCSR
+
+    sg = sharded_graph
+    stacked = {
+        "src_slots": [],
+        "edge_slots": [],
+        "mask": [],
+        "src_gather_slots": [],
+        "src_gather_mask": [],
+        "edge_gather_slot": [],
+        "edge_dst": [],
+        "edge_src": [],
+        "send_idx": jnp.asarray(sg.send_idx),
+        "send_mask": jnp.asarray(sg.send_mask),
+        "send_transpose_idx": jnp.asarray(sg.send_transpose_idx),
+        "send_transpose_mask": jnp.asarray(sg.send_transpose_mask),
+    }
+    k_in = sg.src_slots.shape[-1]
+    for s in range(sg.n_shards):
+        # rebuild a per-shard PaddedCSR in the extended-source space so the
+        # backward src-transpose tables exist per shard
+        mask = sg.mask[s]
+        dst, within = np.nonzero(mask)
+        order = np.argsort(sg.edge_slots[s][dst, within], kind="stable")
+        dst, within = dst[order], within[order]
+        src = sg.src_slots[s][dst, within]
+        ei = np.stack([src, dst]).astype(np.int64)
+        dst_ptr = np.zeros(sg.n_local + 1, dtype=np.int64)
+        np.cumsum(np.bincount(dst, minlength=sg.n_local), out=dst_ptr[1:])
+        # k_in must match the shared per-shard slot space exactly
+        csr = PaddedCSR.from_edge_index(ei, dst_ptr, num_src=num_src_ext, k_in=k_in)
+        # pad the per-shard CSR tables to the shared shapes
+        def pad2(a, rows, cols, fill):
+            out = np.full((rows, cols), fill, a.dtype)
+            out[: a.shape[0], : a.shape[1]] = a
+            return out
+
+        stacked["src_slots"].append(sg.src_slots[s])
+        stacked["edge_slots"].append(sg.edge_slots[s])
+        stacked["mask"].append(sg.mask[s])
+        ko = csr.src_gather_slots.shape[1]
+        stacked["src_gather_slots"].append(csr.src_gather_slots)
+        stacked["src_gather_mask"].append(csr.src_gather_mask)
+        e_loc = sg.edge_attr_perm.shape[1]
+        egs = np.full(e_loc, sg.n_local * k_in, np.int32)
+        ed = np.zeros(e_loc, np.int32)
+        es_ = np.zeros(e_loc, np.int32)
+        ne = len(csr.edge_gather_slot)
+        egs[:ne] = csr.edge_gather_slot
+        ed[:ne] = csr.edge_dst
+        es_[:ne] = csr.edge_src
+        stacked["edge_gather_slot"].append(egs)
+        stacked["edge_dst"].append(ed)
+        stacked["edge_src"].append(es_)
+
+    # src_gather tables may have different K_out per shard: pad to max
+    import numpy as np
+
+    ko_max = max(a.shape[1] for a in stacked["src_gather_slots"])
+    pad_flat = sg.n_local * k_in
+    for key, fill in (("src_gather_slots", pad_flat), ("src_gather_mask", False)):
+        padded = []
+        for a in stacked[key]:
+            out = np.full((a.shape[0], ko_max), fill, a.dtype)
+            out[:, : a.shape[1]] = a
+            padded.append(out)
+        stacked[key] = padded
+
+    for key in (
+        "src_slots", "edge_slots", "mask", "src_gather_slots", "src_gather_mask",
+        "edge_gather_slot", "edge_dst", "edge_src",
+    ):
+        stacked[key] = jnp.asarray(np.stack(stacked[key]))
+    return stacked

@@ -32,6 +32,13 @@ def main(argv=None) -> int:
     p_eval.add_argument("--output-dir", default=None)
     p_eval.add_argument("--rollout", type=int, default=None)
 
+    p_pred = sub.add_parser("predict", help="Autoregressive forecast from an inference checkpoint")
+    p_pred.add_argument("checkpoint", help="Inference checkpoint directory")
+    p_pred.add_argument("--config", required=True, help="Config with data.datasets for initial conditions")
+    p_pred.add_argument("--steps", type=int, default=4)
+    p_pred.add_argument("--start-index", type=int, default=0)
+    p_pred.add_argument("--output", default="forecast.npz")
+
     p_prof = sub.add_parser("profile", help="Short profiled run with speed/memory reports")
     p_prof.add_argument("config")
     p_prof.add_argument("overrides", nargs="*")
@@ -42,6 +49,11 @@ def main(argv=None) -> int:
                         help="Push results to this commit-keyed store directory")
 
     args = parser.parse_args(argv)
+
+    if args.command == "predict":
+        from anemoi_tpu.inference import run_forecast_cli
+
+        return run_forecast_cli(args)
 
     import anemoi_tpu
     from anemoi_tpu.utils.config import load_config

@@ -84,10 +84,14 @@ def advance_input(
     batch_norm: jnp.ndarray,  # [B, W, E, G, V_data] normalised
     time_offset: int,
     ia: Dict[str, np.ndarray],
+    boundary_mask: Optional[jnp.ndarray] = None,  # [G] True inside the area
 ) -> jnp.ndarray:
     """Roll the input window one model step forward (ref forecaster.py:207-228):
     shift time, insert predicted prognostics, re-read forcings from the batch.
-    Scatter-free: the new steps are assembled with per-variable gathers."""
+    Scatter-free: the new steps are assembled with per-variable gathers.
+
+    With a boundary mask (LAM), prognostics OUTSIDE the area are re-forced
+    from the truth in the batch (ref tasks/forecaster.py boundary forcing)."""
     n_out = y_pred.shape[1]
     from_pred = jnp.take(y_pred, jnp.asarray(ia["from_pred"]), axis=-1)
     from_data = jnp.take(
@@ -95,7 +99,10 @@ def advance_input(
         jnp.asarray(ia["from_data"]),
         axis=-1,
     )
-    new_steps = jnp.where(jnp.asarray(ia["is_prog"]), from_pred, from_data)
+    use_pred = jnp.asarray(ia["is_prog"])
+    if boundary_mask is not None:
+        use_pred = use_pred & boundary_mask[:, None]
+    new_steps = jnp.where(use_pred, from_pred, from_data)
     return jnp.concatenate([x[:, n_out:], new_steps], axis=1)
 
 
@@ -106,6 +113,7 @@ def make_step_fns(
     remat_rollout: bool = True,
     ensemble_size: int = 1,
     base_rng: jnp.ndarray = None,
+    output_masks: Optional[Dict[str, "object"]] = None,
 ) -> Tuple[Callable, Callable]:
     """Build jitted (train_step, eval_step) closures.
 
@@ -126,6 +134,10 @@ def make_step_fns(
         from anemoi_tpu.utils.seeding import context_key
 
         base_rng = context_key("ensemble-noise")
+    boundary = {
+        ds: (output_masks[ds].as_array() if output_masks and ds in output_masks else None)
+        for ds in dataset_names
+    }
 
     def rollout_loss(params, batch, graph_inputs, rng):
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
@@ -160,7 +172,10 @@ def make_step_fns(
                 total = total + losses[ds](y_pred[ds], target)
             if step + 1 < rollout:
                 x = {
-                    ds: advance_input(x[ds], y_pred[ds], batch_norm[ds], t0, ia[ds])
+                    ds: advance_input(
+                        x[ds], y_pred[ds], batch_norm[ds], t0, ia[ds],
+                        boundary_mask=boundary[ds],
+                    )
                     for ds in dataset_names
                 }
         return total / (rollout * len(dataset_names))

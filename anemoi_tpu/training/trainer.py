@@ -108,6 +108,13 @@ class AnemoiTrainer:
             statistics=self.datamodule.statistics,
         )
 
+        # --- output masks (LAM / stretched-grid) ----------------------
+        from anemoi_tpu.training.masks import build_output_masks
+
+        self.output_masks = build_output_masks(
+            training_cfg.get("output_mask"), self.graph
+        )
+
         # --- losses ---------------------------------------------------
         self.losses = {}
         for name, ds in datasets.items():
@@ -118,9 +125,15 @@ class AnemoiTrainer:
                 statistics=ds.statistics,
                 statistics_tendencies=ds.statistics_tendencies,
             )
-            self.losses[name] = get_loss_function(
-                dict(training_cfg.get("loss", {"name": "WeightedMSELoss"})), scalers
-            )
+            if name in self.output_masks:
+                # score only inside the area of interest
+                scalers["output_mask"] = (
+                    ("grid",), self.output_masks[name].loss_scaler()
+                )
+            loss_cfg = dict(training_cfg.get("loss", {"name": "WeightedMSELoss"}))
+            if name in self.output_masks and "scalers" in loss_cfg:
+                loss_cfg["scalers"] = list(loss_cfg["scalers"]) + ["output_mask"]
+            self.losses[name] = get_loss_function(loss_cfg, scalers)
 
         # --- optimizer / state ---------------------------------------
         self.lr_schedule = build_lr_schedule(training_cfg.get("lr", {}))
@@ -169,10 +182,17 @@ class AnemoiTrainer:
         self._log_file = open(os.path.join(self.output_dir, "metrics.jsonl"), "a")
 
         from anemoi_tpu.training.callbacks import build_callbacks
+        from anemoi_tpu.training.loggers import build_loggers
 
         self.callbacks = build_callbacks(
             config.get("diagnostics", {}).get("callbacks")
         )
+        self.loggers = build_loggers(
+            config.get("diagnostics", {}).get("loggers"), self.output_dir
+        )
+        for lg in self.loggers:
+            lg.log_params({"config": config if isinstance(config, dict) else dict(config),
+                           "num_params": int(n_params)})
 
     # ------------------------------------------------------------------
     def _get_step_fns(self, rollout: int):
@@ -184,6 +204,7 @@ class AnemoiTrainer:
                 rollout=rollout,
                 remat_rollout=bool(training_cfg.get("remat_rollout", True)),
                 ensemble_size=int(training_cfg.get("ensemble_size", 1)),
+                output_masks=self.output_masks or None,
             )
         return self._step_fns[rollout]
 
@@ -233,6 +254,9 @@ class AnemoiTrainer:
                         "elapsed_s": time.time() - t_start,
                     }
                     self._log(rec)
+                    for lg in self.loggers:
+                        lg.log_metrics({k: v for k, v in rec.items()
+                                        if isinstance(v, (int, float))}, global_step)
                     LOGGER.info(
                         "step %d epoch %d loss %.5f grad %.3f",
                         global_step, epoch, rec["loss"], rec["grad_norm"],
@@ -264,6 +288,8 @@ class AnemoiTrainer:
                 for cb in self.callbacks:
                     cb.on_validation(self, global_step, val)
                 self._log({"step": global_step, "epoch": epoch, **val})
+                for lg in self.loggers:
+                    lg.log_metrics(val, global_step)
             if not stop and any(cb.should_stop(self) for cb in self.callbacks):
                 LOGGER.info("Callback requested stop after validation")
                 stop = True
@@ -272,6 +298,8 @@ class AnemoiTrainer:
 
         self.ckpt.save(global_step, self.state)
         self.save_inference_checkpoint()
+        for lg in self.loggers:
+            lg.finalize()
         return {"final_loss": last_loss, "steps": global_step}
 
     # ------------------------------------------------------------------

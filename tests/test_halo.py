@@ -1,0 +1,193 @@
+"""Halo-exchange model parallelism: sharded attention must match unsharded
+(the equivalent of the reference's distributed primitives tests run on
+gloo/CPU, models/tests/distributed/; here an 8-virtual-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from anemoi_tpu.graphs.generate.icosahedron import multi_scale_edge_index, num_tri_nodes
+from anemoi_tpu.ops.padded import PaddedCSR, PaddedTables, padded_gt_attention_flat
+from anemoi_tpu.parallel.halo import sharded_gt_attention, shard_tables
+from anemoi_tpu.parallel.partition import partition_graph
+
+N_SHARDS = 4
+H, D = 2, 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ei = multi_scale_edge_index(2)
+    order = np.argsort(ei[1], kind="stable")
+    ei = ei[:, order]
+    n = num_tri_nodes(2)
+    dst_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ei[1], minlength=n), out=dst_ptr[1:])
+
+    sg = partition_graph(ei, dst_ptr, n, N_SHARDS, halo=True)
+    num_src_ext = sg.n_local + sg.n_shards * sg.h_pair
+    tables = shard_tables(sg, num_src_ext)
+
+    rng = np.random.default_rng(0)
+    e = ei.shape[1]
+    q = rng.normal(size=(n, H * D)).astype(np.float32)
+    k = rng.normal(size=(n, H * D)).astype(np.float32)
+    v = rng.normal(size=(n, H * D)).astype(np.float32)
+    ea = rng.normal(size=(e, H * D)).astype(np.float32)
+    return ei, dst_ptr, n, sg, tables, q, k, v, ea
+
+
+def pad_nodes(x, sg):
+    out = np.zeros((sg.n_total_padded, x.shape[1]), x.dtype)
+    out[: x.shape[0]] = x
+    return out
+
+
+def shard_edge_attr(ea, sg):
+    """[E, C] global edge features -> [S, E_loc, C] per-shard local arrays
+    (+ the pad row handled by a zero append inside the op)."""
+    e_pad = np.concatenate([ea, np.zeros((1, ea.shape[1]), ea.dtype)], axis=0)
+    return e_pad[sg.edge_attr_perm]  # [S, E_loc, C]
+
+
+def run_sharded(setup_data, q, k, v, ea):
+    ei, dst_ptr, n, sg, tables, *_ = setup_data
+    devices = np.asarray(jax.devices()[:N_SHARDS]).reshape(N_SHARDS)
+    mesh = Mesh(devices, axis_names=("model",))
+
+    qp = jnp.asarray(pad_nodes(q, sg)).reshape(sg.n_shards, sg.n_local, -1)
+    kp = jnp.asarray(pad_nodes(k, sg)).reshape(sg.n_shards, sg.n_local, -1)
+    vp = jnp.asarray(pad_nodes(v, sg)).reshape(sg.n_shards, sg.n_local, -1)
+    eap = jnp.asarray(shard_edge_attr(ea, sg))
+
+    def kernel(q_blk, k_blk, v_blk, ea_blk, tbl):
+        tbl = {key: a[0] for key, a in tbl.items()}  # drop leading shard axis
+        out = sharded_gt_attention(
+            q_blk[0], k_blk[0], v_blk[0], ea_blk[0], tbl, num_heads=H,
+            axis_name="model",
+        )
+        return out[None]
+
+    spec = P("model")
+    tbl_specs = {key: spec for key in tables}
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, tbl_specs),
+        out_specs=spec,
+        check_vma=False,
+    )
+    out = jax.jit(fn)(qp, kp, vp, eap, tables)
+    return np.asarray(out).reshape(sg.n_total_padded, -1)[:n]
+
+
+def test_sharded_attention_matches_unsharded(setup):
+    ei, dst_ptr, n, sg, tables, q, k, v, ea = setup
+    csr = PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n)
+    ref = np.asarray(
+        padded_gt_attention_flat(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(ea),
+            H, PaddedTables.from_csr(csr),
+        )
+    )
+    out = run_sharded(setup, q, k, v, ea)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_sharded_attention_grads_match(setup):
+    ei, dst_ptr, n, sg, tables, q, k, v, ea = setup
+    csr = PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n)
+    pt = PaddedTables.from_csr(csr)
+
+    def ref_loss(k_in):
+        out = padded_gt_attention_flat(
+            jnp.asarray(q), k_in, jnp.asarray(v), jnp.asarray(ea), H, pt
+        )
+        return jnp.sum(out**2)
+
+    g_ref = np.asarray(jax.grad(ref_loss)(jnp.asarray(k)))
+
+    devices = np.asarray(jax.devices()[:N_SHARDS]).reshape(N_SHARDS)
+    mesh = Mesh(devices, axis_names=("model",))
+    qp = jnp.asarray(pad_nodes(q, sg)).reshape(sg.n_shards, sg.n_local, -1)
+    vp = jnp.asarray(pad_nodes(v, sg)).reshape(sg.n_shards, sg.n_local, -1)
+    eap = jnp.asarray(shard_edge_attr(ea, sg))
+
+    def kernel(q_blk, k_blk, v_blk, ea_blk, tbl):
+        tbl = {key: a[0] for key, a in tbl.items()}
+        out = sharded_gt_attention(
+            q_blk[0], k_blk[0], v_blk[0], ea_blk[0], tbl, num_heads=H,
+            axis_name="model",
+        )
+        # per-shard local loss; summed OUTSIDE shard_map (a psum'd replicated
+        # output would double-count in the backward pass)
+        return jnp.sum(out**2)[None]
+
+    spec = P("model")
+    tbl_specs = {key: spec for key in tables}
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, tbl_specs),
+        out_specs=P("model"),
+        check_vma=False,
+    )
+
+    kp = jnp.asarray(pad_nodes(k, sg)).reshape(sg.n_shards, sg.n_local, -1)
+
+    def sharded_loss(k_in):
+        return jnp.sum(fn(qp, k_in, vp, eap, tables))
+
+    g_shard = np.asarray(jax.grad(sharded_loss)(kp)).reshape(sg.n_total_padded, -1)[:n]
+    np.testing.assert_allclose(g_shard, g_ref, atol=2e-4)
+
+
+def test_ulysses_heads_attention_matches(rng):
+    """Sequence-parallel Ulysses attention == single-device attention."""
+    from anemoi_tpu.models.layers.attention import _window_attention
+    from anemoi_tpu.parallel.heads import ulysses_attention
+
+    S = 4
+    n, h, d = 64, 8, 4  # n divisible by S, h divisible by S
+    q = rng.normal(size=(n, h, d)).astype(np.float32)
+    k = rng.normal(size=(n, h, d)).astype(np.float32)
+    v = rng.normal(size=(n, h, d)).astype(np.float32)
+    ref = np.asarray(
+        _window_attention(
+            jnp.asarray(q)[None], jnp.asarray(k)[None], jnp.asarray(v)[None],
+            window_size=8,
+        )
+    )[0]
+
+    devices = np.asarray(jax.devices()[:S]).reshape(S)
+    mesh = Mesh(devices, axis_names=("model",))
+
+    def kernel(q_blk, k_blk, v_blk):
+        return ulysses_attention(q_blk, k_blk, v_blk, window_size=8, axis_name="model")
+
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P("model"), P("model"), P("model")),
+        out_specs=P("model"),
+        check_vma=False,
+    )
+    out = np.asarray(jax.jit(fn)(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # gradients also match
+    def ref_loss(kk):
+        return jnp.sum(
+            _window_attention(jnp.asarray(q)[None], kk[None], jnp.asarray(v)[None], 8)
+            ** 2
+        )
+
+    def shard_loss(kk):
+        return jnp.sum(fn(jnp.asarray(q), kk, jnp.asarray(v)) ** 2)
+
+    g_ref = np.asarray(jax.grad(ref_loss)(jnp.asarray(k)))
+    g_sh = np.asarray(jax.grad(shard_loss)(jnp.asarray(k)))
+    np.testing.assert_allclose(g_sh, g_ref, atol=2e-4)
