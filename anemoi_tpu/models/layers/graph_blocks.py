@@ -118,7 +118,7 @@ class GraphTransformerAttention(nn.Module):
         query = nn.Dense(hd, name="lin_query")(x_dst)
         key = nn.Dense(hd, name="lin_key")(x_src)
         value = nn.Dense(hd, name="lin_value")(x_src)
-        e = edge_data.edge_attr
+        e = edge_data.edge_attr.astype(x_src.dtype)
         if self.edge_pre_mlp:
             e = MLP(
                 hidden_dim=e.shape[-1], out_features=e.shape[-1], layer_norm=False,

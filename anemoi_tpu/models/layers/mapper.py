@@ -157,7 +157,7 @@ class GNNForwardMapper(nn.Module):
         cond=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
-            edge_data.edge_attr
+            edge_data.edge_attr.astype(x[0].dtype)
         )
         edge_emb = MLP(
             hidden_dim=self.hidden_dim,
@@ -211,7 +211,7 @@ class GNNBackwardMapper(nn.Module):
         cond=None,
     ) -> jnp.ndarray:
         edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
-            edge_data.edge_attr
+            edge_data.edge_attr.astype(x[0].dtype)
         )
         edge_emb = MLP(
             hidden_dim=self.hidden_dim,

@@ -102,7 +102,7 @@ def advance_input(
     use_pred = jnp.asarray(ia["is_prog"])
     if boundary_mask is not None:
         use_pred = use_pred & boundary_mask[:, None]
-    new_steps = jnp.where(use_pred, from_pred, from_data)
+    new_steps = jnp.where(use_pred, from_pred, from_data).astype(x.dtype)
     return jnp.concatenate([x[:, n_out:], new_steps], axis=1)
 
 
@@ -114,6 +114,7 @@ def make_step_fns(
     ensemble_size: int = 1,
     base_rng: jnp.ndarray = None,
     output_masks: Optional[Dict[str, "object"]] = None,
+    precision: str = "fp32",
 ) -> Tuple[Callable, Callable]:
     """Build jitted (train_step, eval_step) closures.
 
@@ -138,13 +139,26 @@ def make_step_fns(
         ds: (output_masks[ds].as_array() if output_masks and ds in output_masks else None)
         for ds in dataset_names
     }
+    compute_dtype = jnp.bfloat16 if precision in ("bf16", "bfloat16", "16-mixed") else None
+
+    def _cast_params(params):
+        """Mixed precision: bf16 compute copies of the fp32 master weights
+        (the reference's '16-mixed'; grads flow back to fp32 via the cast)."""
+        if compute_dtype is None:
+            return params
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p, params
+        )
 
     def rollout_loss(params, batch, graph_inputs, rng):
+        params = _cast_params(params)
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
         x = {
             ds: batch_norm[ds][:, :m, ..., jnp.asarray(ia[ds]["data_input_full"])]
             for ds in dataset_names
         }
+        if compute_dtype is not None:
+            x = {ds: v.astype(compute_dtype) for ds, v in x.items()}
         if ensemble_size > 1:
             # tile the (size-1) ensemble dim: every member starts identical,
             # spread comes from the per-member noise rng
@@ -169,7 +183,8 @@ def make_step_fns(
                 target = batch_norm[ds][
                     :, t0 : t0 + n_out, ..., jnp.asarray(ia[ds]["model_out_in_data"])
                 ]
-                total = total + losses[ds](y_pred[ds], target)
+                # loss in fp32 regardless of compute precision
+                total = total + losses[ds](y_pred[ds].astype(jnp.float32), target)
             if step + 1 < rollout:
                 x = {
                     ds: advance_input(

@@ -205,6 +205,7 @@ class AnemoiTrainer:
                 remat_rollout=bool(training_cfg.get("remat_rollout", True)),
                 ensemble_size=int(training_cfg.get("ensemble_size", 1)),
                 output_masks=self.output_masks or None,
+                precision=str(training_cfg.get("precision", "fp32")),
             )
         return self._step_fns[rollout]
 

@@ -88,7 +88,10 @@ def main() -> None:
     init_s = time.time() - t0
     log(f"init in {init_s:.1f}s")
 
-    train_step, _ = make_step_fns(iface, losses, rollout=rollout, remat_rollout=True)
+    precision = os.environ.get("BENCH_DTYPE", "fp32")
+    train_step, _ = make_step_fns(
+        iface, losses, rollout=rollout, remat_rollout=True, precision=precision
+    )
 
     rng = np.random.default_rng(0)
     batch = {
@@ -130,6 +133,7 @@ def main() -> None:
             "layers": layers,
             "heads": heads,
             "rollout": rollout,
+            "precision": precision,
             "step_time_ms": round(step_time * 1000, 2),
             "params_m": round(n_params / 1e6, 2),
             "compile_s": round(compile_s, 1),
