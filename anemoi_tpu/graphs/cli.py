@@ -22,6 +22,14 @@ def main(argv=None) -> int:
     p_desc = sub.add_parser("describe", help="Summarise a saved graph")
     p_desc.add_argument("graph", help="Graph .npz path")
 
+    p_insp = sub.add_parser("inspect", help="Detailed statistics + plots")
+    p_insp.add_argument("graph")
+    p_insp.add_argument("--plot", default=None, help="Write a PNG overview here")
+
+    p_exp = sub.add_parser("export_to_sparse", help="Export edge sets as scipy CSR .npz")
+    p_exp.add_argument("graph")
+    p_exp.add_argument("output_dir")
+
     args = parser.parse_args(argv)
 
     if args.command == "create":
@@ -39,6 +47,28 @@ def main(argv=None) -> int:
         from anemoi_tpu.graphs.graph import Graph
 
         print(describe(Graph.load(args.graph)))
+        return 0
+
+    if args.command == "inspect":
+        import json
+
+        from anemoi_tpu.graphs.graph import Graph
+        from anemoi_tpu.graphs.inspect_tools import edge_statistics, plot_graph
+
+        graph = Graph.load(args.graph)
+        print(json.dumps(edge_statistics(graph), indent=1))
+        if args.plot:
+            path = plot_graph(graph, args.plot)
+            print(f"plot -> {path}")
+        return 0
+
+    if args.command == "export_to_sparse":
+        from anemoi_tpu.graphs.graph import Graph
+        from anemoi_tpu.graphs.inspect_tools import export_to_sparse
+
+        written = export_to_sparse(Graph.load(args.graph), args.output_dir)
+        for key, path in written.items():
+            print(f"{key} -> {path}")
         return 0
 
     return 1

@@ -273,6 +273,22 @@ def area_mask(
     return m[:, None]
 
 
+@node_attribute_registry.register("BooleanOp")
+def boolean_op_attribute(graph: Graph, nodes_name: str, op: str, attributes: list) -> np.ndarray:
+    """Boolean combination of existing mask attributes (ref boolean_op.py)."""
+    return apply_boolean_op(graph, nodes_name, op, attributes)
+
+
+@node_builder_registry.register("HexNodes")
+def hex_nodes(resolution: int) -> np.ndarray:
+    """Hexagonal (H3) icosahedral nodes (ref from_refined_icosahedron.py:111).
+    Requires the h3 library, which is not available in this image."""
+    raise ModuleNotFoundError(
+        "HexNodes requires the 'h3' library (not installed). Use TriNodes or "
+        "HEALPixNodes for an equivalent multi-resolution mesh."
+    )
+
+
 def apply_boolean_op(graph: Graph, nodes_name: str, op: str, attributes: list) -> np.ndarray:
     """Boolean combinations of existing masks (ref: boolean_op.py)."""
     masks = [graph[nodes_name].attributes[a].astype(bool) for a in attributes]

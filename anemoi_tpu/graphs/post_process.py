@@ -28,6 +28,23 @@ def sort_edges_by_dst(graph: Graph) -> Graph:
     return graph
 
 
+@post_processor_registry.register("SortEdgeIndexBySourceNodes")
+def sort_edges_by_src(graph: Graph) -> Graph:
+    """Stably sort edge sets by SOURCE node (ref post_process.py:290).
+    Note: the framework re-sorts by destination at the end of post-processing
+    (the CSR invariant); this exists for recipe parity/intermediate steps."""
+    import numpy as np
+
+    for key in list(graph.edges):
+        es = graph.edges[key]
+        order = np.argsort(es.edge_index[0], kind="stable")
+        graph.edges[key] = EdgeSet(
+            edge_index=es.edge_index[:, order],
+            attributes={k: v[order] for k, v in es.attributes.items()},
+        )
+    return graph
+
+
 @post_processor_registry.register("RemoveUnconnectedNodes")
 def remove_unconnected_nodes(
     graph: Graph,

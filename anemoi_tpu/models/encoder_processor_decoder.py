@@ -27,6 +27,10 @@ from anemoi_tpu.models.layers.mapper import (
     GNNForwardMapper,
     GraphTransformerBackwardMapper,
     GraphTransformerForwardMapper,
+    PointWiseBackwardMapper,
+    PointWiseForwardMapper,
+    TransformerBackwardMapper,
+    TransformerForwardMapper,
 )
 from anemoi_tpu.models.layers.processor import (
     GNNProcessor,
@@ -39,10 +43,14 @@ from anemoi_tpu.models.layers.residual import build_residual
 ENCODERS = {
     "GraphTransformerForwardMapper": GraphTransformerForwardMapper,
     "GNNForwardMapper": GNNForwardMapper,
+    "TransformerForwardMapper": TransformerForwardMapper,
+    "PointWiseForwardMapper": PointWiseForwardMapper,
 }
 DECODERS = {
     "GraphTransformerBackwardMapper": GraphTransformerBackwardMapper,
     "GNNBackwardMapper": GNNBackwardMapper,
+    "TransformerBackwardMapper": TransformerBackwardMapper,
+    "PointWiseBackwardMapper": PointWiseBackwardMapper,
 }
 PROCESSORS = {
     "GraphTransformerProcessor": GraphTransformerProcessor,
@@ -52,11 +60,31 @@ PROCESSORS = {
 }
 
 
+def _field_filter(cls, cfg: dict) -> dict:
+    """Keep only config keys that are fields of the component class.
+
+    Preset composition merges defaults across flavours, so a config may carry
+    keys another flavour used (e.g. gnn's mlp_extra_layers after switching the
+    encoder to a Transformer mapper); drop them with a warning instead of
+    crashing."""
+    import dataclasses
+    import logging
+
+    valid = {f.name for f in dataclasses.fields(cls)}
+    dropped = sorted(set(cfg) - valid)
+    if dropped:
+        logging.getLogger(__name__).warning(
+            "%s ignoring config keys %s", cls.__name__, dropped
+        )
+    return {k: v for k, v in cfg.items() if k in valid}
+
+
 def _build_encoder(cfg: dict, hidden_dim: int, backend: str) -> nn.Module:
     cfg = dict(cfg)
     cls = ENCODERS[cfg.pop("name", "GraphTransformerForwardMapper")]
     cfg.pop("sub_graph_edge_attributes", None)
     trainable = cfg.pop("trainable_size", 0)
+    cfg = _field_filter(cls, cfg)
     return cls(hidden_dim=hidden_dim, edge_trainable_size=trainable, backend=backend, **cfg)
 
 
@@ -65,6 +93,7 @@ def _build_decoder(cfg: dict, hidden_dim: int, out_channels: int, backend: str) 
     cls = DECODERS[cfg.pop("name", "GraphTransformerBackwardMapper")]
     cfg.pop("sub_graph_edge_attributes", None)
     trainable = cfg.pop("trainable_size", 0)
+    cfg = _field_filter(cls, cfg)
     return cls(
         hidden_dim=hidden_dim,
         out_channels_dst=out_channels,
@@ -79,6 +108,7 @@ def _build_processor(cfg: dict, num_channels: int, backend: str) -> nn.Module:
     cls = PROCESSORS[cfg.pop("name", "GraphTransformerProcessor")]
     cfg.pop("sub_graph_edge_attributes", None)
     trainable = cfg.pop("trainable_size", 0)
+    cfg = _field_filter(cls, cfg)
     if cls in (PointWiseMLPProcessor, TransformerProcessor):
         return cls(num_channels=num_channels, **cfg)
     return cls(
@@ -209,7 +239,9 @@ class AnemoiModelEncProcDec(nn.Module):
             idx = self.data_indices[ds]
             xd = x[ds]
             # residual skip state (most recent step by default)
-            residual = build_residual(self.config.get("residual"))
+            residual = build_residual(
+                self.config.get("residual"), graph=self.graph.source_graph, dataset=ds
+            )
             x_skip[ds] = residual(xd, n_step_output=self.n_step_output)
 
             node_attrs = TrainableNodeAttributes(

@@ -130,7 +130,9 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         for ds in dataset_names:
             idx = self.data_indices[ds]
             xd = x[ds]
-            residual = build_residual(self.config.get("residual"))
+            residual = build_residual(
+                self.config.get("residual"), graph=self.graph.source_graph, dataset=ds
+            )
             x_skip[ds] = residual(xd, n_step_output=self.n_step_output)
             attrs = node_attrs(ds)
             flat = jnp.transpose(xd, (0, 2, 3, 1, 4)).reshape(

@@ -238,3 +238,116 @@ class GNNBackwardMapper(nn.Module):
             zero_init_output=self.initialise_data_extractor_zero,
             name="node_data_extractor",
         )(x_dst)
+
+
+class PointWiseForwardMapper(nn.Module):
+    """Point-wise mapper: per-node MLP, no message passing -- usable when the
+    source and destination node sets coincide (ref mapper.py:1157)."""
+
+    hidden_dim: int
+    mlp_hidden_ratio: float = 1.0
+    edge_trainable_size: int = 0
+    backend: str = "padded"  # unused; signature parity
+
+    @nn.compact
+    def __call__(self, x, edge_data=None, cond=None):
+        x_src, x_dst = x
+        assert x_src.shape[1] == x_dst.shape[1], (
+            "PointWise mappers require matching src/dst node sets"
+        )
+        h = MLP(
+            hidden_dim=compute_mlp_hidden_dim(self.hidden_dim, self.mlp_hidden_ratio),
+            out_features=self.hidden_dim,
+            name="mlp",
+        )(jnp.concatenate([x_src, x_dst], axis=-1))
+        return x_src, h
+
+
+class PointWiseBackwardMapper(nn.Module):
+    """Point-wise decoder (ref mapper.py:1213)."""
+
+    hidden_dim: int
+    out_channels_dst: int
+    mlp_hidden_ratio: float = 1.0
+    edge_trainable_size: int = 0
+    initialise_data_extractor_zero: bool = False
+    backend: str = "padded"
+
+    @nn.compact
+    def __call__(self, x, edge_data=None, cond=None):
+        x_src, x_dst = x
+        assert x_src.shape[1] == x_dst.shape[1]
+        return MLP(
+            hidden_dim=compute_mlp_hidden_dim(self.hidden_dim, self.mlp_hidden_ratio),
+            out_features=self.out_channels_dst,
+            layer_norm=False,
+            zero_init_output=self.initialise_data_extractor_zero,
+            name="mlp",
+        )(jnp.concatenate([x_src, x_dst], axis=-1))
+
+
+class TransformerForwardMapper(nn.Module):
+    """Dense cross-attention mapper data -> hidden (ref mapper.py:1420):
+    hidden nodes attend to all data nodes with MultiHeadCrossAttention."""
+
+    hidden_dim: int
+    num_heads: int
+    mlp_hidden_ratio: float = 4.0
+    edge_trainable_size: int = 0
+    backend: str = "padded"  # unused
+
+    @nn.compact
+    def __call__(self, x, edge_data=None, cond=None):
+        from anemoi_tpu.models.layers.attention import MultiHeadCrossAttention
+
+        x_src = nn.Dense(self.hidden_dim, name="emb_nodes_src")(x[0])
+        x_dst = nn.Dense(self.hidden_dim, name="emb_nodes_dst")(x[1])
+        attn_out = MultiHeadCrossAttention(
+            num_heads=self.num_heads, name="cross_attention"
+        )(LayerNorm(name="ln_src")(x_src), LayerNorm(name="ln_dst")(x_dst))
+        x_dst = x_dst + attn_out
+        normed = LayerNorm(name="ln_mlp")(x_dst)
+        x_dst = x_dst + MLP(
+            hidden_dim=compute_mlp_hidden_dim(self.hidden_dim, self.mlp_hidden_ratio),
+            out_features=self.hidden_dim,
+            layer_norm=False,
+            name="mlp",
+        )(normed)
+        return x[0], x_dst
+
+
+class TransformerBackwardMapper(nn.Module):
+    """Dense cross-attention decoder hidden -> data (ref mapper.py:1543)."""
+
+    hidden_dim: int
+    out_channels_dst: int
+    num_heads: int
+    mlp_hidden_ratio: float = 4.0
+    edge_trainable_size: int = 0
+    initialise_data_extractor_zero: bool = False
+    backend: str = "padded"
+
+    @nn.compact
+    def __call__(self, x, edge_data=None, cond=None):
+        from anemoi_tpu.models.layers.attention import MultiHeadCrossAttention
+
+        x_src = x[0]
+        x_dst = nn.Dense(self.hidden_dim, name="emb_nodes_dst")(x[1])
+        attn_out = MultiHeadCrossAttention(
+            num_heads=self.num_heads, name="cross_attention"
+        )(LayerNorm(name="ln_src")(x_src), LayerNorm(name="ln_dst")(x_dst))
+        x_dst = x_dst + attn_out
+        normed = LayerNorm(name="ln_mlp")(x_dst)
+        x_dst = x_dst + MLP(
+            hidden_dim=compute_mlp_hidden_dim(self.hidden_dim, self.mlp_hidden_ratio),
+            out_features=self.hidden_dim,
+            layer_norm=False,
+            name="mlp",
+        )(normed)
+        out = LayerNorm(name="extractor_norm")(x_dst)
+        kernel_init = (
+            nn.initializers.zeros
+            if self.initialise_data_extractor_zero
+            else nn.initializers.lecun_normal()
+        )
+        return nn.Dense(self.out_channels_dst, kernel_init=kernel_init, name="extractor")(out)

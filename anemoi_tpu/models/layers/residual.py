@@ -118,7 +118,25 @@ class TruncatedConnection:
         return _expand_time(out, n_step_output)
 
 
-def build_residual(config: Optional[dict], **kwargs):
+def build_residual(config: Optional[dict], graph=None, dataset: str = "data", **kwargs):
+    """Build a residual connection; TruncatedConnection resolves its down/up
+    projection sub-graphs from the heterogeneous graph (the reference's
+    ProjectionCreator path, residual.py:84 + graph_provider.py:464)."""
     if config is None:
         return SkipConnection()
-    return residual_registry.build_from_config(dict(config), **kwargs)
+    cfg = dict(config)
+    if cfg.get("name") == "TruncatedConnection" and "down_edge_index" not in cfg:
+        assert graph is not None, "TruncatedConnection needs the source graph"
+        trunc = cfg.pop("truncation_nodes", "truncation")
+        weight_attr = cfg.pop("edge_weight_attribute", "gauss_weight")
+        down = graph[(dataset, trunc)]
+        up = graph[(trunc, dataset)]
+        cfg.update(
+            down_edge_index=down.edge_index,
+            down_weights=down.attributes[weight_attr],
+            up_edge_index=up.edge_index,
+            up_weights=up.attributes[weight_attr],
+            num_coarse=graph[trunc].num_nodes,
+            num_data=graph[dataset].num_nodes,
+        )
+    return residual_registry.build_from_config(cfg, **kwargs)

@@ -115,6 +115,7 @@ def make_step_fns(
     base_rng: jnp.ndarray = None,
     output_masks: Optional[Dict[str, "object"]] = None,
     precision: str = "fp32",
+    task: str = "forecaster",
 ) -> Tuple[Callable, Callable]:
     """Build jitted (train_step, eval_step) closures.
 
@@ -123,6 +124,9 @@ def make_step_fns(
     ensemble_size: members to run per sample (EnsembleTraining,
     ref train/methods/ensemble.py:35 -- inputs tiled over the ensemble dim,
     targets stay single-truth for the CRPS loss).
+    task: "forecaster" (autoregressive, ref tasks/forecaster.py) or
+    "autoencoder" (reconstruct the most recent input steps, ref tasks/
+    timeless.py:32 -- no time advance, rollout forced to 1).
     """
     model = interface.model
     pre = interface.pre_processors
@@ -176,9 +180,10 @@ def make_step_fns(
             forward = jax.checkpoint(forward)
 
         total = 0.0
-        for step in range(rollout):
+        effective_rollout = 1 if task == "autoencoder" else rollout
+        for step in range(effective_rollout):
             y_pred = forward(params, x, jax.random.fold_in(rng, step))
-            t0 = m + step * n_out
+            t0 = (m - n_out) if task == "autoencoder" else m + step * n_out
             for ds in dataset_names:
                 target = batch_norm[ds][
                     :, t0 : t0 + n_out, ..., jnp.asarray(ia[ds]["model_out_in_data"])
@@ -193,7 +198,7 @@ def make_step_fns(
                     )
                     for ds in dataset_names
                 }
-        return total / (rollout * len(dataset_names))
+        return total / (effective_rollout * len(dataset_names))
 
     graph_inputs = interface.graph_inputs
 

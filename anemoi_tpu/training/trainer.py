@@ -206,6 +206,7 @@ class AnemoiTrainer:
                 ensemble_size=int(training_cfg.get("ensemble_size", 1)),
                 output_masks=self.output_masks or None,
                 precision=str(training_cfg.get("precision", "fp32")),
+                task=str(training_cfg.get("task", "forecaster")),
             )
         return self._step_fns[rollout]
 

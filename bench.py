@@ -88,7 +88,7 @@ def main() -> None:
     init_s = time.time() - t0
     log(f"init in {init_s:.1f}s")
 
-    precision = os.environ.get("BENCH_DTYPE", "fp32")
+    precision = os.environ.get("BENCH_DTYPE", "bf16")
     train_step, _ = make_step_fns(
         iface, losses, rollout=rollout, remat_rollout=True, precision=precision
     )
