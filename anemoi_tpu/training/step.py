@@ -124,9 +124,11 @@ def make_step_fns(
     ensemble_size: members to run per sample (EnsembleTraining,
     ref train/methods/ensemble.py:35 -- inputs tiled over the ensemble dim,
     targets stay single-truth for the CRPS loss).
-    task: "forecaster" (autoregressive, ref tasks/forecaster.py) or
+    task: "forecaster" (autoregressive, ref tasks/forecaster.py),
     "autoencoder" (reconstruct the most recent input steps, ref tasks/
-    timeless.py:32 -- no time advance, rollout forced to 1).
+    timeless.py:32 -- no time advance, rollout forced to 1), or
+    "temporal_downscaler" (ref tasks/temporal_downscaler.py:20 -- inputs are
+    the window endpoints, targets the n_step_output interior steps).
     """
     model = interface.model
     pre = interface.pre_processors
@@ -157,10 +159,21 @@ def make_step_fns(
     def rollout_loss(params, batch, graph_inputs, rng):
         params = _cast_params(params)
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
-        x = {
-            ds: batch_norm[ds][:, :m, ..., jnp.asarray(ia[ds]["data_input_full"])]
-            for ds in dataset_names
-        }
+        if task == "temporal_downscaler":
+            # inputs = window endpoints (positions 0 and n_out+1)
+            assert m == 2, "temporal_downscaler needs n_step_input=2 (endpoints)"
+            x = {
+                ds: jnp.concatenate(
+                    [batch_norm[ds][:, :1], batch_norm[ds][:, n_out + 1 : n_out + 2]],
+                    axis=1,
+                )[..., jnp.asarray(ia[ds]["data_input_full"])]
+                for ds in dataset_names
+            }
+        else:
+            x = {
+                ds: batch_norm[ds][:, :m, ..., jnp.asarray(ia[ds]["data_input_full"])]
+                for ds in dataset_names
+            }
         if compute_dtype is not None:
             x = {ds: v.astype(compute_dtype) for ds, v in x.items()}
         if ensemble_size > 1:
@@ -180,10 +193,15 @@ def make_step_fns(
             forward = jax.checkpoint(forward)
 
         total = 0.0
-        effective_rollout = 1 if task == "autoencoder" else rollout
+        effective_rollout = 1 if task in ("autoencoder", "temporal_downscaler") else rollout
         for step in range(effective_rollout):
             y_pred = forward(params, x, jax.random.fold_in(rng, step))
-            t0 = (m - n_out) if task == "autoencoder" else m + step * n_out
+            if task == "autoencoder":
+                t0 = m - n_out
+            elif task == "temporal_downscaler":
+                t0 = 1  # interior steps between the endpoints
+            else:
+                t0 = m + step * n_out
             for ds in dataset_names:
                 target = batch_norm[ds][
                     :, t0 : t0 + n_out, ..., jnp.asarray(ia[ds]["model_out_in_data"])

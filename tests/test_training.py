@@ -191,3 +191,102 @@ def test_prediction_beats_persistence(trained):
     err_model = np.mean((np.asarray(pred["data"])[:, 0] - truth_out) ** 2)
     err_persist = np.mean((persistence - truth_out) ** 2)
     assert err_model < err_persist, (err_model, err_persist)
+
+
+def test_temporal_downscaler_task(tiny_graph, rng):
+    """Temporal downscaler: inputs are window endpoints, targets the interior
+    steps (ref tasks/temporal_downscaler.py)."""
+    import optax
+
+    from anemoi_tpu.training.losses import get_loss_function
+    from anemoi_tpu.training.optimizers import build_optimizer
+    from anemoi_tpu.training.step import TrainState, make_step_fns
+    from tests.test_models import build_interface, make_indices, make_statistics
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from tests.test_models import model_config
+
+    cfg = model_config()
+    cfg["n_step_output"] = 2  # two interior frames between the endpoints
+    iface = AnemoiModelInterface(
+        config={"model": cfg, "data": {"processors": []}},
+        graph=tiny_graph,
+        data_indices={"data": make_indices()},
+        statistics={"data": make_statistics()},
+    )
+    params = iface.init_params(jax.random.PRNGKey(0))
+    losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": []}, {})}
+    tx = build_optimizer({}, schedule=optax.constant_schedule(1e-3))
+    state = TrainState.create(params, tx)
+    train_step, _ = make_step_fns(
+        iface, losses, rollout=1, remat_rollout=False, task="temporal_downscaler"
+    )
+    n_grid = tiny_graph["data"].num_nodes
+    # window: endpoints at 0 and 3, interior targets at 1,2 -> 4 steps
+    batch = {"data": jnp.asarray(rng.normal(size=(1, 4, 1, n_grid, 6)), dtype=jnp.float32)}
+    state2, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multi_dataset_model(rng):
+    """Two datasets on different grids sharing one hidden mesh (the reference's
+    multi-dataset/fused-graph capability, test_multidatasets.yaml)."""
+    from anemoi_tpu.graphs.create import GraphCreator
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from tests.test_models import make_statistics
+    from anemoi_tpu.data_indices import IndexCollection
+
+    recipe = {
+        "nodes": {
+            "era": {"node_builder": {"name": "ReducedGaussianGridNodes", "grid": "o8"}},
+            "lam": {"node_builder": {"name": "RegularLatLonNodes", "resolution": 20.0}},
+            "hidden": {"node_builder": {"name": "TriNodes", "resolution": 1}},
+        },
+        "edges": [],
+    }
+    for ds in ["era", "lam"]:
+        recipe["edges"] += [
+            {"source_name": ds, "target_name": "hidden",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 4},
+             "attributes": {"edge_length": {"name": "EdgeLength"}}},
+            {"source_name": "hidden", "target_name": ds,
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": {"edge_length": {"name": "EdgeLength"}}},
+        ]
+    recipe["edges"].append(
+        {"source_name": "hidden", "target_name": "hidden",
+         "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1},
+         "attributes": {"edge_length": {"name": "EdgeLength"}}}
+    )
+    graph = GraphCreator(recipe).create()
+
+    names = {"q": 0, "t": 1, "cos_lat": 2}
+    indices = {
+        ds: IndexCollection(names, forcing=["cos_lat"]) for ds in ["era", "lam"]
+    }
+    cfg = {
+        "num_channels": 16, "n_step_input": 2, "n_step_output": 1,
+        "encoder": {"name": "GNNForwardMapper",
+                    "sub_graph_edge_attributes": ["edge_length"]},
+        "processor": {"name": "GNNProcessor", "num_layers": 1,
+                      "sub_graph_edge_attributes": ["edge_length"]},
+        "decoder": {"name": "GNNBackwardMapper",
+                    "sub_graph_edge_attributes": ["edge_length"]},
+    }
+    iface = AnemoiModelInterface(
+        config={"model": cfg, "data": {"processors": []}},
+        graph=graph,
+        data_indices=indices,
+        statistics={ds: make_statistics(3) for ds in ["era", "lam"]},
+    )
+    params = iface.init_params(jax.random.PRNGKey(0))
+    x = {
+        ds: jnp.asarray(
+            rng.normal(size=(1, 2, 1, graph[ds].num_nodes, 3)), dtype=jnp.float32
+        )
+        for ds in ["era", "lam"]
+    }
+    out = iface.apply(params, x)
+    assert out["era"].shape == (1, 1, 1, graph["era"].num_nodes, 2)
+    assert out["lam"].shape == (1, 1, 1, graph["lam"].num_nodes, 2)
+    assert np.isfinite(np.asarray(out["era"])).all()
+    assert np.isfinite(np.asarray(out["lam"])).all()
