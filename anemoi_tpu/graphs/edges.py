@@ -14,7 +14,7 @@ import numpy as np
 from sklearn.neighbors import NearestNeighbors
 
 from anemoi_tpu.graphs.generate.icosahedron import multi_scale_edge_index
-from anemoi_tpu.graphs.graph import EdgeSet, Graph
+from anemoi_tpu.graphs.graph import Graph
 from anemoi_tpu.graphs.nodes import normalise
 from anemoi_tpu.graphs.transforms import (
     azimuth,

@@ -9,7 +9,6 @@ return denormalised model-space forecasts.
 
 from __future__ import annotations
 
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

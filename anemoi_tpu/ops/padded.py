@@ -20,9 +20,9 @@ re-derived for gather-only hardware).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -234,15 +234,19 @@ def padded_gt_attention_flat(query, key, value, edge_attr, num_heads, tables):
 
 
 def _gt_fwd_impl(query, key, value, edge_attr, num_heads, tables):
-    """query [Nd,HD]; key/value [Ns,HD]; edge_attr [E,HD] or None. All flat."""
+    """query [Nd,HD]; key/value [Ns,HD]; edge_attr [E,HD] or None. All flat.
+
+    k and v are gathered TOGETHER as one [Ns, 2*HD] table read (half the
+    gather ops on the gather-bound TPU path), then split."""
     n, hd = query.shape
     h = num_heads
     d = hd // h
     k_dim = tables.src_slots.shape[1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=query.dtype))
 
-    k_nbr = _nbr_flat(key, tables)  # [N*K, HD]
-    v_nbr = _nbr_flat(value, tables)
+    kv = jnp.concatenate([key, value], axis=-1)  # [Ns, 2*HD]
+    kv_nbr = _nbr_flat(kv, tables)  # [N*K, 2*HD]
+    k_nbr, v_nbr = kv_nbr[:, :hd], kv_nbr[:, hd:]
     if edge_attr is not None:
         e_nbr = _edge_flat(edge_attr, tables)
         k_nbr = k_nbr + e_nbr
@@ -277,9 +281,10 @@ def _gt_bwd(num_heads, res, g):
     k_dim = tables.src_slots.shape[1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=query.dtype))
 
-    # recompute gathered neighbours (cheap flat gathers)
-    k_nbr = _nbr_flat(key, tables)
-    v_nbr = _nbr_flat(value, tables)
+    # recompute gathered neighbours (one fused flat gather for k and v)
+    kv = jnp.concatenate([key, value], axis=-1)
+    kv_nbr = _nbr_flat(kv, tables)
+    k_nbr, v_nbr = kv_nbr[:, :hd], kv_nbr[:, hd:]
     if edge_attr is not None:
         e_nbr = _edge_flat(edge_attr, tables)
         k_nbr = k_nbr + e_nbr
@@ -299,15 +304,15 @@ def _gt_bwd(num_heads, res, g):
     d_query = jnp.sum((d_logits_rep * k_nbr).reshape(n, k_dim, hd), axis=1)
     d_k_nbr = d_logits_rep * q_rep  # [N*K, HD]
 
-    # transpose the slot grads back to sources / edges -- gather-only
-    dk_flat = jnp.concatenate([d_k_nbr, jnp.zeros((1, hd), d_k_nbr.dtype)], axis=0)
-    dv_flat = jnp.concatenate([d_v_nbr, jnp.zeros((1, hd), d_v_nbr.dtype)], axis=0)
-    d_key = _slot_sum_to_src(dk_flat, tables)
-    d_value = _slot_sum_to_src(dv_flat, tables)
+    # transpose the slot grads back to sources / edges -- gather-only, with
+    # d_k and d_v fused into one double-width transpose gather
+    dkv = jnp.concatenate([d_k_nbr, d_v_nbr], axis=-1)  # [N*K, 2*HD]
+    dkv_flat = jnp.concatenate([dkv, jnp.zeros((1, 2 * hd), dkv.dtype)], axis=0)
+    dkv_src = _slot_sum_to_src(dkv_flat, tables)
+    d_key, d_value = dkv_src[:, :hd], dkv_src[:, hd:]
     if edge_attr is not None:
-        d_edge = jnp.take(dk_flat, tables.edge_gather_slot, axis=0) + jnp.take(
-            dv_flat, tables.edge_gather_slot, axis=0
-        )
+        dkv_edge = jnp.take(dkv_flat, tables.edge_gather_slot, axis=0)
+        d_edge = dkv_edge[:, :hd] + dkv_edge[:, hd:]
     else:
         d_edge = None
     return d_query, d_key, d_value, d_edge, None

@@ -14,7 +14,7 @@ its Triton kernel against the PyG conv (models/tests/integration/triton/).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

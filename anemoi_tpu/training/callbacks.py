@@ -17,7 +17,6 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from anemoi_tpu.utils.registry import Registry

@@ -101,17 +101,17 @@ def save_inference_checkpoint(
             for key, arr in stats.items()
         },
     )
+    from anemoi_tpu.models.migrations import MIGRATOR
+
+    bundle = MIGRATOR.migrate(
+        {
+            "config": config,
+            "data_indices": data_indices_config,
+            "metadata": metadata or {},
+        }
+    )
     with open(os.path.join(path, "checkpoint.json"), "w") as f:
-        json.dump(
-            {
-                "config": config,
-                "data_indices": data_indices_config,
-                "metadata": metadata or {},
-                "format_version": 1,
-            },
-            f,
-            default=str,
-        )
+        json.dump(bundle, f, default=str)
 
 
 def load_inference_checkpoint(path: str):

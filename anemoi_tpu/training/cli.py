@@ -32,6 +32,21 @@ def main(argv=None) -> int:
     p_eval.add_argument("--output-dir", default=None)
     p_eval.add_argument("--rollout", type=int, default=None)
 
+    p_cfg = sub.add_parser("config", help="Inspect / dump composed configs")
+    cfg_sub = p_cfg.add_subparsers(dest="config_command", required=True)
+    p_cfg_gen = cfg_sub.add_parser("generate", help="Dump the fully composed config")
+    p_cfg_gen.add_argument("config")
+    p_cfg_gen.add_argument("overrides", nargs="*")
+    p_cfg_gen.add_argument("--output", default=None)
+    p_cfg_list = cfg_sub.add_parser("list", help="List packaged presets")
+
+    p_ckpt = sub.add_parser("checkpoint", help="Inspect / migrate checkpoints")
+    ckpt_sub = p_ckpt.add_subparsers(dest="checkpoint_command", required=True)
+    p_ck_insp = ckpt_sub.add_parser("inspect", help="Summarise an inference checkpoint")
+    p_ck_insp.add_argument("checkpoint")
+    p_ck_mig = ckpt_sub.add_parser("migrate", help="Apply pending migrations")
+    p_ck_mig.add_argument("checkpoint")
+
     p_pred = sub.add_parser("predict", help="Autoregressive forecast from an inference checkpoint")
     p_pred.add_argument("checkpoint", help="Inference checkpoint directory")
     p_pred.add_argument("--config", required=True, help="Config with data.datasets for initial conditions")
@@ -55,6 +70,47 @@ def main(argv=None) -> int:
 
         return run_forecast_cli(args)
 
+    if args.command == "config" and args.config_command == "list":
+        import anemoi_tpu
+
+        root = os.path.join(os.path.dirname(anemoi_tpu.__file__), "config")
+        for dirpath, _, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                if f.endswith(".yaml"):
+                    print(os.path.relpath(os.path.join(dirpath, f), root))
+        return 0
+
+    if args.command == "checkpoint":
+        import json
+
+        if args.checkpoint_command == "inspect":
+            with open(os.path.join(args.checkpoint, "checkpoint.json")) as f:
+                bundle = json.load(f)
+            from anemoi_tpu.models.migrations import MIGRATOR
+
+            info = {
+                "format_version": bundle.get("metadata", {}).get("format_version"),
+                "migrations_applied": bundle.get("metadata", {}).get("migrations", []),
+                "migrations_pending": [m.name for m in MIGRATOR.pending(bundle)],
+                "datasets": list(bundle.get("data_indices", {})),
+                "model": bundle.get("config", {}).get("model", {}).get("name"),
+                "num_params": bundle.get("metadata", {}).get("num_params"),
+            }
+            print(json.dumps(info, indent=1))
+            return 0
+        if args.checkpoint_command == "migrate":
+            from anemoi_tpu.models.migrations import MIGRATOR
+
+            path = os.path.join(args.checkpoint, "checkpoint.json")
+            with open(path) as f:
+                bundle = json.load(f)
+            pending = [m.name for m in MIGRATOR.pending(bundle)]
+            bundle = MIGRATOR.migrate(bundle)
+            with open(path, "w") as f:
+                json.dump(bundle, f, default=str)
+            print(f"applied {len(pending)} migrations: {pending}")
+            return 0
+
     import anemoi_tpu
     from anemoi_tpu.utils.config import load_config
 
@@ -62,6 +118,18 @@ def main(argv=None) -> int:
     cfg = load_config(
         args.config, overrides=list(args.overrides), search_paths=[packaged]
     )
+
+    if args.command == "config":  # generate (list handled above)
+        import yaml
+
+        text = yaml.safe_dump(cfg.to_dict(), sort_keys=False)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text)
+            print(f"composed config -> {args.output}")
+        else:
+            print(text)
+        return 0
 
     if args.command == "validate":
         from anemoi_tpu.training.schemas import validate_config

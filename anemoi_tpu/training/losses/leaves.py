@@ -9,11 +9,10 @@ ensembles.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 
-from anemoi_tpu.training.losses.base import BaseLoss, ScaleTensor, loss_registry
+from anemoi_tpu.training.losses.base import BaseLoss, loss_registry
 
 
 @loss_registry.register("WeightedMSELoss")

@@ -12,11 +12,10 @@ an extended-rollout validation pass reusing the same jitted step.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from anemoi_tpu.training.losses.scalers import split_variable_name
 from anemoi_tpu.training.step import _index_arrays, advance_input

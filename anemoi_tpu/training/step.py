@@ -14,7 +14,6 @@ W = n_step_input + rollout * n_step_output.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Tuple
 
 import jax

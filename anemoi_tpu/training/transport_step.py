@@ -13,7 +13,6 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from anemoi_tpu.models.transport.objectives import (
