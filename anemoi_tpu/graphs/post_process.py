@@ -140,3 +140,38 @@ def subset_nodes_in_area(
 
 def apply_post_processor(graph: Graph, config: dict) -> Graph:
     return post_processor_registry.build_from_config(config, graph=graph)
+
+
+@post_processor_registry.register("SortNodesByIncomingDegree")
+def sort_nodes_by_incoming_degree(
+    graph: Graph, nodes_name: str, edges_key: Optional[list] = None
+) -> Graph:
+    """Relabel ``nodes_name`` by DESCENDING in-degree of one of its edge sets
+    (default: the self-edges).  Pure relabeling: coordinates, attributes and
+    every touching edge set are permuted consistently.  Enables degree-bucketed
+    gather tables (ops.padded.compute_buckets) that cut the padded gather
+    volume ~2x on skewed meshes.  Apply BEFORE the dst-sort post-processor."""
+    key = tuple(edges_key) if edges_key else (nodes_name, nodes_name)
+    es = graph[key]
+    ns = graph[nodes_name]
+    deg = np.bincount(es.edge_index[1], minlength=ns.num_nodes)
+    order = np.argsort(-deg, kind="stable")  # old id per new position
+    relabel = np.empty(ns.num_nodes, dtype=np.int64)
+    relabel[order] = np.arange(ns.num_nodes)
+
+    graph.nodes[nodes_name] = NodeSet(
+        coords=ns.coords[order],
+        attributes={k: v[order] for k, v in ns.attributes.items()},
+    )
+    for ekey in list(graph.edges):
+        src, dst = ekey
+        if src != nodes_name and dst != nodes_name:
+            continue
+        e = graph.edges[ekey]
+        ei = e.edge_index.copy()
+        if src == nodes_name:
+            ei[0] = relabel[ei[0]]
+        if dst == nodes_name:
+            ei[1] = relabel[ei[1]]
+        graph.edges[ekey] = EdgeSet(edge_index=ei, attributes=dict(e.attributes))
+    return graph

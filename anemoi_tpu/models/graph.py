@@ -25,11 +25,15 @@ from anemoi_tpu.ops.padded import PaddedCSR
 class EdgeData:
     """Device-side edge arrays for one sub-graph, passed through the model as
     a pytree (jit/remat-friendly).  ``tables`` holds the padded-CSR forward +
-    transpose tables (None when using the segment backend only)."""
+    transpose tables (None when using the segment backend only); when the dst
+    set is degree-sorted, ``bucket_tables``/``bucket_spans`` additionally hold
+    the degree-bucketed variant (~2x less gather padding on skewed meshes)."""
 
     edge_attr: jnp.ndarray  # [E, F]
     edge_index: jnp.ndarray  # [2, E] dst-sorted
     tables: Optional[object] = None  # PaddedTables pytree
+    bucket_tables: Optional[tuple] = None  # tuple of PaddedTables
+    bucket_spans: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_edges(self) -> int:
@@ -63,15 +67,27 @@ class SubGraphArrays:
             )
         return self._csr
 
-    def edge_data(self, dtype=jnp.float32, padded: bool = True) -> EdgeData:
-        """Device-ready EdgeData (padded tables included unless disabled)."""
-        from anemoi_tpu.ops.padded import PaddedTables
+    def edge_data(
+        self, dtype=jnp.float32, padded: bool = True, bucketed: bool = False
+    ) -> EdgeData:
+        """Device-ready EdgeData (padded tables included unless disabled;
+        ``bucketed`` adds degree-bucketed tables for the GT attention path)."""
+        from anemoi_tpu.ops.padded import PaddedTables, build_bucketed_tables
 
         tables = PaddedTables.from_csr(self.padded_csr) if padded else None
+        bucket_tables = bucket_spans = None
+        if padded and bucketed:
+            bucket_tables, bucket_spans = build_bucketed_tables(
+                self.edge_index, self.dst_ptr, num_src=self.num_src
+            )
+            if len(bucket_tables) <= 1:  # no win; skip the duplicate tables
+                bucket_tables = bucket_spans = None
         return EdgeData(
             edge_attr=jnp.asarray(self.edge_attr, dtype=dtype),
             edge_index=jnp.asarray(self.edge_index),
             tables=tables,
+            bucket_tables=bucket_tables,
+            bucket_spans=bucket_spans,
         )
 
 

@@ -53,6 +53,13 @@ def _gt_attention(query, key, value, edges_proj, edge_data, num_dst, backend: st
             query, key, value, edges_proj, edge_data.tables
         )
     if backend == "padded":
+        if edge_data.bucket_tables is not None:
+            from anemoi_tpu.ops.padded import padded_gt_attention_bucketed_heads
+
+            fn = partial(padded_gt_attention_bucketed_heads, spans=edge_data.bucket_spans)
+            return jax.vmap(fn, in_axes=(0, 0, 0, None, None))(
+                query, key, value, edges_proj, edge_data.bucket_tables
+            )
         assert edge_data.tables is not None, "padded backend needs PaddedCSR tables"
         return jax.vmap(padded_gt_attention, in_axes=(0, 0, 0, None, None))(
             query, key, value, edges_proj, edge_data.tables

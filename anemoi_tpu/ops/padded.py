@@ -424,3 +424,106 @@ def padded_graph_conv_aggregate(messages, csr=None, edge_slots=None, mask=None, 
     if tables is None:
         tables = PaddedTables.from_csr(csr)
     return padded_conv_aggregate(messages, tables)
+
+
+# ----------------------------------------------------------------------
+# degree-bucketed tables: cut padding waste on skewed in-degrees
+# ----------------------------------------------------------------------
+def compute_buckets(in_deg: np.ndarray, max_buckets: int = 3, bucket_multiple: int = 8):
+    """Choose contiguous dst ranges minimising padded gather volume.
+
+    Hidden-mesh in-degrees are highly skewed (hub nodes from coarse levels);
+    padding everyone to the max wastes 4-5x of the gather traffic.  After a
+    degree sort (graphs.post_process.SortNodesByIncomingDegree) 2-3 buckets
+    recover ~2x.  Returns [(start, end, k)] covering [0, N)."""
+    n = len(in_deg)
+    if n == 0:
+        return [(0, 0, bucket_multiple)]
+
+    def k_of(lo, hi):
+        m = int(in_deg[lo:hi].max()) if hi > lo else 1
+        return _round_up(max(m, 1), bucket_multiple)
+
+    if max_buckets <= 1 or n < 4 * bucket_multiple:
+        return [(0, n, k_of(0, n))]
+
+    # candidate boundaries on a quantile grid (round to bucket_multiple rows)
+    cands = sorted(
+        {min(n, _round_up(int(n * q / 64.0), bucket_multiple)) for q in range(1, 64)}
+    )
+    best = [(0, n, k_of(0, n))]
+    best_vol = n * best[0][2]
+    for i, b1 in enumerate(cands):
+        for b2 in cands[i:]:
+            if max_buckets < 3 and b2 != b1:
+                continue
+            parts = [(0, b1), (b1, b2), (b2, n)]
+            parts = [(lo, hi) for lo, hi in parts if hi > lo]
+            vol = sum((hi - lo) * k_of(lo, hi) for lo, hi in parts)
+            if vol < best_vol:
+                best_vol = vol
+                best = [(lo, hi, k_of(lo, hi)) for lo, hi in parts]
+    return best
+
+
+def build_bucketed_tables(
+    edge_index: np.ndarray,
+    dst_ptr: np.ndarray,
+    num_src: int,
+    max_buckets: int = 3,
+    bucket_multiple: int = 8,
+):
+    """Returns (tables_tuple, spans): per-bucket PaddedTables (pytree/jit
+    argument) and static (dst_lo, dst_hi, edge_lo, edge_hi) spans.
+
+    Each bucket covers a contiguous dst range; because edges are dst-sorted,
+    its edges are the contiguous slice [dst_ptr[start], dst_ptr[end]) -- so
+    per-bucket edge features are static slices, not gathers."""
+    in_deg = np.diff(dst_ptr)
+    buckets = compute_buckets(in_deg, max_buckets, bucket_multiple)
+    tables = []
+    spans = []
+    for lo, hi, k in buckets:
+        e_lo, e_hi = int(dst_ptr[lo]), int(dst_ptr[hi])
+        ei = edge_index[:, e_lo:e_hi].copy()
+        ei[1] = ei[1] - lo  # dst local to the bucket
+        ptr = (dst_ptr[lo : hi + 1] - e_lo).astype(np.int64)
+        csr = PaddedCSR.from_edge_index(
+            ei, ptr, num_src=num_src, bucket_multiple=bucket_multiple, k_in=k
+        )
+        tables.append(PaddedTables.from_csr(csr))
+        spans.append((int(lo), int(hi), e_lo, e_hi))
+    return tuple(tables), tuple(spans)
+
+
+def padded_gt_attention_bucketed(
+    query, key, value, edge_attr, num_heads, tables_tuple, spans
+):
+    """Bucketed flat attention: per-bucket calls over contiguous dst/edge
+    slices; AD accumulates the shared key/value gradients across buckets.
+
+    ``spans``: STATIC tuple of (dst_lo, dst_hi, edge_lo, edge_hi) per bucket
+    (must be static so the per-bucket shapes are compile-time constants);
+    ``tables_tuple``: matching tuple of PaddedTables (pytree, jit argument)."""
+    outs = []
+    for (lo, hi, e_lo, e_hi), tables in zip(spans, tables_tuple):
+        e_b = None if edge_attr is None else edge_attr[e_lo:e_hi]
+        outs.append(
+            padded_gt_attention_flat(query[lo:hi], key, value, e_b, num_heads, tables)
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+def padded_gt_attention_bucketed_heads(query, key, value, edge_attr, tables_tuple, spans):
+    """Head-structured bucketed wrapper: q [Nd,H,D], k/v [Ns,H,D], e [E,H,D]."""
+    n, h, d = query.shape
+    out = padded_gt_attention_bucketed(
+        query.reshape(n, h * d),
+        key.reshape(key.shape[0], h * d),
+        value.reshape(value.shape[0], h * d),
+        None if edge_attr is None else edge_attr.reshape(edge_attr.shape[0], h * d),
+        h,
+        tables_tuple,
+        spans,
+    )
+    return out.reshape(n, h, d)

@@ -190,3 +190,56 @@ def test_gather_edge_ops_grads(rng):
     np.testing.assert_allclose(
         np.asarray(jax.grad(g_custom)(xd)), np.asarray(jax.grad(g_ref)(xd)), atol=1e-5
     )
+
+
+def test_bucketed_attention_matches(rng):
+    """Degree-bucketed attention == single-table attention (fwd + grads)."""
+    from anemoi_tpu.ops.padded import (
+        PaddedCSR,
+        PaddedTables,
+        build_bucketed_tables,
+        compute_buckets,
+        padded_gt_attention_bucketed,
+        padded_gt_attention_flat,
+    )
+
+    # skewed degrees: sort a random graph's dst by in-degree
+    n_src, n_dst, e = 40, 64, 600
+    src = rng.integers(0, n_src, e)
+    dst = rng.integers(0, n_dst, e) ** 2 // n_dst  # skewed toward low ids
+    deg = np.bincount(dst, minlength=n_dst)
+    order = np.argsort(-deg, kind="stable")
+    relabel = np.empty(n_dst, dtype=np.int64)
+    relabel[order] = np.arange(n_dst)
+    dst = relabel[dst]
+    srt = np.argsort(dst, kind="stable")
+    ei = np.stack([src[srt], dst[srt]]).astype(np.int64)
+    dst_ptr = np.zeros(n_dst + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ei[1], minlength=n_dst), out=dst_ptr[1:])
+
+    buckets = compute_buckets(np.diff(dst_ptr))
+    tables_tuple, spans = build_bucketed_tables(ei, dst_ptr, num_src=n_src)
+    single = PaddedTables.from_csr(PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n_src))
+
+    HD, H = 16, 2
+    q = jnp.asarray(rng.normal(size=(n_dst, HD)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n_src, HD)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n_src, HD)), dtype=jnp.float32)
+    e_attr = jnp.asarray(rng.normal(size=(ei.shape[1], HD)), dtype=jnp.float32)
+
+    ref = padded_gt_attention_flat(q, k, v, e_attr, H, single)
+    out = padded_gt_attention_bucketed(q, k, v, e_attr, H, tables_tuple, spans)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_ref = jax.grad(lambda kk: jnp.sum(padded_gt_attention_flat(q, kk, v, e_attr, H, single) ** 2))(k)
+    g_b = jax.grad(
+        lambda kk: jnp.sum(
+            padded_gt_attention_bucketed(q, kk, v, e_attr, H, tables_tuple, spans) ** 2
+        )
+    )(k)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_ref), atol=1e-4)
+
+    # bucketed volume strictly less than single-table padded volume
+    single_vol = n_dst * single.src_slots.shape[1]
+    b_vol = sum((hi - lo) * t.src_slots.shape[1] for (lo, hi, _, _), t in zip(spans, tables_tuple))
+    assert b_vol < single_vol
