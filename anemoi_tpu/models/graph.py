@@ -34,6 +34,8 @@ class EdgeData:
     tables: Optional[object] = None  # PaddedTables pytree
     bucket_tables: Optional[tuple] = None  # tuple of PaddedTables
     bucket_spans: Optional[tuple] = struct.field(pytree_node=False, default=None)
+    src_range_tables: Optional[tuple] = None  # per-src-range (slots, mask)
+    src_range_spans: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_edges(self) -> int:
@@ -75,19 +77,21 @@ class SubGraphArrays:
         from anemoi_tpu.ops.padded import PaddedTables, build_bucketed_tables
 
         tables = PaddedTables.from_csr(self.padded_csr) if padded else None
-        bucket_tables = bucket_spans = None
+        bucket_tables = bucket_spans = src_tables = src_spans = None
         if padded and bucketed:
-            bucket_tables, bucket_spans = build_bucketed_tables(
+            bucket_tables, bucket_spans, src_tables, src_spans = build_bucketed_tables(
                 self.edge_index, self.dst_ptr, num_src=self.num_src
             )
             if len(bucket_tables) <= 1:  # no win; skip the duplicate tables
-                bucket_tables = bucket_spans = None
+                bucket_tables = bucket_spans = src_tables = src_spans = None
         return EdgeData(
             edge_attr=jnp.asarray(self.edge_attr, dtype=dtype),
             edge_index=jnp.asarray(self.edge_index),
             tables=tables,
             bucket_tables=bucket_tables,
             bucket_spans=bucket_spans,
+            src_range_tables=src_tables,
+            src_range_spans=src_spans,
         )
 
 

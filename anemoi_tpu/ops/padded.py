@@ -291,8 +291,10 @@ def _gt_fwd(query, key, value, edge_attr, num_heads, tables):
     return out, (query, key, value, edge_attr, alpha, tables)
 
 
-def _gt_bwd(num_heads, res, g):
-    query, key, value, edge_attr, alpha, tables = res
+def _gt_bwd_core(query, key, value, edge_attr, alpha, num_heads, tables, g):
+    """Shared per-table backward: recompute neighbour gathers, produce the
+    query grad and the per-SLOT kv grad [N*K, 2*HD] (not yet reduced to
+    sources -- the caller owns the transpose reduction)."""
     n, hd = query.shape
     h = num_heads
     d = hd // h
@@ -329,9 +331,17 @@ def _gt_bwd(num_heads, res, g):
     d_query = jnp.sum((d_logits_rep * k_nbr).reshape(n, k_dim, hd), axis=1)
     d_k_nbr = d_logits_rep * q_rep  # [N*K, HD]
 
-    # transpose the slot grads back to sources / edges -- gather-only, with
-    # d_k and d_v fused into one double-width transpose gather
+    # d_k and d_v fused into one double-width slot grad
     dkv = jnp.concatenate([d_k_nbr, d_v_nbr], axis=-1)  # [N*K, 2*HD]
+    return d_query, dkv
+
+
+def _gt_bwd(num_heads, res, g):
+    query, key, value, edge_attr, alpha, tables = res
+    hd = query.shape[1]
+    d_query, dkv = _gt_bwd_core(query, key, value, edge_attr, alpha, num_heads, tables, g)
+
+    # transpose the slot grads back to sources / edges -- gather-only
     dkv_flat = jnp.concatenate([dkv, jnp.zeros((1, 2 * hd), dkv.dtype)], axis=0)
     dkv_src = _slot_sum_to_src(dkv_flat, tables)
     d_key, d_value = dkv_src[:, :hd], dkv_src[:, hd:]
@@ -498,16 +508,31 @@ def build_bucketed_tables(
     max_buckets: int = 3,
     bucket_multiple: int = 8,
 ):
-    """Returns (tables_tuple, spans): per-bucket PaddedTables (pytree/jit
-    argument) and static (dst_lo, dst_hi, edge_lo, edge_hi) spans.
+    """Returns (tables_tuple, spans, src_tables, src_spans).
+
+    - tables_tuple: per-bucket PaddedTables (pytree / jit argument)
+    - spans: STATIC (dst_lo, dst_hi, edge_lo, edge_hi) per bucket
+    - src_tables: per-SRC-RANGE (slots, mask) pairs indexing the GLOBAL flat
+      slot space (all buckets' [n_b*k_b] slot spaces concatenated, one shared
+      pad row at the end) -- the backward kv reduction gathers these
+    - src_spans: STATIC (src_lo, src_hi, k_out) per src range
 
     Each bucket covers a contiguous dst range; because edges are dst-sorted,
     its edges are the contiguous slice [dst_ptr[start], dst_ptr[end]) -- so
-    per-bucket edge features are static slices, not gathers."""
+    per-bucket edge features are static slices, not gathers.
+
+    The src side is range-bucketed too: per-bucket transpose tables pad every
+    source to that bucket's max out-degree ([num_src, k_out_b] EACH, ~10x the
+    forward volume on hub buckets), while ranges over the (degree-sorted)
+    source axis with per-range k_out bring the backward gather volume back to
+    the forward's."""
     in_deg = np.diff(dst_ptr)
     buckets = compute_buckets(in_deg, max_buckets, bucket_multiple)
+    num_edges = int(edge_index.shape[1])
     tables = []
     spans = []
+    glob_slot = np.empty(num_edges, dtype=np.int64)
+    offset = 0
     for lo, hi, k in buckets:
         e_lo, e_hi = int(dst_ptr[lo]), int(dst_ptr[hi])
         ei = edge_index[:, e_lo:e_hi].copy()
@@ -518,18 +543,128 @@ def build_bucketed_tables(
         )
         tables.append(PaddedTables.from_csr(csr))
         spans.append((int(lo), int(hi), e_lo, e_hi))
-    return tuple(tables), tuple(spans)
+        glob_slot[e_lo:e_hi] = csr.edge_gather_slot.astype(np.int64) + offset
+        offset += (hi - lo) * k
+    total_slots = offset
+
+    # global src-side transpose table over the concatenated slot space,
+    # row-bucketed into contiguous src ranges with per-range k_out
+    src = edge_index[0]
+    out_deg = np.bincount(src, minlength=num_src)
+    k_out = _round_up(int(max(1, out_deg.max() if num_edges else 1)), bucket_multiple)
+    src_gather = np.full((num_src, k_out), total_slots, dtype=np.int32)
+    src_mask = np.zeros((num_src, k_out), dtype=bool)
+    order = np.argsort(src, kind="stable")
+    src_sorted = src[order]
+    src_ptr = np.zeros(num_src + 1, dtype=np.int64)
+    np.cumsum(out_deg, out=src_ptr[1:])
+    within_src = np.arange(num_edges) - src_ptr[src_sorted]
+    src_gather[src_sorted, within_src] = glob_slot[order].astype(np.int32)
+    src_mask[src_sorted, within_src] = True
+    src_buckets = compute_buckets(out_deg, max_buckets, bucket_multiple)
+    src_tables = tuple(
+        (jnp.asarray(src_gather[lo:hi, :k]), jnp.asarray(src_mask[lo:hi, :k]))
+        for lo, hi, k in src_buckets
+    )
+    src_spans = tuple((int(lo), int(hi), int(k)) for lo, hi, k in src_buckets)
+    return tuple(tables), tuple(spans), src_tables, src_spans
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _gt_bucketed_fused(
+    query, key, value, edge_attr, num_heads, spans, src_spans, tables_tuple, src_tables
+):
+    out, _ = _gt_bucketed_fwd_impl(
+        query, key, value, edge_attr, num_heads, spans, tables_tuple
+    )
+    return out
+
+
+def _gt_bucketed_fwd_impl(query, key, value, edge_attr, num_heads, spans, tables_tuple):
+    outs = []
+    alphas = []
+    for (lo, hi, e_lo, e_hi), tables in zip(spans, tables_tuple):
+        e_b = None if edge_attr is None else edge_attr[e_lo:e_hi]
+        o, a = _gt_fwd_impl(query[lo:hi], key, value, e_b, num_heads, tables)
+        outs.append(o)
+        alphas.append(a)
+    return jnp.concatenate(outs, axis=0), tuple(alphas)
+
+
+def _gt_bucketed_fwd(
+    query, key, value, edge_attr, num_heads, spans, src_spans, tables_tuple, src_tables
+):
+    out, alphas = _gt_bucketed_fwd_impl(
+        query, key, value, edge_attr, num_heads, spans, tables_tuple
+    )
+    return out, (query, key, value, edge_attr, alphas, tables_tuple, src_tables)
+
+
+def _gt_bucketed_bwd(num_heads, spans, src_spans, res, g):
+    query, key, value, edge_attr, alphas, tables_tuple, src_tables = res
+    hd = query.shape[1]
+
+    d_qs = []
+    slot_chunks = []
+    for (lo, hi, e_lo, e_hi), tables, alpha in zip(spans, tables_tuple, alphas):
+        e_b = None if edge_attr is None else edge_attr[e_lo:e_hi]
+        d_q_b, dkv_b = _gt_bwd_core(
+            query[lo:hi], key, value, e_b, alpha, num_heads, tables, g[lo:hi]
+        )
+        d_qs.append(d_q_b)
+        slot_chunks.append(dkv_b)
+    d_query = jnp.concatenate(d_qs, axis=0)
+
+    # ONE transpose reduction over the global flat slot space, gathered per
+    # src range (k_out matched to the range) instead of per bucket at the
+    # global k_out -- 3-4x less backward gather traffic on skewed meshes
+    dkv_flat = jnp.concatenate(
+        slot_chunks + [jnp.zeros((1, 2 * hd), slot_chunks[0].dtype)], axis=0
+    )
+    parts = []
+    for (lo, hi, k_r), (slots, mask) in zip(src_spans, src_tables):
+        gathered = jnp.take(dkv_flat, slots.reshape(-1), axis=0).reshape(
+            hi - lo, k_r, 2 * hd
+        )
+        parts.append(jnp.sum(jnp.where(mask[..., None], gathered, 0.0), axis=1))
+    dkv_src = jnp.concatenate(parts, axis=0)
+    d_key, d_value = dkv_src[:, :hd], dkv_src[:, hd:]
+
+    if edge_attr is not None:
+        d_es = []
+        offset = 0
+        for (lo, hi, e_lo, e_hi), tables in zip(spans, tables_tuple):
+            ids = tables.edge_gather_slot + offset
+            dkv_e = jnp.take(dkv_flat, ids, axis=0)
+            d_es.append(dkv_e[:, :hd] + dkv_e[:, hd:])
+            offset += (hi - lo) * tables.src_slots.shape[1]
+        d_edge = jnp.concatenate(d_es, axis=0)
+    else:
+        d_edge = None
+    return d_query, d_key, d_value, d_edge, None, None
+
+
+_gt_bucketed_fused.defvjp(_gt_bucketed_fwd, _gt_bucketed_bwd)
 
 
 def padded_gt_attention_bucketed(
-    query, key, value, edge_attr, num_heads, tables_tuple, spans
+    query, key, value, edge_attr, num_heads, tables_tuple, spans,
+    src_tables=None, src_spans=None,
 ):
     """Bucketed flat attention: per-bucket calls over contiguous dst/edge
-    slices; AD accumulates the shared key/value gradients across buckets.
+    slices.  With ``src_tables``/``src_spans`` (from build_bucketed_tables)
+    the whole op is one custom VJP whose kv-grad reduction runs once over the
+    global slot space with src-range-matched padding; without them, AD
+    accumulates per-bucket full-width reductions (legacy path).
 
     ``spans``: STATIC tuple of (dst_lo, dst_hi, edge_lo, edge_hi) per bucket
     (must be static so the per-bucket shapes are compile-time constants);
     ``tables_tuple``: matching tuple of PaddedTables (pytree, jit argument)."""
+    if src_tables is not None:
+        return _gt_bucketed_fused(
+            query, key, value, edge_attr, num_heads, tuple(spans), tuple(src_spans),
+            tables_tuple, src_tables,
+        )
     outs = []
     for (lo, hi, e_lo, e_hi), tables in zip(spans, tables_tuple):
         e_b = None if edge_attr is None else edge_attr[e_lo:e_hi]
@@ -539,7 +674,9 @@ def padded_gt_attention_bucketed(
     return jnp.concatenate(outs, axis=0)
 
 
-def padded_gt_attention_bucketed_heads(query, key, value, edge_attr, tables_tuple, spans):
+def padded_gt_attention_bucketed_heads(
+    query, key, value, edge_attr, tables_tuple, spans, src_tables=None, src_spans=None
+):
     """Head-structured bucketed wrapper: q [Nd,H,D], k/v [Ns,H,D], e [E,H,D]."""
     n, h, d = query.shape
     out = padded_gt_attention_bucketed(
@@ -550,5 +687,7 @@ def padded_gt_attention_bucketed_heads(query, key, value, edge_attr, tables_tupl
         h,
         tables_tuple,
         spans,
+        src_tables=src_tables,
+        src_spans=src_spans,
     )
     return out.reshape(n, h, d)

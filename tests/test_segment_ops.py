@@ -218,7 +218,9 @@ def test_bucketed_attention_matches(rng):
     np.cumsum(np.bincount(ei[1], minlength=n_dst), out=dst_ptr[1:])
 
     buckets = compute_buckets(np.diff(dst_ptr))
-    tables_tuple, spans = build_bucketed_tables(ei, dst_ptr, num_src=n_src)
+    tables_tuple, spans, src_tables, src_spans = build_bucketed_tables(
+        ei, dst_ptr, num_src=n_src
+    )
     single = PaddedTables.from_csr(PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n_src))
 
     HD, H = 16, 2
@@ -230,6 +232,10 @@ def test_bucketed_attention_matches(rng):
     ref = padded_gt_attention_flat(q, k, v, e_attr, H, single)
     out = padded_gt_attention_bucketed(q, k, v, e_attr, H, tables_tuple, spans)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    out_f = padded_gt_attention_bucketed(
+        q, k, v, e_attr, H, tables_tuple, spans, src_tables, src_spans
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref), atol=1e-5)
 
     g_ref = jax.grad(lambda kk: jnp.sum(padded_gt_attention_flat(q, kk, v, e_attr, H, single) ** 2))(k)
     g_b = jax.grad(
@@ -238,6 +244,28 @@ def test_bucketed_attention_matches(rng):
         )
     )(k)
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_ref), atol=1e-4)
+
+    # fused multi-bucket VJP (one src-range-bucketed kv reduction): all grads
+    def loss_fused(qq, kk, vv, ee):
+        return jnp.sum(
+            padded_gt_attention_bucketed(
+                qq, kk, vv, ee, H, tables_tuple, spans, src_tables, src_spans
+            ) ** 2
+        )
+
+    def loss_ref(qq, kk, vv, ee):
+        return jnp.sum(padded_gt_attention_flat(qq, kk, vv, ee, H, single) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, e_attr)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, e_attr)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # the src-range backward tables cover no more rows than the forward needs
+    fwd_rows = sum((hi - lo) * t.src_slots.shape[1] for (lo, hi, _, _), t in zip(spans, tables_tuple))
+    bwd_rows = sum((hi - lo) * k_r for lo, hi, k_r in src_spans)
+    legacy_bwd_rows = sum(n_src * t.src_gather_slots.shape[1] for t in tables_tuple)
+    assert bwd_rows <= legacy_bwd_rows
 
     # bucketed volume strictly less than single-table padded volume
     single_vol = n_dst * single.src_slots.shape[1]
