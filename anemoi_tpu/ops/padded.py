@@ -73,13 +73,16 @@ class PaddedCSR:
         edge_index: np.ndarray,
         dst_ptr: np.ndarray,
         num_src: int,
-        bucket_multiple: int = 8,
+        k_multiple: int = 1,
         k_in: Optional[int] = None,
     ) -> "PaddedCSR":
         """Build all tables from dst-sorted edges + CSR pointer.
 
         ``k_in`` overrides the padded in-degree (required when several shards
-        must share one flat-slot indexing space)."""
+        must share one flat-slot indexing space).  ``k_multiple`` rounds the
+        padded degrees; 1 (exact max degree) is optimal -- the flat
+        [N*K, HD] gather layout needs no K alignment (rows are rows), only
+        dst-RANGE boundaries need 8-alignment, which compute_buckets keeps."""
         num_dst = len(dst_ptr) - 1
         num_edges = int(edge_index.shape[1])
         src = edge_index[0]
@@ -87,7 +90,7 @@ class PaddedCSR:
 
         in_deg = np.diff(dst_ptr)
         if k_in is None:
-            k_in = _round_up(int(max(1, in_deg.max() if len(in_deg) else 1)), bucket_multiple)
+            k_in = _round_up(int(max(1, in_deg.max() if len(in_deg) else 1)), k_multiple)
         else:
             assert k_in >= (in_deg.max() if len(in_deg) else 0)
 
@@ -104,7 +107,7 @@ class PaddedCSR:
 
         # src-side transpose tables
         out_deg = np.bincount(src, minlength=num_src)
-        k_out = _round_up(int(max(1, out_deg.max() if num_edges else 1)), bucket_multiple)
+        k_out = _round_up(int(max(1, out_deg.max() if num_edges else 1)), k_multiple)
         src_gather_slots = np.full((num_src, k_out), num_dst * k_in, dtype=np.int32)
         src_gather_mask = np.zeros((num_src, k_out), dtype=bool)
         order = np.argsort(src, kind="stable")
@@ -464,20 +467,27 @@ def padded_graph_conv_aggregate(messages, csr=None, edge_slots=None, mask=None, 
 # ----------------------------------------------------------------------
 # degree-bucketed tables: cut padding waste on skewed in-degrees
 # ----------------------------------------------------------------------
-def compute_buckets(in_deg: np.ndarray, max_buckets: int = 3, bucket_multiple: int = 8):
+def compute_buckets(
+    in_deg: np.ndarray, max_buckets: int = 3, bucket_multiple: int = 8,
+    k_multiple: int = 1,
+):
     """Choose contiguous dst ranges minimising padded gather volume.
 
     Hidden-mesh in-degrees are highly skewed (hub nodes from coarse levels);
     padding everyone to the max wastes 4-5x of the gather traffic.  After a
     degree sort (graphs.post_process.SortNodesByIncomingDegree) 2-3 buckets
-    recover ~2x.  Returns [(start, end, k)] covering [0, N)."""
+    recover ~2x.  Returns [(start, end, k)] covering [0, N).
+
+    Range BOUNDARIES stay multiples of ``bucket_multiple`` (row slices at
+    unaligned offsets retile on TPU) but each range's k is exact
+    (``k_multiple=1``): the flat [rows, HD] tables need no K alignment."""
     n = len(in_deg)
     if n == 0:
-        return [(0, 0, bucket_multiple)]
+        return [(0, 0, max(1, k_multiple))]
 
     def k_of(lo, hi):
         m = int(in_deg[lo:hi].max()) if hi > lo else 1
-        return _round_up(max(m, 1), bucket_multiple)
+        return _round_up(max(m, 1), k_multiple)
 
     if max_buckets <= 1 or n < 4 * bucket_multiple:
         return [(0, n, k_of(0, n))]
@@ -538,9 +548,7 @@ def build_bucketed_tables(
         ei = edge_index[:, e_lo:e_hi].copy()
         ei[1] = ei[1] - lo  # dst local to the bucket
         ptr = (dst_ptr[lo : hi + 1] - e_lo).astype(np.int64)
-        csr = PaddedCSR.from_edge_index(
-            ei, ptr, num_src=num_src, bucket_multiple=bucket_multiple, k_in=k
-        )
+        csr = PaddedCSR.from_edge_index(ei, ptr, num_src=num_src, k_in=k)
         tables.append(PaddedTables.from_csr(csr))
         spans.append((int(lo), int(hi), e_lo, e_hi))
         glob_slot[e_lo:e_hi] = csr.edge_gather_slot.astype(np.int64) + offset
@@ -551,7 +559,7 @@ def build_bucketed_tables(
     # row-bucketed into contiguous src ranges with per-range k_out
     src = edge_index[0]
     out_deg = np.bincount(src, minlength=num_src)
-    k_out = _round_up(int(max(1, out_deg.max() if num_edges else 1)), bucket_multiple)
+    k_out = int(max(1, out_deg.max() if num_edges else 1))
     src_gather = np.full((num_src, k_out), total_slots, dtype=np.int32)
     src_mask = np.zeros((num_src, k_out), dtype=bool)
     order = np.argsort(src, kind="stable")
