@@ -188,7 +188,12 @@ def make_step_fns(
         def forward(params, x, key):
             return model.apply(params, x, graph_inputs, rngs={"noise": key})
 
-        if remat_rollout:
+        # at rollout 1 there is nothing between rollout steps to free, so the
+        # outer checkpoint would only add a full forward recompute (~15% of
+        # the flagship step) -- the per-layer remat inside the processor scan
+        # already bounds activation memory
+        effective_remat = remat_rollout and rollout > 1 and task == "forecaster"
+        if effective_remat:
             forward = jax.checkpoint(forward)
 
         total = 0.0
