@@ -197,8 +197,12 @@ class AnemoiModelEncProcDec(nn.Module):
                 ds: sub.edge_data(dtype=dtype, padded=padded, bucketed=bucketed)
                 for ds, sub in self.graph.encoder.items()
             },
+            # k_multiple=8 keeps the [n, k, HD] reshapes around the processor's
+            # k-reductions tile-aligned (free); the reshape retile tax runs
+            # 16 layers x fwd+bwd per step there, while encoder/decoder run
+            # once and prefer exact-k's smaller gather volume
             "processor": self.graph.processor.edge_data(
-                dtype=dtype, padded=padded, bucketed=bucketed
+                dtype=dtype, padded=padded, bucketed=bucketed, k_multiple=8
             ),
             "decoder": {
                 ds: sub.edge_data(dtype=dtype, padded=padded, bucketed=bucketed)

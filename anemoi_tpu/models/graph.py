@@ -70,17 +70,24 @@ class SubGraphArrays:
         return self._csr
 
     def edge_data(
-        self, dtype=jnp.float32, padded: bool = True, bucketed: bool = False
+        self, dtype=jnp.float32, padded: bool = True, bucketed: bool = False,
+        k_multiple: int = 1,
     ) -> EdgeData:
         """Device-ready EdgeData (padded tables included unless disabled;
-        ``bucketed`` adds degree-bucketed tables for the GT attention path)."""
+        ``bucketed`` adds degree-bucketed tables for the GT attention path).
+
+        ``k_multiple``: rounding for the per-bucket k.  Exact (1) minimises
+        gather volume; 8 keeps the [n, k, HD] reshape around the k-reduction
+        tile-aligned (free) -- worth it for the processor sub-graph, whose
+        reshapes run 16 layers x fwd+bwd per step."""
         from anemoi_tpu.ops.padded import PaddedTables, build_bucketed_tables
 
         tables = PaddedTables.from_csr(self.padded_csr) if padded else None
         bucket_tables = bucket_spans = src_tables = src_spans = None
         if padded and bucketed:
             bucket_tables, bucket_spans, src_tables, src_spans = build_bucketed_tables(
-                self.edge_index, self.dst_ptr, num_src=self.num_src
+                self.edge_index, self.dst_ptr, num_src=self.num_src,
+                k_multiple=k_multiple,
             )
             if len(bucket_tables) <= 1:  # no win; skip the duplicate tables
                 bucket_tables = bucket_spans = src_tables = src_spans = None

@@ -517,6 +517,7 @@ def build_bucketed_tables(
     num_src: int,
     max_buckets: int = 3,
     bucket_multiple: int = 8,
+    k_multiple: int = 1,
 ):
     """Returns (tables_tuple, spans, src_tables, src_spans).
 
@@ -537,7 +538,7 @@ def build_bucketed_tables(
     source axis with per-range k_out bring the backward gather volume back to
     the forward's."""
     in_deg = np.diff(dst_ptr)
-    buckets = compute_buckets(in_deg, max_buckets, bucket_multiple)
+    buckets = compute_buckets(in_deg, max_buckets, bucket_multiple, k_multiple)
     num_edges = int(edge_index.shape[1])
     tables = []
     spans = []
@@ -559,7 +560,8 @@ def build_bucketed_tables(
     # row-bucketed into contiguous src ranges with per-range k_out
     src = edge_index[0]
     out_deg = np.bincount(src, minlength=num_src)
-    k_out = int(max(1, out_deg.max() if num_edges else 1))
+    # wide enough for any src-range's rounded k_r (ranges slice [:k_r] below)
+    k_out = _round_up(int(max(1, out_deg.max() if num_edges else 1)), k_multiple)
     src_gather = np.full((num_src, k_out), total_slots, dtype=np.int32)
     src_mask = np.zeros((num_src, k_out), dtype=bool)
     order = np.argsort(src, kind="stable")
@@ -569,7 +571,8 @@ def build_bucketed_tables(
     within_src = np.arange(num_edges) - src_ptr[src_sorted]
     src_gather[src_sorted, within_src] = glob_slot[order].astype(np.int32)
     src_mask[src_sorted, within_src] = True
-    src_buckets = compute_buckets(out_deg, max_buckets, bucket_multiple)
+    src_buckets = compute_buckets(out_deg, max_buckets, bucket_multiple, k_multiple)
+    assert all(k <= k_out for _, _, k in src_buckets), (src_buckets, k_out)
     src_tables = tuple(
         (jnp.asarray(src_gather[lo:hi, :k]), jnp.asarray(src_mask[lo:hi, :k]))
         for lo, hi, k in src_buckets
