@@ -99,7 +99,7 @@ def test_padded_csr_matches_segment(rng):
     np.cumsum(counts, out=dst_ptr[1:])
     csr = PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n_src)
     tables = PaddedTables.from_csr(csr)
-    assert csr.max_degree % 8 == 0
+    assert csr.max_degree == int(counts.max())  # exact-k default (no rounding)
 
     H, D = 2, 8
     q = jnp.asarray(rng.normal(size=(n_dst, H, D)), dtype=jnp.float32)
@@ -271,3 +271,53 @@ def test_bucketed_attention_matches(rng):
     single_vol = n_dst * single.src_slots.shape[1]
     b_vol = sum((hi - lo) * t.src_slots.shape[1] for (lo, hi, _, _), t in zip(spans, tables_tuple))
     assert b_vol < single_vol
+
+
+def test_bucketed_attention_k_multiple(rng):
+    """k_multiple=8 (the processor's tile-aligned setting) matches exact-k
+    and the single-table reference -- guards the src-table width rounding
+    (an overwide numpy column slice silently truncates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anemoi_tpu.ops.padded import (
+        PaddedCSR,
+        PaddedTables,
+        build_bucketed_tables,
+        padded_gt_attention_bucketed,
+        padded_gt_attention_flat,
+    )
+
+    n_src, n_dst, e = 48, 64, 700
+    src = rng.integers(0, n_src, e)
+    dst = rng.integers(0, n_dst, e) ** 2 // n_dst  # skewed
+    deg = np.bincount(dst, minlength=n_dst)
+    order = np.argsort(-deg, kind="stable")
+    relabel = np.empty(n_dst, dtype=np.int64)
+    relabel[order] = np.arange(n_dst)
+    dst = relabel[dst]
+    srt = np.argsort(dst, kind="stable")
+    ei = np.stack([src[srt], dst[srt]]).astype(np.int64)
+    dst_ptr = np.zeros(n_dst + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ei[1], minlength=n_dst), out=dst_ptr[1:])
+
+    tt8, sp8, st8, ss8 = build_bucketed_tables(ei, dst_ptr, num_src=n_src, k_multiple=8)
+    assert all(k % 8 == 0 for _, _, k in ss8)
+    assert all(t.src_slots.shape[1] % 8 == 0 for t in tt8)
+    single = PaddedTables.from_csr(PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n_src))
+
+    HD, H = 16, 2
+    q = jnp.asarray(rng.normal(size=(n_dst, HD)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n_src, HD)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n_src, HD)), dtype=jnp.float32)
+    e_attr = jnp.asarray(rng.normal(size=(ei.shape[1], HD)), dtype=jnp.float32)
+
+    ref = padded_gt_attention_flat(q, k, v, e_attr, H, single)
+    out = padded_gt_attention_bucketed(q, k, v, e_attr, H, tt8, sp8, st8, ss8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    gf = jax.grad(
+        lambda kk: jnp.sum(padded_gt_attention_bucketed(q, kk, v, e_attr, H, tt8, sp8, st8, ss8) ** 2)
+    )(k)
+    gr = jax.grad(lambda kk: jnp.sum(padded_gt_attention_flat(q, kk, v, e_attr, H, single) ** 2))(k)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)
