@@ -248,9 +248,13 @@ class AnemoiModelEncProcDec(nn.Module):
         for ds in dataset_names:
             idx = self.data_indices[ds]
             xd = x[ds]
-            # residual skip state (most recent step by default)
+            # residual skip state (most recent step by default); learnable
+            # residuals (ScalarOrnstein) are flax submodules created here in
+            # compact scope, named residual_<ds>
             residual = build_residual(
-                self.config.get("residual"), graph=self.graph.source_graph, dataset=ds
+                self.config.get("residual"), graph=self.graph.source_graph, dataset=ds,
+                data_indices=idx,
+                statistics=(self.config.get("statistics") or {}).get(ds),
             )
             x_skip[ds] = residual(xd, n_step_output=self.n_step_output)
 

@@ -38,6 +38,9 @@ class AnemoiModelInterface:
         self.metadata = metadata or {}
 
         model_cfg = dict(config["model"])
+        # thread per-dataset statistics into the model config: learnable
+        # residuals (ScalarOrnstein) auto-init theta from tendency statistics
+        model_cfg.setdefault("statistics", statistics)
         hidden_name = "hidden"
         if model_cfg.get("hidden_names"):
             hidden_name = model_cfg["hidden_names"][0]

@@ -114,6 +114,28 @@ def _window_attention(
     return out[:, :n]
 
 
+def apply_rotary_embeddings(q: jnp.ndarray, k: jnp.ndarray, base: float = 10000.0):
+    """RoPE over the sequence axis (ref attention.py:381-399, which delegates
+    to flash_attn's RotaryEmbedding(dim=head_dim), non-interleaved): rotate the
+    two halves of each head dim by position-dependent angles.  q, k:
+    [..., N, H, D] with positions along axis -3."""
+    n, _, d = q.shape[-3:]
+    half = d // 2
+    inv = 1.0 / (base ** (jnp.arange(half, dtype=jnp.float32) / max(half, 1)))
+    ang = jnp.arange(n, dtype=jnp.float32)[:, None] * inv[None]  # [N, half]
+    cos = jnp.cos(ang)[:, None, :].astype(q.dtype)  # [N, 1, half]
+    sin = jnp.sin(ang)[:, None, :].astype(q.dtype)
+
+    def rot(x):
+        x1, x2 = x[..., :half], x[..., half : 2 * half]
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        if 2 * half < d:  # odd head dim: pass the last lane through
+            out = jnp.concatenate([out, x[..., 2 * half :]], axis=-1)
+        return out
+
+    return rot(q), rot(k)
+
+
 class MultiHeadSelfAttention(nn.Module):
     """MHSA over the node/sequence dim (ref attention.py:41-265)."""
 
@@ -124,6 +146,7 @@ class MultiHeadSelfAttention(nn.Module):
     qk_norm: bool = False
     softcap: Optional[float] = None
     use_alibi_slopes: bool = False
+    use_rotary_embeddings: bool = False
     dropout_p: float = 0.0
 
     @nn.compact
@@ -142,6 +165,8 @@ class MultiHeadSelfAttention(nn.Module):
         if self.qk_norm:
             q = RMSNorm(name="q_norm")(q)
             k = RMSNorm(name="k_norm")(k)
+        if self.use_rotary_embeddings:
+            q, k = apply_rotary_embeddings(q, k)
         slopes = get_alibi_slopes(h) if self.use_alibi_slopes else None
         out = _window_attention(q, k, v, self.window_size, self.softcap, slopes)
         out = out.reshape(b, n, hd)

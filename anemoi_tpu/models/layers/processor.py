@@ -191,6 +191,7 @@ class TransformerProcessorBlock(nn.Module):
     qk_norm: bool = False
     softcap: Optional[float] = None
     use_alibi_slopes: bool = False
+    use_rotary_embeddings: bool = False
     mlp_implementation: str = "mlp"
     conditional: bool = False
 
@@ -209,6 +210,7 @@ class TransformerProcessorBlock(nn.Module):
             qk_norm=self.qk_norm,
             softcap=self.softcap,
             use_alibi_slopes=self.use_alibi_slopes,
+            use_rotary_embeddings=self.use_rotary_embeddings,
             name="attention",
         )(normed)
         normed = _norm(self.conditional, "layer_norm_mlp")(x, **cond_kw)
@@ -247,6 +249,7 @@ class TransformerProcessor(nn.Module):
     qk_norm: bool = False
     softcap: Optional[float] = None
     use_alibi_slopes: bool = False
+    use_rotary_embeddings: bool = False
     mlp_implementation: str = "mlp"
     conditional: bool = False
     gradient_checkpointing: bool = True
@@ -263,6 +266,7 @@ class TransformerProcessor(nn.Module):
             qk_norm=self.qk_norm,
             softcap=self.softcap,
             use_alibi_slopes=self.use_alibi_slopes,
+            use_rotary_embeddings=self.use_rotary_embeddings,
             mlp_implementation=self.mlp_implementation,
             conditional=self.conditional,
         )

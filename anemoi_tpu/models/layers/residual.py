@@ -5,6 +5,8 @@ Equivalents of /root/reference/models/src/anemoi/models/layers/residual.py:
 - NoResidualConnection: zeros (pure tendency prediction)
 - TruncatedConnection (:84): spectral truncation via sparse down/up projection
   over truncation graphs (round-2: needs the projection graph builder)
+- ScalarOrnsteinConnection (:341): learnable AR(1)-style skip
+  (1 - theta) * x + mu + sum_i beta_i * f_i per prognostic variable
 
 All operate on x of shape [batch, time, ensemble, grid, vars] and return the
 skip state shaped [batch, n_step_output, ensemble, grid, vars].
@@ -12,9 +14,11 @@ skip state shaped [batch, n_step_output, ensemble, grid, vars].
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
+import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from anemoi_tpu.utils.registry import Registry
 
@@ -118,6 +122,71 @@ class TruncatedConnection:
         return _expand_time(out, n_step_output)
 
 
+def ornstein_init_theta(theta_init, theta_buff: float, statistics: Optional[dict]):
+    """Theta initialization from per-variable tendency statistics
+    (ref residual.py:299-319): if theta_init == 0 and stdev/stdev_tend are
+    available, use 0.5 * (stdev_tend / stdev)**2; reparameterize into
+    (theta_buff, 1), clip to (0.01, 0.99), return LOGIT-space values."""
+    statistics = statistics or {}
+    if np.all(np.asarray(theta_init) == 0) and {"stdev", "stdev_tend"} <= set(statistics):
+        theta_init = 0.5 * (np.asarray(statistics["stdev_tend"]) / np.asarray(statistics["stdev"])) ** 2
+    theta = (np.asarray(theta_init, dtype=np.float64) - theta_buff) / (1.0 - theta_buff)
+    theta = np.clip(theta, 0.01, 0.99)
+    return np.log(theta / (1.0 - theta)).astype(np.float32)
+
+
+@residual_registry.register("ScalarOrnsteinConnection")
+class ScalarOrnsteinConnection(nn.Module):
+    """Learnable Ornstein-Uhlenbeck-style skip (ref residual.py:341-413):
+
+        skip = (1 - theta) * x_prog + mu + sum_i beta_i * f_i
+
+    with theta sigmoid-reparameterized into (theta_buff, 1) per prognostic
+    variable, mu a learnable offset and f_i regressor variables.  The write
+    back into the full variable width is a static 0/1 indicator matmul
+    (scatter-free; the model only reads the prognostic columns)."""
+
+    prog_idx: Tuple[int, ...]  # model-input indices of prognostic variables
+    num_vars: int  # model-input width
+    regressor_idx: Tuple[int, ...] = ()
+    theta_logit_init: Tuple[float, ...] = ()  # per-prog logit; () -> theta=0.5
+    theta_buff: float = 0.0
+    theta_train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, n_step_output: int = 1) -> jnp.ndarray:
+        import jax
+
+        x_last = x[:, -1]  # [batch, ens, grid, vars]
+        n_prog = len(self.prog_idx)
+        theta0 = np.asarray(
+            self.theta_logit_init if self.theta_logit_init else [0.0] * n_prog,
+            dtype=np.float32,
+        )
+
+        def init_weight(_key):
+            w = np.zeros((len(self.regressor_idx) + 2, n_prog), np.float32)
+            w[0] = theta0
+            return jnp.asarray(w)
+
+        weight = self.param("weight", init_weight).astype(x_last.dtype)
+        theta_row = weight[0]
+        if not self.theta_train:
+            theta_row = jax.lax.stop_gradient(theta_row)
+        gain = 1.0 - jax.nn.sigmoid(theta_row) * (1.0 - self.theta_buff) - self.theta_buff
+
+        prog = jnp.take(x_last, jnp.asarray(self.prog_idx), axis=-1)
+        out = gain * prog + weight[1]
+        for i, k in enumerate(self.regressor_idx):
+            out = out + weight[i + 2] * x_last[..., k][..., None]
+
+        # static indicator [n_prog, num_vars] places prog columns, zeros rest
+        m = np.zeros((n_prog, self.num_vars), np.float32)
+        m[np.arange(n_prog), np.asarray(self.prog_idx)] = 1.0
+        full = jnp.dot(out, jnp.asarray(m, dtype=out.dtype))
+        return _expand_time(full, n_step_output)
+
+
 def build_residual(config: Optional[dict], graph=None, dataset: str = "data", **kwargs):
     """Build a residual connection; TruncatedConnection resolves its down/up
     projection sub-graphs from the heterogeneous graph (the reference's
@@ -125,6 +194,30 @@ def build_residual(config: Optional[dict], graph=None, dataset: str = "data", **
     if config is None:
         return SkipConnection()
     cfg = dict(config)
+    if cfg.get("name") == "ScalarOrnsteinConnection":
+        data_indices = kwargs.get("data_indices")
+        assert data_indices is not None, "ScalarOrnsteinConnection needs data_indices"
+        mi = data_indices.model.input
+        prog_idx = tuple(int(i) for i in mi.prognostic)
+        regressors = cfg.get("regressors") or []
+        regressor_idx = tuple(int(mi.name_to_index[r]) for r in regressors)
+        stats = kwargs.get("statistics")
+        if stats:  # slice per-variable stats to prognostic (data-space order)
+            dprog = data_indices.data.input.prognostic
+            stats = {k: np.asarray(v)[dprog] for k, v in stats.items()
+                     if hasattr(v, "__getitem__")}
+        theta_buff = float(cfg.get("theta_buff", 0.0))
+        theta_logits = ornstein_init_theta(cfg.get("theta_init", 0.0), theta_buff, stats)
+        theta_logits = np.broadcast_to(theta_logits, (len(prog_idx),))
+        return ScalarOrnsteinConnection(
+            prog_idx=prog_idx,
+            num_vars=len(mi.full),
+            regressor_idx=regressor_idx,
+            theta_logit_init=tuple(float(t) for t in theta_logits),
+            theta_buff=theta_buff,
+            theta_train=bool(cfg.get("theta_train", True)),
+            name=kwargs.get("name", f"residual_{dataset}"),
+        )
     if cfg.get("name") == "TruncatedConnection" and "down_edge_index" not in cfg:
         assert graph is not None, "TruncatedConnection needs the source graph"
         trunc = cfg.pop("truncation_nodes", "truncation")

@@ -88,3 +88,46 @@ def test_transformer_processor_model(tiny_graph, rng):
     out = iface.apply(params, x)
     assert out["data"].shape == (1, 1, 1, n_grid, 4)
     assert np.isfinite(np.asarray(out["data"])).all()
+
+
+def test_rotary_embeddings(rng):
+    """RoPE (ref attention.py:381-399): norm-preserving, identity at position
+    0, and relative -- logits depend only on position offsets."""
+    import jax.numpy as jnp
+
+    from anemoi_tpu.models.layers.attention import (
+        MultiHeadSelfAttention,
+        apply_rotary_embeddings,
+    )
+
+    n, h, d = 12, 2, 8
+    q = jnp.asarray(rng.normal(size=(n, h, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, h, d)), dtype=jnp.float32)
+    qr, kr = apply_rotary_embeddings(q, k)
+    assert qr.shape == q.shape
+    # rotations preserve per-position norms
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(qr), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1), atol=1e-5,
+    )
+    # position 0 is the identity rotation
+    np.testing.assert_allclose(np.asarray(qr)[0], np.asarray(q)[0], atol=1e-6)
+
+    # relative-position property: <rot(q,i), rot(k,j)> depends only on i-j.
+    # Shift both positions by s by feeding longer sequences of repeated rows.
+    qq = jnp.broadcast_to(q[0], (n, h, d))
+    kk = jnp.broadcast_to(k[0], (n, h, d))
+    qs, ks = apply_rotary_embeddings(qq, kk)
+    dots = np.einsum("nhd,nhd->nh", np.asarray(qs)[2:], np.asarray(ks)[:-2])
+    np.testing.assert_allclose(
+        dots, np.broadcast_to(dots[0], dots.shape), atol=1e-4
+    )  # offset 2 everywhere
+
+    # MHSA integration: runs, and rotary changes the output
+    mh = MultiHeadSelfAttention(num_heads=2, window_size=4, use_rotary_embeddings=True)
+    x = jnp.asarray(rng.normal(size=(1, n, 16)), dtype=jnp.float32)
+    params = mh.init(jax.random.PRNGKey(0), x)
+    out_r = mh.apply(params, x)
+    out_p = MultiHeadSelfAttention(num_heads=2, window_size=4).apply(params, x)
+    assert out_r.shape == x.shape
+    assert np.abs(np.asarray(out_r) - np.asarray(out_p)).max() > 1e-4

@@ -239,3 +239,64 @@ def test_transformer_mappers_cfg_extra(tiny_graph):
     )
     params = iface.init_params(jax.random.PRNGKey(1))
     assert params is not None
+
+
+def test_scalar_ornstein_residual(tiny_graph, rng):
+    """ScalarOrnsteinConnection (ref residual.py:341-413): learnable
+    (1-theta)*x + mu + beta*f skip on prognostic variables."""
+    from anemoi_tpu.models.layers.residual import (
+        ScalarOrnsteinConnection,
+        build_residual,
+        ornstein_init_theta,
+    )
+
+    idx = make_indices()
+    # standalone module semantics vs the formula
+    res = build_residual(
+        {"name": "ScalarOrnsteinConnection", "theta_init": 0.25,
+         "regressors": ["cos_lat"], "theta_buff": 0.1},
+        data_indices=idx,
+    )
+    assert isinstance(res, ScalarOrnsteinConnection)
+    x = jnp.asarray(rng.normal(size=(2, 2, 1, 9, 5)), dtype=jnp.float32)
+    params = res.init(jax.random.PRNGKey(0), x)
+    out = res.apply(params, x, n_step_output=1)
+    assert out.shape == (2, 1, 1, 9, 5)
+
+    w = np.asarray(params["params"]["weight"])
+    mi = idx.model.input
+    prog = np.asarray(mi.prognostic)
+    gain = 1 - (1 / (1 + np.exp(-w[0]))) * (1 - 0.1) - 0.1
+    f = np.asarray(x)[:, -1, ..., mi.name_to_index["cos_lat"]][..., None]
+    expected_prog = gain * np.take(np.asarray(x)[:, -1], prog, axis=-1) + w[1] + w[2] * f
+    np.testing.assert_allclose(
+        np.take(np.asarray(out)[:, 0], prog, axis=-1), expected_prog, atol=1e-5
+    )
+    # non-prognostic columns stay zero
+    nonprog = [i for i in range(5) if i not in prog.tolist()]
+    assert np.abs(np.take(np.asarray(out)[:, 0], nonprog, axis=-1)).max() == 0.0
+
+    # theta auto-init from tendency statistics (ref residual.py:299-319)
+    logits = ornstein_init_theta(
+        0.0, 0.0, {"stdev": np.ones(3), "stdev_tend": np.full(3, 0.8)}
+    )
+    theta = 1 / (1 + np.exp(-logits))
+    np.testing.assert_allclose(theta, 0.5 * 0.8**2, atol=1e-6)
+
+    # end-to-end: model with Ornstein residual trains params for it
+    mcfg = model_config()
+    mcfg["residual"] = {"name": "ScalarOrnsteinConnection", "regressors": ["cos_lat"]}
+    iface = AnemoiModelInterface(
+        config={"model": mcfg,
+                "data": {"processors": [{"name": "InputNormalizer", "default": "mean-std"}]}},
+        graph=tiny_graph,
+        data_indices={"data": make_indices()},
+        statistics={"data": make_statistics()},
+    )
+    params = iface.init_params(jax.random.PRNGKey(0))
+    names = [str(k) for k, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    assert any("residual_data" in n for n in names)
+    n_grid = tiny_graph["data"].num_nodes
+    xb = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, 5)), dtype=jnp.float32)}
+    out = iface.apply(params, xb)
+    assert np.isfinite(np.asarray(out["data"])).all()
