@@ -17,6 +17,7 @@ from anemoi_tpu.data_indices.collection import IndexCollection
 from anemoi_tpu.models import model_registry
 from anemoi_tpu.models.graph import ModelGraph, build_model_graph
 from anemoi_tpu.preprocessing.processors import Processors, build_processors
+from anemoi_tpu.preprocessing.remapper import Remapper
 from anemoi_tpu.utils.seeding import context_key
 
 
@@ -33,9 +34,29 @@ class AnemoiModelInterface:
         metadata: Optional[dict] = None,
     ) -> None:
         self.config = config
+        self.metadata = metadata or {}
+
+        # A variable-EXPANDING Remapper (ref preprocessing/remapper.py:39)
+        # rewrites the index collections and statistics BEFORE the model and
+        # the rest of the processor chain are built, so everything downstream
+        # lives in the remapped variable space.
+        processors_cfg = list(config.get("data", {}).get("processors") or [])
+        remap_cfg = next(
+            (dict(c) for c in processors_cfg if c.get("name") == "Remapper"), None
+        )
+        self.remappers: Dict[str, "Remapper"] = {}
+        if remap_cfg is not None:
+            remap_cfg.pop("name")
+            data_indices = dict(data_indices)
+            statistics = dict(statistics)
+            for ds in data_indices:
+                rm = Remapper(data_indices[ds], remap_cfg.get("config", remap_cfg))
+                self.remappers[ds] = rm
+                data_indices[ds] = rm.data_indices
+                statistics[ds] = rm.remap_statistics(statistics[ds])
+            processors_cfg = [c for c in processors_cfg if c.get("name") != "Remapper"]
         self.data_indices = data_indices
         self.statistics = statistics
-        self.metadata = metadata or {}
 
         model_cfg = dict(config["model"])
         # thread per-dataset statistics into the model config: learnable
@@ -76,12 +97,14 @@ class AnemoiModelInterface:
         # time: constants inline into HLO and compile ~13x slower)
         self.graph_inputs = self.model.build_graph_inputs()
 
-        processors_cfg = config.get("data", {}).get("processors")
         self.pre_processors: Dict[str, Processors] = {}
         for ds, idx in data_indices.items():
-            self.pre_processors[ds] = build_processors(
-                processors_cfg, idx, statistics[ds]
-            )
+            chain = build_processors(processors_cfg, idx, statistics[ds])
+            if ds in self.remappers:
+                # remapper first: transform expands raw data-space tensors;
+                # inverses run in reverse order, so it converts back last.
+                chain.processors.insert(0, self.remappers[ds])
+            self.pre_processors[ds] = chain
 
     # ------------------------------------------------------------------
     def init_params(self, rng: Optional[jax.Array] = None, batch_size: int = 1) -> Any:

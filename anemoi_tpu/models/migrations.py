@@ -20,16 +20,26 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
+import numpy as np
+
 
 @dataclass
 class Migration:
     name: str
     forward: Callable[[dict], dict]
     rollback_fn: Optional[Callable[[dict], dict]] = None
+    # optional parameter-tree transform (raw state dict, ckpt bundle) -> state
+    # dict; applied by ``migrate`` when params are supplied at load time.
+    params_fn: Optional[Callable[[dict, dict], dict]] = None
 
     def rollback(self, fn: Callable[[dict], dict]) -> Callable:
         """Decorator registering the down-migration."""
         self.rollback_fn = fn
+        return fn
+
+    def params(self, fn: Callable[[dict, dict], dict]) -> Callable:
+        """Decorator registering the parameter-tree transform."""
+        self.params_fn = fn
         return fn
 
 
@@ -59,17 +69,23 @@ class Migrator:
         done = set(self.applied(ckpt))
         return [m for m in self.migrations if m.name not in done]
 
-    def migrate(self, ckpt: dict) -> dict:
-        """Apply all pending migrations in order; records the applied list."""
+    def migrate(self, ckpt: dict, params: Optional[dict] = None):
+        """Apply all pending migrations in order; records the applied list.
+
+        With ``params`` (a raw flax state dict) the registered params
+        transforms run too and ``(ckpt, params)`` is returned; without,
+        only the bundle is migrated and returned (save-time stamping)."""
         ckpt = dict(ckpt)
         done = list(ckpt.get("metadata", {}).get("migrations", []))
         for mig in self.pending(ckpt):
             ckpt = mig.forward(ckpt)
+            if params is not None and mig.params_fn is not None:
+                params = mig.params_fn(params, ckpt)
             done.append(mig.name)
         meta = dict(ckpt.get("metadata", {}))  # after: migrations may edit it
         meta["migrations"] = done
         ckpt["metadata"] = meta
-        return ckpt
+        return ckpt if params is None else (ckpt, params)
 
     def rollback_to(self, ckpt: dict, target: str) -> dict:
         """Undo migrations applied after ``target`` (inclusive order)."""
@@ -109,4 +125,87 @@ def _initial_down(ckpt: dict) -> dict:
     meta.pop("format_version", None)
     ckpt = dict(ckpt)
     ckpt["metadata"] = meta
+    return ckpt
+
+
+# ----------------------------------------------------------------------
+# 20260817120000: processors moved from per-layer modules (blocks_0,
+# blocks_1, ...) to an nn.scan over stacked parameters (blocks/block/...,
+# leading axis = layer).  Checkpoints saved before the scan refactor carry
+# the per-layer layout; this stacks them into the scan layout.
+#
+# GNN processors keep blocks_0 as a standalone module even under scan
+# (its edge-embedding input width differs), so only blocks_1.. are
+# stacked for them; all other processors stack every layer.
+# ----------------------------------------------------------------------
+
+_KEEP_FIRST_PREFIXES = ("GNNProcessor",)
+_STACK_PREFIXES = (
+    "GNNProcessor",
+    "GraphTransformerProcessor",
+    "TransformerProcessor",
+    "PointWiseMLPProcessor",
+)
+
+
+def _stack_trees(trees: List[dict]):
+    """Stack identically-structured nested dicts of arrays on a new axis 0."""
+    first = trees[0]
+    if isinstance(first, dict):
+        assert all(sorted(t.keys()) == sorted(first.keys()) for t in trees)
+        return {k: _stack_trees([t[k] for t in trees]) for k in first}
+    return np.stack([np.asarray(t) for t in trees], axis=0)
+
+
+def _stack_blocks(module: dict, keep_first: bool) -> dict:
+    nums = sorted(
+        int(k.split("_", 1)[1]) for k in module if k.startswith("blocks_")
+    )
+    assert nums == list(range(len(nums))), f"non-consecutive blocks: {nums}"
+    start = 1 if keep_first else 0
+    stacked = _stack_trees([module[f"blocks_{i}"] for i in range(start, len(nums))])
+    new = {k: v for k, v in module.items() if not k.startswith("blocks_")}
+    if keep_first:
+        new["blocks_0"] = module["blocks_0"]
+    new["blocks"] = {"block": stacked}
+    return new
+
+
+@register_migration("20260817120000_stack_processor_scan")
+def _stack_scan(ckpt: dict) -> dict:
+    return ckpt  # bundle unchanged; the work is in the params transform
+
+
+@_stack_scan.params
+def _stack_scan_params(params: dict, ckpt: dict) -> dict:
+    def has_explicit_noscan(cfg) -> bool:
+        if isinstance(cfg, dict):
+            if cfg.get("scan_layers") is False:
+                return True
+            return any(has_explicit_noscan(v) for v in cfg.values())
+        return False
+
+    # a checkpoint whose config explicitly opts out of nn.scan will be
+    # rebuilt with per-layer modules — leave its params per-layer too
+    if has_explicit_noscan(ckpt.get("config", {}).get("model", {})):
+        return params
+
+    def walk(tree: dict, name: str = "") -> dict:
+        if not isinstance(tree, dict):
+            return tree
+        is_prescan_proc = (
+            name.rsplit("_", 1)[0] in _STACK_PREFIXES
+            and "blocks_1" in tree
+            and "blocks" not in tree
+        )
+        if is_prescan_proc:
+            keep_first = name.rsplit("_", 1)[0] in _KEEP_FIRST_PREFIXES
+            tree = _stack_blocks(tree, keep_first=keep_first)
+        return {k: walk(v, k) for k, v in tree.items()}
+
+    return walk(params)
+
+
+@_stack_scan.rollback
+def _stack_scan_down(ckpt: dict) -> dict:
     return ckpt

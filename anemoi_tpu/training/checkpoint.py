@@ -119,8 +119,15 @@ def load_inference_checkpoint(path: str):
     from anemoi_tpu.data_indices.collection import IndexCollection
     from anemoi_tpu.models.interface import AnemoiModelInterface
 
+    from anemoi_tpu.models.migrations import MIGRATOR
+
     with open(os.path.join(path, "checkpoint.json")) as f:
         bundle = json.load(f)
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        raw_params = serialization.msgpack_restore(f.read())
+    # apply pending format migrations (bundle + parameter tree) so old
+    # checkpoints load on new code (ref models/migrations/migrator.py)
+    bundle, raw_params = MIGRATOR.migrate(bundle, raw_params)
     stats_flat = np.load(os.path.join(path, "statistics.npz"))
     statistics: Dict[str, Dict[str, np.ndarray]] = {}
     for key in stats_flat.files:
@@ -158,8 +165,7 @@ def load_inference_checkpoint(path: str):
         metadata=bundle.get("metadata"),
     )
     template = iface.init_params()
-    with open(os.path.join(path, "params.msgpack"), "rb") as f:
-        params = serialization.from_bytes(jax.device_get(template), f.read())
+    params = serialization.from_state_dict(jax.device_get(template), raw_params)
     return iface, params
 
 

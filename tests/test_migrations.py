@@ -1,0 +1,94 @@
+"""Checkpoint-migration tests.
+
+The pre-scan -> scan migration must restack per-layer processor parameters
+(blocks_0, blocks_1, ...) into the nn.scan layout (blocks/block, leading
+axis = layer) with exact forward parity (ref models/migrations/migrator.py
+pattern: old checkpoints load on new code)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from anemoi_tpu.data_indices import IndexCollection
+from anemoi_tpu.models.interface import AnemoiModelInterface
+from anemoi_tpu.models.migrations import MIGRATOR, Migrator
+
+from tests.test_models import NAMES, make_statistics, model_config
+
+
+def make_indices():
+    return IndexCollection(NAMES, forcing=["cos_lat", "z"], diagnostic=["tp"])
+
+
+def build(tiny_graph, processor, scan_layers):
+    cfg = {"model": model_config(processor=processor), "data": {"processors": []}}
+    cfg["model"]["processor"]["scan_layers"] = scan_layers
+    return AnemoiModelInterface(
+        config=cfg,
+        graph=tiny_graph,
+        data_indices={"data": make_indices()},
+        statistics={"data": make_statistics()},
+    )
+
+
+def test_migrator_records_applied_list():
+    ckpt = MIGRATOR.migrate({"metadata": {}})
+    names = ckpt["metadata"]["migrations"]
+    assert names == [m.name for m in MIGRATOR.migrations]
+    # idempotent: nothing pending after migrate
+    assert MIGRATOR.pending(ckpt) == []
+
+
+def test_migrator_rollback():
+    ckpt = MIGRATOR.migrate({"metadata": {}})
+    back = MIGRATOR.rollback_to(ckpt, "20260817000000_initial_format")
+    assert back["metadata"]["migrations"] == ["20260817000000_initial_format"]
+
+
+def test_registration_order_enforced():
+    m = Migrator()
+    m.register("2_b")(lambda c: c)
+    with pytest.raises(AssertionError):
+        m.register("1_a")(lambda c: c)
+
+
+@pytest.mark.parametrize("processor", ["GNNProcessor", "GraphTransformerProcessor"])
+def test_prescan_params_migrate_with_forward_parity(tiny_graph, processor):
+    old = build(tiny_graph, processor, scan_layers=False)
+    new = build(tiny_graph, processor, scan_layers=True)
+    old_params = old.init_params(jax.random.PRNGKey(0))
+    template = jax.device_get(new.init_params(jax.random.PRNGKey(1)))
+
+    # simulate a pre-scan checkpoint: raw state dict without the migration
+    raw = serialization.to_state_dict(jax.device_get(old_params))
+    bundle = {"metadata": {"migrations": ["20260817000000_initial_format"]}}
+    bundle, raw = MIGRATOR.migrate(bundle, raw)
+    assert "20260817120000_stack_processor_scan" in bundle["metadata"]["migrations"]
+
+    migrated = serialization.from_state_dict(template, raw)
+    # structure now matches the scan template exactly
+    assert jax.tree_util.tree_structure(migrated) == jax.tree_util.tree_structure(
+        template
+    )
+
+    n_grid = tiny_graph["data"].num_nodes
+    rng = np.random.default_rng(0)
+    x = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, 5)), dtype=jnp.float32)}
+    y_old = np.asarray(old.apply(old_params, x)["data"])
+    y_new = np.asarray(new.apply(migrated, x)["data"])
+    np.testing.assert_allclose(y_new, y_old, rtol=2e-5, atol=2e-5)
+
+
+def test_scan_checkpoint_passes_through_unchanged(tiny_graph):
+    """Already-scanned params are a no-op for the stacking migration."""
+    iface = build(tiny_graph, "GraphTransformerProcessor", scan_layers=True)
+    params = jax.device_get(iface.init_params(jax.random.PRNGKey(0)))
+    raw = serialization.to_state_dict(params)
+    bundle = {"metadata": {"migrations": ["20260817000000_initial_format"]}}
+    _, migrated = MIGRATOR.migrate(bundle, raw)
+    restored = serialization.from_state_dict(params, migrated)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
