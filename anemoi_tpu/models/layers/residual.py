@@ -187,6 +187,71 @@ class ScalarOrnsteinConnection(nn.Module):
         return _expand_time(full, n_step_output)
 
 
+class SpectralOrnsteinConnection(nn.Module):
+    """Per-wavenumber Ornstein-Uhlenbeck skip (ref residual.py:415-588):
+
+        skip = ISHT( (1 - theta_l) * SHT(x_prog) ) + mu
+
+    the spectral analogue of :class:`ScalarOrnsteinConnection` — a learnable
+    damping factor per spherical-harmonic DEGREE l, so high wavenumbers can be
+    relaxed toward climatology faster than the large scales.  Implemented with
+    the dense-matmul Gaussian SHT (ops/spectral.py): analysis/synthesis are
+    einsum contractions, the per-degree gain is a broadcast multiply — all
+    MXU-friendly, no scatters.  Requires the dataset grid to be a full
+    Gaussian grid F<n> (nlat = 2n, nlon = 4n, rings north->south)."""
+
+    prog_idx: Tuple[int, ...]  # model-input indices of prognostic variables
+    num_vars: int  # model-input width
+    gaussian_n: int  # F<n> grid; grid size must equal 8n^2
+    lmax: int = 0  # 0 -> 2n-1
+    theta_init: float = 0.0  # initial logit shared by all degrees
+    theta_buff: float = 0.0
+    theta_train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, n_step_output: int = 1) -> jnp.ndarray:
+        import jax
+
+        from anemoi_tpu.ops.spectral import GaussianSHT
+
+        sht = GaussianSHT.create(self.gaussian_n, self.lmax if self.lmax else None)
+        x_last = x[:, -1]  # [batch, ens, grid, vars]
+        n_grid = x_last.shape[-2]
+        assert n_grid == sht.nlat * sht.nlon, (
+            f"SpectralOrnsteinConnection needs a full Gaussian F{self.gaussian_n} "
+            f"grid ({sht.nlat * sht.nlon} points), got {n_grid}"
+        )
+        n_prog = len(self.prog_idx)
+
+        theta = self.param(
+            "theta_logit",
+            lambda _k: jnp.full((sht.lmax + 1,), float(self.theta_init), jnp.float32),
+        )
+        mu = self.param("mu", lambda _k: jnp.zeros((n_prog,), jnp.float32))
+        if not self.theta_train:
+            theta = jax.lax.stop_gradient(theta)
+        gain = 1.0 - jax.nn.sigmoid(theta) * (1.0 - self.theta_buff) - self.theta_buff
+
+        prog = jnp.take(x_last, jnp.asarray(self.prog_idx), axis=-1)
+        # [batch, ens, grid, prog] -> [batch, ens, prog, nlat, nlon]
+        field = jnp.moveaxis(prog, -1, -2).reshape(
+            prog.shape[:-2] + (n_prog, sht.nlat, sht.nlon)
+        )
+        coeffs = sht.analysis(field.astype(jnp.float32))
+        coeffs = coeffs * gain[:, None]  # per-degree l, broadcast over m
+        damped = sht.synthesis(coeffs)
+        out = jnp.moveaxis(
+            damped.reshape(prog.shape[:-2] + (n_prog, n_grid)), -2, -1
+        ).astype(x_last.dtype)
+        out = out + mu.astype(x_last.dtype)
+
+        # static indicator [n_prog, num_vars] places prog columns, zeros rest
+        m = np.zeros((n_prog, self.num_vars), np.float32)
+        m[np.arange(n_prog), np.asarray(self.prog_idx)] = 1.0
+        full = jnp.dot(out, jnp.asarray(m, dtype=out.dtype))
+        return _expand_time(full, n_step_output)
+
+
 def build_residual(config: Optional[dict], graph=None, dataset: str = "data", **kwargs):
     """Build a residual connection; TruncatedConnection resolves its down/up
     projection sub-graphs from the heterogeneous graph (the reference's
@@ -215,6 +280,20 @@ def build_residual(config: Optional[dict], graph=None, dataset: str = "data", **
             regressor_idx=regressor_idx,
             theta_logit_init=tuple(float(t) for t in theta_logits),
             theta_buff=theta_buff,
+            theta_train=bool(cfg.get("theta_train", True)),
+            name=kwargs.get("name", f"residual_{dataset}"),
+        )
+    if cfg.get("name") == "SpectralOrnsteinConnection":
+        data_indices = kwargs.get("data_indices")
+        assert data_indices is not None, "SpectralOrnsteinConnection needs data_indices"
+        mi = data_indices.model.input
+        return SpectralOrnsteinConnection(
+            prog_idx=tuple(int(i) for i in mi.prognostic),
+            num_vars=len(mi.full),
+            gaussian_n=int(cfg["gaussian_n"]),
+            lmax=int(cfg.get("lmax", 0)),
+            theta_init=float(cfg.get("theta_init", 0.0)),
+            theta_buff=float(cfg.get("theta_buff", 0.0)),
             theta_train=bool(cfg.get("theta_train", True)),
             name=kwargs.get("name", f"residual_{dataset}"),
         )

@@ -300,3 +300,58 @@ def test_scalar_ornstein_residual(tiny_graph, rng):
     xb = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, 5)), dtype=jnp.float32)}
     out = iface.apply(params, xb)
     assert np.isfinite(np.asarray(out["data"])).all()
+
+
+def test_spectral_ornstein_residual(rng):
+    """SpectralOrnsteinConnection (ref residual.py:415-588): per-degree
+    (1 - theta_l) damping of the prognostic skip in spherical-harmonic space."""
+    from anemoi_tpu.models.layers.residual import (
+        SpectralOrnsteinConnection,
+        build_residual,
+    )
+    from anemoi_tpu.ops.spectral import GaussianSHT
+
+    idx = make_indices()
+    n = 4  # F4 grid: 8 x 16 = 128 points
+    sht = GaussianSHT.create(n)
+    n_grid = sht.nlat * sht.nlon
+
+    # band-limited prognostic fields -> the SHT roundtrip is exact
+    coeffs = jnp.asarray(
+        rng.normal(size=(3, sht.lmax + 1, sht.lmax + 1))
+        + 1j * rng.normal(size=(3, sht.lmax + 1, sht.lmax + 1))
+    )
+    # zero imaginary part of m=0 and mask m > l for a valid real field
+    mask = np.tril(np.ones((sht.lmax + 1, sht.lmax + 1)))
+    coeffs = coeffs * mask
+    coeffs = coeffs.at[..., 0].set(jnp.real(coeffs[..., 0]))
+    fields = np.asarray(sht.synthesis(coeffs))  # [3, nlat, nlon]
+
+    x = np.zeros((1, 2, 1, n_grid, 5), dtype=np.float32)
+    x[:, :, :, :, :3] = fields.reshape(3, -1).T  # prognostic q,t,u
+    x[:, :, :, :, 3:] = rng.normal(size=(1, 2, 1, n_grid, 2))
+    x = jnp.asarray(x)
+
+    # theta logit very negative -> gain ~ 1 -> skip == prognostic input
+    res = build_residual(
+        {"name": "SpectralOrnsteinConnection", "gaussian_n": n, "theta_init": -20.0},
+        data_indices=idx,
+    )
+    assert isinstance(res, SpectralOrnsteinConnection)
+    params = res.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(res.apply(params, x, n_step_output=1))
+    assert out.shape == (1, 1, 1, n_grid, 5)
+    np.testing.assert_allclose(
+        out[:, 0, :, :, :3], np.asarray(x)[:, -1, :, :, :3], atol=1e-3, rtol=1e-3
+    )
+    # non-prognostic columns (z, tp are forcing/diagnostic) stay zero
+    assert np.abs(out[:, 0, :, :, 3:]).max() == 0.0
+
+    # theta logit very positive -> gain ~ 0 -> fully damped toward mu (0)
+    res2 = build_residual(
+        {"name": "SpectralOrnsteinConnection", "gaussian_n": n, "theta_init": 20.0},
+        data_indices=idx,
+    )
+    params2 = res2.init(jax.random.PRNGKey(0), x)
+    out2 = np.asarray(res2.apply(params2, x, n_step_output=1))
+    assert np.abs(out2).max() < 1e-3
