@@ -279,6 +279,31 @@ def boolean_op_attribute(graph: Graph, nodes_name: str, op: str, attributes: lis
     return apply_boolean_op(graph, nodes_name, op, attributes)
 
 
+@node_builder_registry.register("LimitedAreaTriNodes")
+def limited_area_tri_nodes(
+    resolution: int,
+    reference_node_name: str,
+    margin_radius_km: float = 100.0,
+    graph: Optional[Graph] = None,
+) -> np.ndarray:
+    """Tri icosphere clipped to the footprint of a reference (LAM) node set
+    plus a margin (ref: from_refined_icosahedron.py:125 LimitedAreaTriNodes).
+
+    The reference node set must be built EARLIER in the recipe; mesh nodes
+    farther than ``margin_radius_km`` from every reference node are dropped."""
+    from sklearn.neighbors import BallTree
+
+    assert graph is not None and reference_node_name in graph.node_names(), (
+        f"LimitedAreaTriNodes needs '{reference_node_name}' built earlier in the recipe"
+    )
+    mesh = create_tri_nodes(resolution)
+    tree = BallTree(graph[reference_node_name].coords, metric="haversine")
+    dist, _ = tree.query(mesh, k=1)
+    keep = dist[:, 0] <= margin_radius_km / EARTH_RADIUS_KM
+    assert keep.any(), "LimitedAreaTriNodes: no mesh nodes inside the area"
+    return mesh[keep]
+
+
 @node_builder_registry.register("HexNodes")
 def hex_nodes(resolution: int) -> np.ndarray:
     """Hexagonal (H3) icosahedral nodes (ref from_refined_icosahedron.py:111).
@@ -304,8 +329,17 @@ def apply_boolean_op(graph: Graph, nodes_name: str, op: str, attributes: list) -
     return out
 
 
-def build_nodes(config: Dict) -> np.ndarray:
-    return node_builder_registry.build_from_config(config)
+def build_nodes(config: Dict, graph: Optional[Graph] = None) -> np.ndarray:
+    import inspect
+
+    cfg = dict(config)
+    name = cfg.get("name") or cfg.get("_target_")
+    factory = node_builder_registry.get(name)
+    # builders that clip against earlier node sets (LimitedAreaTriNodes)
+    # declare a ``graph`` parameter; others stay graph-free
+    if graph is not None and "graph" in inspect.signature(factory).parameters:
+        return node_builder_registry.build_from_config(cfg, graph=graph)
+    return node_builder_registry.build_from_config(cfg)
 
 
 def build_node_attribute(graph: Graph, nodes_name: str, config: Dict) -> np.ndarray:

@@ -124,3 +124,44 @@ def test_edge_attribute_shapes(tiny_graph):
     assert enc.attributes["edge_length"].shape == (enc.num_edges, 1)
     assert enc.attributes["edge_dirs"].shape == (enc.num_edges, 2)
     assert enc.attribute_matrix(["edge_dirs", "edge_length"]).shape == (enc.num_edges, 3)
+
+
+def test_limited_area_tri_nodes():
+    """LimitedAreaTriNodes (ref from_refined_icosahedron.py:125): icosphere
+    clipped to the footprint of an earlier-built LAM node set + margin."""
+    from anemoi_tpu.graphs.create import GraphCreator
+    from anemoi_tpu.graphs.generate.icosahedron import create_tri_nodes
+
+    lat = np.linspace(40.0, 55.0, 8)
+    lon = np.linspace(0.0, 20.0, 8)
+    glat, glon = np.meshgrid(lat, lon, indexing="ij")
+    recipe = {
+        "nodes": {
+            "data": {
+                "node_builder": {
+                    "name": "LatLonNodes",
+                    "latitudes": glat.ravel().tolist(),
+                    "longitudes": glon.ravel().tolist(),
+                }
+            },
+            "hidden": {
+                "node_builder": {
+                    "name": "LimitedAreaTriNodes",
+                    "resolution": 4,
+                    "reference_node_name": "data",
+                    "margin_radius_km": 300.0,
+                }
+            },
+        },
+        "edges": [],
+    }
+    graph = GraphCreator(recipe).create()
+    mesh = graph["hidden"].coords
+    full = create_tri_nodes(4)
+    assert 0 < mesh.shape[0] < full.shape[0] // 4, mesh.shape
+    # every kept node is within the margin of some data node
+    from sklearn.neighbors import BallTree
+
+    tree = BallTree(graph["data"].coords, metric="haversine")
+    dist, _ = tree.query(mesh, k=1)
+    assert (dist[:, 0] * 6371.0 <= 300.0 + 1e-6).all()
