@@ -129,14 +129,22 @@ class BaseLoss:
 def get_loss_function(
     config: dict,
     scalers: Optional[Dict[str, Tuple[Tuple[str, ...], jnp.ndarray]]] = None,
+    graph=None,
+    dataset: str = "data",
 ) -> BaseLoss:
     """Factory (ref losses/loss.py:142): build a loss from config, attaching
     the requested subset of pre-built scalers.
 
     config: {"name": "WeightedMSELoss", "scalers": ["area_weight", "variable"], ...}
+    ``graph``/``dataset`` are only needed by graph-coupled wrappers
+    (MultiscaleLossWrapper resolves its coarsening projections from them).
     """
     cfg = dict(config)
     name = cfg.pop("name", "WeightedMSELoss")
+    if name == "MultiscaleLossWrapper":
+        from anemoi_tpu.training.losses.multiscale import build_multiscale_loss
+
+        return build_multiscale_loss(config, scalers, graph=graph, dataset=dataset)
     wanted = cfg.pop("scalers", ["*"])
     st = ScaleTensor()
     available = scalers or {}

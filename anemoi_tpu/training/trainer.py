@@ -133,7 +133,9 @@ class AnemoiTrainer:
             loss_cfg = dict(training_cfg.get("loss", {"name": "WeightedMSELoss"}))
             if name in self.output_masks and "scalers" in loss_cfg:
                 loss_cfg["scalers"] = list(loss_cfg["scalers"]) + ["output_mask"]
-            self.losses[name] = get_loss_function(loss_cfg, scalers)
+            self.losses[name] = get_loss_function(
+                loss_cfg, scalers, graph=self.graph, dataset=name
+            )
 
         # --- optimizer / state ---------------------------------------
         self.lr_schedule = build_lr_schedule(training_cfg.get("lr", {}))

@@ -102,3 +102,83 @@ def test_split_variable_name():
     assert split_variable_name("t_850") == ("t", 850)
     assert split_variable_name("10u") == ("10u", None)
     assert split_variable_name("z_surface") == ("z_surface", None)
+
+
+def test_multiscale_loss_wrapper():
+    """MultiscaleLossWrapper (ref losses/multiscale.py:35): inner loss summed
+    over native + coarsened grids with per-scale weights."""
+    from anemoi_tpu.training.losses import get_loss_function
+
+    G, V = 8, 2
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.normal(size=(1, 1, 1, G, V)), dtype=jnp.float32)
+    target = jnp.asarray(rng.normal(size=(1, 1, 1, G, V)), dtype=jnp.float32)
+
+    inner_cfg = {"name": "WeightedMSELoss", "scalers": []}
+    base_val = float(get_loss_function(inner_cfg)(pred, target))
+
+    # native-only wrapper == inner loss
+    ms = get_loss_function(
+        {"name": "MultiscaleLossWrapper", "loss": dict(inner_cfg), "scales": []}
+    )
+    np.testing.assert_allclose(float(ms(pred, target)), base_val, rtol=1e-6)
+
+    # identity "coarse" scale (each node maps to itself) changes nothing
+    ident = {
+        "edge_index": np.stack([np.arange(G), np.arange(G)]),
+        "weights": np.ones(G, np.float32),
+        "num_coarse": G,
+        "weight": 3.0,
+    }
+    ms2 = get_loss_function(
+        {"name": "MultiscaleLossWrapper", "loss": dict(inner_cfg), "scales": [ident]}
+    )
+    np.testing.assert_allclose(float(ms2(pred, target)), base_val, rtol=1e-6)
+
+    # true 4->1 coarsening: averaging blocks of 4 shrinks the error of a
+    # zero-mean field, so the multiscale value must drop below native MSE
+    coarse = {
+        "edge_index": np.stack([np.arange(G), np.arange(G) // 4]),
+        "weights": np.ones(G, np.float32),
+        "num_coarse": 2,
+        "weight": 1.0,
+    }
+    ms3 = get_loss_function(
+        {"name": "MultiscaleLossWrapper", "loss": dict(inner_cfg),
+         "scales": [coarse], "native_weight": 1.0}
+    )
+    val3 = float(ms3(pred, target))
+    assert val3 < base_val
+    # exact decomposition: 0.5 * (native + coarse-projected mse)
+    block_p = np.asarray(pred).reshape(1, 1, 1, 2, 4, V).mean(axis=4)
+    block_t = np.asarray(target).reshape(1, 1, 1, 2, 4, V).mean(axis=4)
+    coarse_mse = float(np.mean((block_p - block_t) ** 2))
+    np.testing.assert_allclose(val3, 0.5 * (base_val + coarse_mse), rtol=1e-5)
+
+    # graph-resolved form + grid scalers dropped at coarse scales
+    from anemoi_tpu.graphs.graph import EdgeSet, Graph, NodeSet
+
+    g = Graph()
+    lat = np.linspace(-1.0, 1.0, G)
+    g["data"] = NodeSet(coords=np.stack([lat, np.zeros(G)], axis=1))
+    g["coarse"] = NodeSet(coords=np.stack([lat[::4], np.zeros(2)], axis=1))
+    es = EdgeSet(edge_index=np.stack([np.arange(G), np.arange(G) // 4]))
+    es.attributes["w"] = np.ones((G, 1), np.float32)
+    g[("data", "coarse")] = es
+    area = np.full(G, 0.5, np.float32)
+    scalers = {"area": (("grid",), jnp.asarray(area))}
+    ms4 = get_loss_function(
+        {"name": "MultiscaleLossWrapper",
+         "loss": {"name": "WeightedMSELoss", "scalers": ["area"]},
+         "scales": [{"nodes": "coarse", "weight_attribute": "w", "weight": 1.0}]},
+        scalers, graph=g,
+    )
+    val4 = float(ms4(pred, target))
+    # uniform area weight is a no-op on the weighted mean -> same decomposition
+    np.testing.assert_allclose(val4, 0.5 * (base_val + coarse_mse), rtol=1e-5)
+
+    # NaN targets are masked, not smeared into the coarse cells
+    t_nan = np.asarray(target).copy()
+    t_nan[0, 0, 0, 0, 0] = np.nan
+    v = float(ms3(pred, jnp.asarray(t_nan)))
+    assert np.isfinite(v)
