@@ -76,49 +76,21 @@ class TruncatedConnection:
         row_normalize: bool = True,
         **_,
     ):
-        import numpy as np
+        from anemoi_tpu.ops.sparse_projector import SparseProjector
 
-        def prep(edge_index, weights, num_dst):
-            ei = np.asarray(edge_index)
-            w = np.asarray(weights, dtype=np.float32).reshape(-1)
-            if row_normalize:
-                sums = np.zeros(num_dst, dtype=np.float64)
-                np.add.at(sums, ei[1], w)
-                w = (w / np.maximum(sums[ei[1]], 1e-12)).astype(np.float32)
-            return jnp.asarray(ei), jnp.asarray(w)
-
-        self.down_ei, self.down_w = prep(down_edge_index, down_weights, num_coarse)
-        self.up_ei, self.up_w = prep(up_edge_index, up_weights, num_data)
+        self.down = SparseProjector(
+            down_edge_index, down_weights, num_coarse, row_normalize=row_normalize
+        )
+        self.up = SparseProjector(
+            up_edge_index, up_weights, num_data, row_normalize=row_normalize
+        )
         self.num_coarse = num_coarse
         self.num_data = num_data
         self.step = step
 
-    def _project(self, x: jnp.ndarray, ei, w, num_dst: int) -> jnp.ndarray:
-        import jax
-
-        # x: [..., grid, vars] -> gather src rows, weight, scatter to dst
-        src, dst = ei[0], ei[1]
-        gathered = jnp.take(x, src, axis=-2) * w[:, None]
-        return jax.ops.segment_sum(
-            jnp.moveaxis(gathered, -2, 0),
-            dst,
-            num_segments=num_dst,
-            indices_are_sorted=True,
-        ).swapaxes(0, -2) if x.ndim > 2 else jax.ops.segment_sum(
-            gathered, dst, num_segments=num_dst, indices_are_sorted=True
-        )
-
     def __call__(self, x: jnp.ndarray, n_step_output: int = 1) -> jnp.ndarray:
         x_skip = x[:, self.step]  # [batch, ens, grid, vars]
-        shape = x_skip.shape
-        flat = x_skip.reshape(-1, shape[-2], shape[-1])
-        import jax
-
-        def proj(sample):
-            coarse = self._project(sample, self.down_ei, self.down_w, self.num_coarse)
-            return self._project(coarse, self.up_ei, self.up_w, self.num_data)
-
-        out = jax.vmap(proj)(flat).reshape(shape)
+        out = self.up(self.down(x_skip))
         return _expand_time(out, n_step_output)
 
 

@@ -19,36 +19,20 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
+from anemoi_tpu.ops.sparse_projector import SparseProjector
 from anemoi_tpu.training.losses.base import BaseLoss, ScaleTensor, loss_registry
 
 
-class _Projection:
-    """Row-normalised sparse projection [.., grid, V] -> [.., coarse, V]."""
+class _Projection(SparseProjector):
+    """Row-normalised sparse projection [.., grid, V] -> [.., coarse, V]
+    carrying its per-scale loss weight."""
 
     def __init__(self, edge_index, weights, num_coarse: int, scale_weight: float):
-        ei = np.asarray(edge_index)
-        w = np.asarray(weights, dtype=np.float32).reshape(-1)
-        assert np.all(np.diff(ei[1]) >= 0), "projection edges must be dst-sorted"
-        sums = np.zeros(num_coarse, dtype=np.float64)
-        np.add.at(sums, ei[1], w)
-        w = (w / np.maximum(sums[ei[1]], 1e-12)).astype(np.float32)
-        self.src = jnp.asarray(ei[0])
-        self.dst = jnp.asarray(ei[1])
-        self.w = jnp.asarray(w)
-        self.num_coarse = num_coarse
+        super().__init__(edge_index, weights, num_coarse, row_normalize=True)
         self.scale_weight = float(scale_weight)
-
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        gathered = jnp.take(x, self.src, axis=-2) * self.w[:, None]
-        moved = jnp.moveaxis(gathered, -2, 0)
-        out = jax.ops.segment_sum(
-            moved, self.dst, num_segments=self.num_coarse, indices_are_sorted=True
-        )
-        return jnp.moveaxis(out, 0, -2)
 
 
 @loss_registry.register("MultiscaleLossWrapper")

@@ -321,3 +321,30 @@ def test_bucketed_attention_k_multiple(rng):
     )(k)
     gr = jax.grad(lambda kk: jnp.sum(padded_gt_attention_flat(q, kk, v, e_attr, H, single) ** 2))(k)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)
+
+
+def test_sparse_projector():
+    """SparseProjector (ref layers/sparse_projector.py:13): dst-sorted sparse
+    projection as gather + segment-sum, matching the dense matmul."""
+    import jax.numpy as jnp
+    from anemoi_tpu.ops.sparse_projector import SparseProjector
+
+    rng = np.random.default_rng(0)
+    n_src, n_dst, V = 12, 5, 3
+    # random dst-sorted bipartite edges, every dst covered
+    dst = np.sort(np.concatenate([np.arange(n_dst), rng.integers(0, n_dst, 10)]))
+    src = rng.integers(0, n_src, dst.shape[0])
+    w = rng.uniform(0.1, 1.0, dst.shape[0]).astype(np.float32)
+    proj = SparseProjector(np.stack([src, dst]), w, n_dst, row_normalize=True)
+
+    x = rng.normal(size=(2, 4, n_src, V)).astype(np.float32)  # leading dims
+    out = np.asarray(proj(jnp.asarray(x)))
+    assert out.shape == (2, 4, n_dst, V)
+    dense = proj.as_dense()
+    np.testing.assert_allclose(dense.sum(axis=1), 1.0, rtol=1e-5)  # row-normalised
+    expected = np.einsum("ds,besv->bedv", dense, x)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+    # constant-field preservation (row-normalised projection is an average)
+    c = np.full((n_src, V), 2.5, np.float32)
+    np.testing.assert_allclose(np.asarray(proj(jnp.asarray(c))), 2.5, rtol=1e-5)
