@@ -15,6 +15,8 @@ projection path.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,14 +46,50 @@ class SparseProjector:
         self.dst = jnp.asarray(ei[1])
         self.w = jnp.asarray(w)
         self.num_dst = int(num_dst)
+        # Transpose table for the custom VJP: the x-cotangent is P^T g, i.e.
+        # x_ct[src] += w * g[dst].  Pre-sorting the triplets by src makes that
+        # another sorted-segment reduction, keeping the repo's "no scatters in
+        # jitted programs" invariant for the backward pass too.
+        order = np.argsort(ei[0], kind="stable")
+        self.t_src = jnp.asarray(ei[0][order])  # sorted segment ids
+        self.t_dst = jnp.asarray(ei[1][order])  # gather rows from g
+        self.t_w = jnp.asarray(w[order])
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _project(self, x: jnp.ndarray) -> jnp.ndarray:
         gathered = jnp.take(x, self.src, axis=-2) * self.w[:, None]
         moved = jnp.moveaxis(gathered, -2, 0)
         out = jax.ops.segment_sum(
             moved, self.dst, num_segments=self.num_dst, indices_are_sorted=True
         )
         return jnp.moveaxis(out, 0, -2)
+
+    def _project_t(self, g: jnp.ndarray, n_src: int) -> jnp.ndarray:
+        gathered = jnp.take(g, self.t_dst, axis=-2) * self.t_w[:, None]
+        moved = jnp.moveaxis(gathered, -2, 0)
+        out = jax.ops.segment_sum(
+            moved, self.t_src, num_segments=n_src, indices_are_sorted=True
+        )
+        return jnp.moveaxis(out, 0, -2)
+
+    @functools.lru_cache(maxsize=None)
+    def _apply_for(self, n_src: int):
+        """custom-VJP projection specialised to x with ``n_src`` rows."""
+
+        @jax.custom_vjp
+        def apply(x):
+            return self._project(x)
+
+        def fwd(x):
+            return self._project(x), None
+
+        def bwd(_, g):
+            return (self._project_t(g, n_src),)
+
+        apply.defvjp(fwd, bwd)
+        return apply
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._apply_for(int(x.shape[-2]))(x)
 
     def as_dense(self) -> np.ndarray:
         """Materialise the [num_dst, rows] matrix (tests / inspection only)."""

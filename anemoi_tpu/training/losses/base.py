@@ -105,11 +105,17 @@ class BaseLoss:
         if without_scalers is not None:
             scalers = scalers.without(without_scalers)
 
-        err = self.error(pred, target)
         if self.ignore_nans:
+            # Zero-fill BOTH operands before computing the error (ref losses
+            # base.py mask_nans): masking err afterwards with jnp.where is not
+            # enough under AD, because the zero cotangent still multiplies the
+            # NaN derivative (0*NaN=NaN) and poisons every gradient.
             valid = ~jnp.isnan(target)
-            err = jnp.where(valid, err, 0.0)
+            pred = jnp.where(valid, pred, 0.0)
+            target = jnp.where(valid, target, 0.0)
+            err = self.error(pred, target) * valid.astype(pred.dtype)
         else:
+            err = self.error(pred, target)
             valid = jnp.ones_like(err, dtype=bool)
 
         weighted = scalers.scale(err)

@@ -51,9 +51,10 @@ class WeightedHuberLoss(BaseLoss):
 @loss_registry.register("WeightedLogCoshLoss")
 class WeightedLogCoshLoss(BaseLoss):
     def error(self, pred, target):
-        d = pred - target
-        # numerically-stable log(cosh(d))
-        return d + jnp.log1p(jnp.exp(-2.0 * d)) - jnp.log(2.0)
+        # numerically-stable log(cosh(d)) computed on |d|: the naive
+        # d + log1p(exp(-2d)) overflows for d << 0 (exp(-2d) -> inf).
+        a = jnp.abs(pred - target)
+        return a + jnp.log1p(jnp.exp(-2.0 * a)) - jnp.log(2.0)
 
 
 @loss_registry.register("KernelCRPS")

@@ -182,3 +182,31 @@ def test_multiscale_loss_wrapper():
     t_nan[0, 0, 0, 0, 0] = np.nan
     v = float(ms3(pred, jnp.asarray(t_nan)))
     assert np.isfinite(v)
+
+
+def test_nan_target_gradients_finite(rng):
+    """ADVICE r1 (high): NaN targets must not poison gradients — both operands
+    are zero-filled before the pointwise error (ref losses base.py mask_nans)."""
+    import jax
+
+    pred = jnp.asarray(rng.normal(size=SHAPE), dtype=jnp.float32)
+    target = np.asarray(rng.normal(size=SHAPE), dtype=np.float32)
+    target[0, 0, 0, :4, 1] = np.nan
+    target = jnp.asarray(target)
+    for name in ["WeightedMSELoss", "WeightedMAELoss", "WeightedHuberLoss",
+                 "WeightedLogCoshLoss", "WeightedRMSELoss"]:
+        loss = get_loss_function({"name": name})
+        g = jax.grad(lambda p: loss(p, target))(pred)
+        assert np.isfinite(np.asarray(g)).all(), f"{name} grad has non-finite entries"
+        # masked entries contribute zero gradient
+        assert np.all(np.asarray(g)[0, 0, 0, :4, 1] == 0.0), name
+
+
+def test_logcosh_large_negative_residual():
+    """ADVICE r1 (medium): logcosh must not overflow for large |pred-target|."""
+    loss = get_loss_function({"name": "WeightedLogCoshLoss"})
+    pred = jnp.full(SHAPE, -60.0)
+    target = jnp.zeros(SHAPE)
+    v = float(loss(pred, target))
+    assert np.isfinite(v)
+    np.testing.assert_allclose(v, 60.0 - np.log(2.0), rtol=1e-5)

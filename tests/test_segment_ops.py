@@ -348,3 +348,38 @@ def test_sparse_projector():
     # constant-field preservation (row-normalised projection is an average)
     c = np.full((n_src, V), 2.5, np.float32)
     np.testing.assert_allclose(np.asarray(proj(jnp.asarray(c))), 2.5, rtol=1e-5)
+
+
+def test_sparse_projector_vjp_scatter_free():
+    """SparseProjector custom VJP: the x-cotangent equals the dense P^T g, and
+    the backward HLO contains no scatter (ADVICE r1: transpose-table VJP)."""
+    import jax
+    import jax.numpy as jnp
+    from anemoi_tpu.ops.sparse_projector import SparseProjector
+
+    rng = np.random.default_rng(1)
+    n_src, n_dst, V = 14, 6, 3
+    dst = np.sort(np.concatenate([np.arange(n_dst), rng.integers(0, n_dst, 12)]))
+    src = rng.integers(0, n_src, dst.shape[0])
+    w = rng.uniform(0.1, 1.0, dst.shape[0]).astype(np.float32)
+    proj = SparseProjector(np.stack([src, dst]), w, n_dst, row_normalize=False)
+
+    x = jnp.asarray(rng.normal(size=(n_src, V)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n_dst, V)).astype(np.float32))
+
+    def f(xx):
+        return jnp.sum(proj(xx) * g)
+
+    grad = np.asarray(jax.grad(f)(x))
+    dense = np.zeros((n_dst, n_src), np.float32)
+    np.add.at(dense, (dst, src), w)
+    expected = dense.T @ np.asarray(g)
+    np.testing.assert_allclose(grad, expected, rtol=1e-4, atol=1e-5)
+
+    # Every scatter in the backward must be a sorted-segment reduction (the
+    # explicit transpose-table segment_sum), never the unsorted scatter-add
+    # that jnp.take's default VJP would emit.
+    hlo = jax.jit(jax.grad(f)).lower(x).as_text()
+    for line in hlo.splitlines():
+        if "scatter(" in line:
+            assert "indices_are_sorted = true" in line or "indices_are_sorted=true" in line, line
