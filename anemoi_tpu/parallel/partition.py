@@ -66,6 +66,7 @@ def partition_graph(
     n_shards: int,
     halo: bool = True,
     bucket_multiple: int = 8,
+    verify: bool = True,
 ) -> ShardedGraph:
     """Partition a homogeneous dst-sorted graph across ``n_shards``."""
     num_edges = edge_index.shape[1]
@@ -80,19 +81,10 @@ def partition_graph(
     counts = np.diff(bounds)
     e_loc_raw = int(counts.max()) if len(counts) else 1
 
-    # build per-shard local CSRs
-    shard_csrs: List[PaddedCSR] = []
-    shard_edge_perm: List[np.ndarray] = []
-    k_in_max = 1
-    for s in range(n_shards):
-        lo, hi = bounds[s], bounds[s + 1]
-        ei = edge_index[:, lo:hi]
-        dst_local = ei[1] - s * n_local  # local dst id
-        # note: dst ids < num_nodes so dst_local in [0, n_local)
-        deg = np.bincount(dst_local, minlength=n_local)
-        k_in_max = max(k_in_max, int(deg.max()) if len(deg) else 1)
-        shard_edge_perm.append(np.arange(lo, hi))
-    k_in = _round_up(k_in_max, bucket_multiple)
+    # max in-degree over ALL nodes in one pass (k_in is shared across shards)
+    deg_all = np.diff(dst_ptr)
+    k_in_max = int(deg_all.max()) if len(deg_all) else 1
+    k_in = _round_up(max(k_in_max, 1), bucket_multiple)
 
     src_slots = np.zeros((n_shards, n_local, k_in), dtype=np.int32)
     edge_slots_arr = np.full((n_shards, n_local, k_in), 0, dtype=np.int32)
@@ -152,17 +144,21 @@ def partition_graph(
         )
         return sg
 
-    # --- halo tables ---------------------------------------------------
+    # --- halo tables (fully vectorised; no per-edge Python loops) -------
     # for each (owner j -> consumer s): nodes owned by j that s's edges read
     needed = [[np.array([], dtype=np.int64)] * n_shards for _ in range(n_shards)]
     h_pair_max = 1
     for s in range(n_shards):
         srcs = np.unique(halo_src_lists[s])
         owner = srcs // n_local
+        remote = owner != s
+        srcs_r, owner_r = srcs[remote], owner[remote]
+        # split the sorted-by-owner runs in one pass
+        cuts = np.searchsorted(owner_r, np.arange(n_shards + 1))
         for j in range(n_shards):
             if j == s:
                 continue
-            sel = srcs[owner == j]
+            sel = srcs_r[cuts[j] : cuts[j + 1]]
             needed[s][j] = sel
             h_pair_max = max(h_pair_max, len(sel))
     h_pair = _round_up(h_pair_max, bucket_multiple)
@@ -181,45 +177,43 @@ def partition_graph(
     # which stays masked) of the received h_pair rows, i.e. global position
     # of node g owned by j != s: n_local + j*h_pair + position in needed[s][j].
     for s in range(n_shards):
-        remap = {}
+        remap = np.zeros(n_total_padded, dtype=np.int64)
         for j in range(n_shards):
-            if j == s:
-                continue
-            for pos, g in enumerate(needed[s][j]):
-                remap[int(g)] = n_local + j * h_pair + pos
-        flat = src_slots[s].reshape(-1)
-        out = np.empty_like(flat)
+            sel = needed[s][j]
+            if len(sel):
+                remap[sel] = n_local + j * h_pair + np.arange(len(sel))
+        flat = src_slots[s].reshape(-1).astype(np.int64)
         local_lo = s * n_local
-        for i, g in enumerate(flat):
-            if local_lo <= g < local_lo + n_local:
-                out[i] = g - local_lo
-            else:
-                out[i] = remap.get(int(g), 0)
-        src_slots[s] = out.reshape(n_local, k_in)
+        is_local = (flat >= local_lo) & (flat < local_lo + n_local)
+        out = np.where(is_local, flat - local_lo, remap[flat])
+        src_slots[s] = out.reshape(n_local, k_in).astype(np.int32)
     src_slots = np.where(mask, src_slots, 0)
 
     # backward transpose: per local node, the flat send-buffer slots using it
+    flat_nodes = send_idx.reshape(n_shards, -1)  # [S, S*h_pair]
+    flat_valid = send_mask.reshape(n_shards, -1)
     t_counts = np.zeros((n_shards, n_local), dtype=np.int64)
-    entries = [[[] for _ in range(n_local)] for _ in range(n_shards)]
     for j in range(n_shards):
-        for s in range(n_shards):
-            for pos in range(h_pair):
-                if send_mask[j, s, pos]:
-                    node = send_idx[j, s, pos]
-                    entries[j][node].append(s * h_pair + pos)
-                    t_counts[j, node] += 1
+        np.add.at(t_counts[j], flat_nodes[j][flat_valid[j]], 1)
     t_max = _round_up(max(1, int(t_counts.max())), 4)
     send_transpose_idx = np.full(
         (n_shards, n_local, t_max), n_shards * h_pair, dtype=np.int32
     )
     send_transpose_mask = np.zeros((n_shards, n_local, t_max), dtype=bool)
     for j in range(n_shards):
-        for node in range(n_local):
-            lst = entries[j][node]
-            send_transpose_idx[j, node, : len(lst)] = lst
-            send_transpose_mask[j, node, : len(lst)] = True
+        slots = np.flatnonzero(flat_valid[j])
+        nodes = flat_nodes[j][slots]
+        order = np.argsort(nodes, kind="stable")
+        nodes_s, slots_s = nodes[order], slots[order]
+        # position of each entry within its node's run
+        run_start = np.r_[0, np.flatnonzero(np.diff(nodes_s)) + 1]
+        seg_id = np.zeros(len(nodes_s), dtype=np.int64)
+        seg_id[run_start[1:]] = 1
+        within = np.arange(len(nodes_s)) - run_start[np.cumsum(seg_id)]
+        send_transpose_idx[j][nodes_s, within] = slots_s
+        send_transpose_mask[j][nodes_s, within] = True
 
-    return ShardedGraph(
+    sg = ShardedGraph(
         n_shards=n_shards,
         n_local=n_local,
         n_total_padded=n_total_padded,
@@ -236,3 +230,58 @@ def partition_graph(
         send_transpose_mask=send_transpose_mask,
         halo=True,
     )
+    if verify:
+        verify_sharded_graph(sg, edge_index)
+    return sg
+
+
+def verify_sharded_graph(sg: ShardedGraph, edge_index: np.ndarray) -> None:
+    """Independent halo-symmetry check (build-time equivalent of the
+    reference's runtime verifier, /root/reference/models/src/anemoi/models/
+    distributed/halo.py:225-281 verify_halo_info / ANEMOI_DEBUG_SHARDING).
+
+    Reconstructs every masked edge slot's GLOBAL source id from the send
+    tables alone -- a halo id on shard s resolves through what the OWNER shard
+    says it sends (send(j, s) == recv(s, j) symmetry) -- and asserts it
+    matches the original dst-sorted edge_index.  Fully vectorised."""
+    S, n_local, h_pair = sg.n_shards, sg.n_local, sg.h_pair
+    # recv_global[s, j, pos]: global id shard s receives from j at pos
+    recv_global = sg.send_idx.astype(np.int64) + (
+        np.arange(S, dtype=np.int64)[:, None, None] * n_local
+    )  # indexed [owner j, consumer s, pos]
+    num_edges = edge_index.shape[1]
+    # walk each shard's masked slots in edge order and compare
+    order_src = np.full(num_edges, -1, dtype=np.int64)
+    for s in range(S):
+        m = sg.mask[s]
+        if not m.any():
+            continue
+        dst, within = np.nonzero(m)
+        ids = sg.src_slots[s][dst, within].astype(np.int64)
+        is_local = ids < n_local
+        g = np.where(is_local, ids + s * n_local, 0)
+        halo_ids = ids - n_local
+        j = np.clip(halo_ids // max(h_pair, 1), 0, S - 1)
+        pos = halo_ids - j * h_pair
+        halo_valid = ~is_local
+        if halo_valid.any():
+            jj, pp = j[halo_valid], pos[halo_valid]
+            if not sg.send_mask[jj, s, pp].all():
+                raise AssertionError(
+                    f"halo symmetry violated: shard {s} reads halo rows its "
+                    "peers do not send (send/recv tables out of sync)"
+                )
+            g[halo_valid] = recv_global[jj, s, pp]
+        # edge slot -> original global edge id
+        eids = sg.edge_attr_perm[s][
+            np.where(sg.edge_slots[s][dst, within] < sg.edge_attr_perm.shape[1],
+                     sg.edge_slots[s][dst, within], 0)
+        ]
+        order_src[eids] = g
+    mismatch = order_src != edge_index[0]
+    if mismatch.any():
+        bad = int(np.flatnonzero(mismatch)[0])
+        raise AssertionError(
+            f"halo tables resolve edge {bad} src to {order_src[bad]}, "
+            f"expected {edge_index[0, bad]}"
+        )
