@@ -103,11 +103,18 @@ def _build_decoder(cfg: dict, hidden_dim: int, out_channels: int, backend: str) 
     )
 
 
-def _build_processor(cfg: dict, num_channels: int, backend: str) -> nn.Module:
+def _build_processor(
+    cfg: dict, num_channels: int, backend: str, shard_strategy: str = "none"
+) -> nn.Module:
     cfg = dict(cfg)
     cls = PROCESSORS[cfg.pop("name", "GraphTransformerProcessor")]
     cfg.pop("sub_graph_edge_attributes", None)
     trainable = cfg.pop("trainable_size", 0)
+    # the model-level shard strategy flows to the processor (the component the
+    # reference parallelises, graphtransformer.yaml `shard_strategy`); the
+    # gspmd flavour needs no processor-side handling
+    if shard_strategy in ("edges", "heads"):
+        cfg.setdefault("shard_strategy", shard_strategy)
     cfg = _field_filter(cls, cfg)
     if cls in (PointWiseMLPProcessor, TransformerProcessor):
         return cls(num_channels=num_channels, **cfg)
@@ -144,22 +151,26 @@ class AnemoiModelEncProcDec(nn.Module):
     def attention_backend(self) -> str:
         return str(self.config.get("graph_attention_backend", "padded"))
 
+    @property
+    def shard_strategy(self) -> str:
+        """Model-parallel strategy over the 'model' mesh axis (ref
+        config/model/graphtransformer.yaml `shard_strategy`):
+        none | gspmd (sharding constraints only) | edges (halo exchange in
+        the processor) | heads (Ulysses all_to_all in the processor)."""
+        s = str(self.config.get("shard_strategy", "none"))
+        if s == "none" and self.config.get("shard_over_mesh", False):
+            return "gspmd"  # backwards-compatible alias
+        return s
+
     def _maybe_shard(self, x: jnp.ndarray, spec) -> jnp.ndarray:
         """Apply a sharding constraint when running under a mesh (GSPMD model
         parallelism: the latent/grid node dim shards over the 'model' axis and
         XLA inserts the gather/scatter collectives; SURVEY.md §2.3 TPU notes)."""
-        import jax
-        from jax.sharding import PartitionSpec as P
+        from anemoi_tpu.parallel.mesh import maybe_shard
 
-        if not self.config.get("shard_over_mesh", False):
+        if self.shard_strategy == "none":
             return x
-        try:
-            mesh = jax.sharding.get_abstract_mesh()
-            if mesh is None or mesh.empty or "model" not in mesh.axis_names:
-                return x
-        except Exception:
-            return x
-        return jax.lax.with_sharding_constraint(x, P(*spec))
+        return maybe_shard(x, spec)
 
     def _noise_hook(self, x_latent: jnp.ndarray):
         """Hook between encoder and processor; ensemble models inject noise."""
@@ -201,8 +212,15 @@ class AnemoiModelEncProcDec(nn.Module):
             # k-reductions tile-aligned (free); the reshape retile tax runs
             # 16 layers x fwd+bwd per step there, while encoder/decoder run
             # once and prefer exact-k's smaller gather volume
-            "processor": self.graph.processor.edge_data(
-                dtype=dtype, padded=padded, bucketed=bucketed, k_multiple=8
+            "processor": (
+                self.graph.processor.sharded_edge_data(
+                    int(self.config.get("num_model_shards", 1)), dtype=dtype
+                )
+                if self.shard_strategy == "edges"
+                and int(self.config.get("num_model_shards", 1)) > 1
+                else self.graph.processor.edge_data(
+                    dtype=dtype, padded=padded, bucketed=bucketed, k_multiple=8
+                )
             ),
             "decoder": {
                 ds: sub.edge_data(dtype=dtype, padded=padded, bucketed=bucketed)
@@ -291,7 +309,8 @@ class AnemoiModelEncProcDec(nn.Module):
             cond = noise_cond
 
         x_latent_proc = _build_processor(
-            self.config["processor"], self.num_channels, self.attention_backend
+            self.config["processor"], self.num_channels, self.attention_backend,
+            shard_strategy=self.shard_strategy,
         )(
             x_latent,
             graph_inputs["processor"],

@@ -29,13 +29,19 @@ class EdgeData:
     set is degree-sorted, ``bucket_tables``/``bucket_spans`` additionally hold
     the degree-bucketed variant (~2x less gather padding on skewed meshes)."""
 
-    edge_attr: jnp.ndarray  # [E, F]
+    edge_attr: jnp.ndarray  # [E, F]  ([S, E_loc, F] once permuted for halo)
     edge_index: jnp.ndarray  # [2, E] dst-sorted
     tables: Optional[object] = None  # PaddedTables pytree
     bucket_tables: Optional[tuple] = None  # tuple of PaddedTables
     bucket_spans: Optional[tuple] = struct.field(pytree_node=False, default=None)
     src_range_tables: Optional[tuple] = None  # per-src-range (slots, mask)
     src_range_spans: Optional[tuple] = struct.field(pytree_node=False, default=None)
+    # model-parallel "edges" (halo) strategy: stacked per-shard tables with a
+    # leading [S] axis (see parallel/partition.py) + the edge permutation into
+    # the per-shard slot layout (gather-only in both directions)
+    halo_tables: Optional[dict] = None
+    edge_perm: Optional[jnp.ndarray] = None  # [S, E_loc] global edge id (pad=E)
+    edge_perm_inv: Optional[jnp.ndarray] = None  # [E] flat per-shard slot
 
     @property
     def num_edges(self) -> int:
@@ -99,6 +105,39 @@ class SubGraphArrays:
             bucket_spans=bucket_spans,
             src_range_tables=src_tables,
             src_range_spans=src_spans,
+        )
+
+    def sharded_edge_data(self, n_shards: int, dtype=jnp.float32) -> EdgeData:
+        """EdgeData for the model-parallel "edges" (halo-exchange) strategy:
+        partition this homogeneous sub-graph across ``n_shards`` contiguous
+        node shards, build the stacked per-shard attention + halo send/recv
+        tables (parallel/partition.py), and the edge permutation into the
+        per-shard layout.  Reference equivalent: the cached HaloInfo of
+        /root/reference/models/src/anemoi/models/layers/block.py:1103-1146."""
+        from anemoi_tpu.parallel.halo import shard_tables
+        from anemoi_tpu.parallel.partition import partition_graph
+
+        assert self.num_src == self.num_dst, (
+            "the halo strategy shards homogeneous (processor) graphs only"
+        )
+        sg = partition_graph(
+            self.edge_index.astype(np.int64),
+            self.dst_ptr.astype(np.int64),
+            self.num_dst,
+            n_shards,
+            halo=True,
+        )
+        tables = shard_tables(sg, sg.n_local + n_shards * sg.h_pair)
+        S, e_loc = sg.edge_attr_perm.shape
+        inv = np.zeros(self.num_edges, dtype=np.int32)
+        flat_slots = np.arange(S * e_loc, dtype=np.int32).reshape(S, e_loc)
+        inv[sg.edge_attr_perm[sg.edge_pad_mask]] = flat_slots[sg.edge_pad_mask]
+        return EdgeData(
+            edge_attr=jnp.asarray(self.edge_attr, dtype=dtype),
+            edge_index=jnp.asarray(self.edge_index),
+            halo_tables=dict(tables),
+            edge_perm=jnp.asarray(sg.edge_attr_perm),
+            edge_perm_inv=jnp.asarray(inv),
         )
 
 

@@ -47,10 +47,20 @@ def _window_attention(
     window_size: Optional[int],
     softcap: Optional[float] = None,
     alibi_slopes: Optional[jnp.ndarray] = None,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Banded (sliding-window) dense attention; full attention if window None."""
+    """Banded (sliding-window) dense attention; full attention if window None.
+
+    ``valid_len``: true sequence length when the input carries trailing pad
+    rows (Ulysses sequence-parallel padding) -- pad keys are masked out and
+    pad-query rows produce garbage that the caller slices away.  Masking uses
+    a large finite negative (not -inf) so fully-masked rows keep softmax and
+    its VJP NaN-free (0 * NaN would otherwise poison real d_k/d_v rows)."""
     b, n, h, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    if valid_len is None:
+        valid_len = n
+    neg = jnp.asarray(-1e30, q.dtype)
 
     def apply_bias(logits, qpos, kpos):
         # logits [..., Lq, Lk]
@@ -65,7 +75,12 @@ def _window_attention(
         logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         pos = jnp.arange(n)
         logits = apply_bias(logits, pos, pos)
+        if valid_len < n:
+            kmask = pos < valid_len
+            logits = jnp.where(kmask[None, None, None, :], logits, neg)
         alpha = jax.nn.softmax(logits, axis=-1)
+        if valid_len < n:
+            alpha = jnp.where(kmask[None, None, None, :], alpha, 0.0)
         return jnp.einsum("bhnm,bmhd->bnhd", alpha, v)
 
     # block-banded: window w -> block size w, attend to [prev, self, next]
@@ -97,7 +112,7 @@ def _window_attention(
         [jnp.arange(-w, 0), jnp.arange(w), jnp.arange(w, 2 * w)]
     )  # local offsets relative to block start
     kpos = block[:, None] * w + koff[None, :]  # [nb, 3w] (can be <0 or >=np_)
-    valid = (kpos >= 0) & (kpos < n)
+    valid = (kpos >= 0) & (kpos < valid_len)
     dist_ok = jnp.abs(qpos[:, :, None] - kpos[:, None, :]) <= w
     mask = valid[:, None, :] & dist_ok  # [nb, w, 3w]
 
@@ -106,7 +121,7 @@ def _window_attention(
     if alibi_slopes is not None:
         dist = jnp.abs(qpos[:, :, None] - kpos[:, None, :]).astype(logits.dtype)
         logits = logits - alibi_slopes[None, :, None, None, None] * dist[None, None]
-    logits = jnp.where(mask[None, None], logits, -jnp.inf)
+    logits = jnp.where(mask[None, None], logits, neg)
     alpha = jax.nn.softmax(logits, axis=-1)
     alpha = jnp.where(mask[None, None], alpha, 0.0)
     out = jnp.einsum("bhnqk,bnkhd->bnqhd", alpha, vb)
@@ -148,6 +163,8 @@ class MultiHeadSelfAttention(nn.Module):
     use_alibi_slopes: bool = False
     use_rotary_embeddings: bool = False
     dropout_p: float = 0.0
+    shard_strategy: str = "none"  # "heads" = Ulysses sequence parallelism
+    valid_len: Optional[int] = None  # true node count before mesh padding
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -168,7 +185,21 @@ class MultiHeadSelfAttention(nn.Module):
         if self.use_rotary_embeddings:
             q, k = apply_rotary_embeddings(q, k)
         slopes = get_alibi_slopes(h) if self.use_alibi_slopes else None
-        out = _window_attention(q, k, v, self.window_size, self.softcap, slopes)
+
+        ulysses = False
+        if self.shard_strategy == "heads":
+            from anemoi_tpu.parallel.mesh import model_axis_size
+
+            ulysses = model_axis_size() > 1
+        if ulysses:
+            from anemoi_tpu.parallel.heads import ulysses_mhsa
+
+            out = ulysses_mhsa(
+                q, k, v, self.window_size, self.softcap, slopes,
+                valid_len=self.valid_len,
+            )
+        else:
+            out = _window_attention(q, k, v, self.window_size, self.softcap, slopes)
         out = out.reshape(b, n, hd)
         return nn.Dense(c, name="out_proj")(out)
 

@@ -114,6 +114,8 @@ class GraphTransformerAttention(nn.Module):
     qk_norm: bool = False
     edge_pre_mlp: bool = False
     backend: str = "segment"
+    shard_strategy: str = "none"
+    valid_len: Optional[int] = None  # true node count before mesh padding
 
     @nn.compact
     def __call__(
@@ -138,6 +140,43 @@ class GraphTransformerAttention(nn.Module):
                 name="edge_pre_mlp",
             )(e)
         edges = nn.Dense(hd, name="lin_edge")(e)
+
+        if edge_data.halo_tables is not None:
+            # model-parallel "edges" strategy: flat [B, N_pad, HD] activations
+            # (node axis GSPMD-sharded over 'model'), per-shard edge features
+            # already permuted to [S, E_loc, F] by the processor, attention
+            # under shard_map with one halo all_to_all (parallel/halo.py)
+            from anemoi_tpu.parallel.halo import halo_gt_attention
+
+            if self.qk_norm:
+                query = RMSNorm(name="q_norm")(
+                    query.reshape(batch, n_dst, h, d)
+                ).reshape(batch, n_dst, hd)
+                key = RMSNorm(name="k_norm")(
+                    key.reshape(batch, n_src, h, d)
+                ).reshape(batch, n_src, hd)
+            return halo_gt_attention(
+                query, key, value, edges, edge_data.halo_tables, h
+            )
+
+        if self.shard_strategy == "heads":
+            # Ulysses "heads" strategy for sparse GT attention: flat q/k/v,
+            # full global tables per shard, H/S heads each (parallel/heads.py)
+            from anemoi_tpu.parallel.heads import ulysses_gt_attention
+            from anemoi_tpu.parallel.mesh import model_axis_size
+
+            if model_axis_size() > 1:
+                if self.qk_norm:
+                    query = RMSNorm(name="q_norm")(
+                        query.reshape(batch, n_dst, h, d)
+                    ).reshape(batch, n_dst, hd)
+                    key = RMSNorm(name="k_norm")(
+                        key.reshape(batch, n_src, h, d)
+                    ).reshape(batch, n_src, hd)
+                return ulysses_gt_attention(
+                    query, key, value, edges, edge_data.tables, h,
+                    valid_len=self.valid_len,
+                )
 
         query = query.reshape(batch, n_dst, h, d)
         key = key.reshape(batch, n_src, h, d)
@@ -231,6 +270,8 @@ class GraphTransformerProcessorBlock(nn.Module):
     mlp_implementation: str = "mlp"
     conditional: bool = False
     backend: str = "segment"
+    shard_strategy: str = "none"
+    valid_len: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -252,6 +293,8 @@ class GraphTransformerProcessorBlock(nn.Module):
             qk_norm=self.qk_norm,
             edge_pre_mlp=self.edge_pre_mlp,
             backend=self.backend,
+            shard_strategy=self.shard_strategy,
+            valid_len=self.valid_len,
             name="attention",
         )(x, x, edge_data)
 

@@ -47,6 +47,7 @@ class GraphTransformerProcessor(nn.Module):
     gradient_checkpointing: bool = True
     scan_layers: bool = True
     backend: str = "segment"
+    shard_strategy: str = "none"  # none | gspmd | edges (halo) | heads (Ulysses)
 
     @nn.compact
     def __call__(
@@ -60,6 +61,39 @@ class GraphTransformerProcessor(nn.Module):
                 edge_data.edge_attr
             )
         )
+        halo = edge_data.halo_tables is not None
+        n_orig = x.shape[1]
+        if halo:
+            # "edges" shard strategy: pad nodes to the partition layout
+            # (S equal contiguous shards), permute static+trainable edge
+            # features into the per-shard slot layout ONCE (each layer's
+            # lin_edge then runs shard-local with zero gathers), and pin the
+            # GSPMD layout so the shard_map blocks line up with the tables.
+            from anemoi_tpu.parallel.halo import permute_rows
+            from anemoi_tpu.parallel.mesh import maybe_shard
+
+            S, n_local = edge_data.halo_tables["src_slots"].shape[:2]
+            n_pad = S * n_local
+            ea = edge_data.edge_attr
+            e_perm = permute_rows(
+                ea, edge_data.edge_perm, edge_data.edge_perm_inv
+            ).reshape(S, -1, ea.shape[-1])
+            e_perm = maybe_shard(e_perm, ("model", None, None))
+            edge_data = edge_data.replace(edge_attr=e_perm)
+            if n_pad > n_orig:
+                x = jnp.pad(x, ((0, 0), (0, n_pad - n_orig), (0, 0)))
+            x = maybe_shard(x, (None, "model", None))
+        elif self.shard_strategy == "heads":
+            # Ulysses: pad the node axis to a multiple of the model-axis size
+            # (shard_map needs even shards); attention masks the pad rows
+            from anemoi_tpu.parallel.mesh import maybe_shard, model_axis_size
+
+            S = model_axis_size()
+            if S > 1:
+                n_pad = -(-n_orig // S) * S
+                if n_pad > n_orig:
+                    x = jnp.pad(x, ((0, 0), (0, n_pad - n_orig), (0, 0)))
+                x = maybe_shard(x, (None, "model", None))
         block_kwargs = dict(
             num_heads=self.num_heads,
             hidden_dim=compute_mlp_hidden_dim(self.num_channels, self.mlp_hidden_ratio),
@@ -70,6 +104,8 @@ class GraphTransformerProcessor(nn.Module):
             mlp_implementation=self.mlp_implementation,
             conditional=self.conditional,
             backend=self.backend,
+            shard_strategy=self.shard_strategy,
+            valid_len=n_orig if self.shard_strategy == "heads" else None,
         )
         if self.scan_layers:
             body_cls = _GTScanBody
@@ -83,7 +119,7 @@ class GraphTransformerProcessor(nn.Module):
                 length=self.num_layers,
             )(block_kwargs=block_kwargs, name="blocks")
             x, _ = scanned(x, edge_data, cond)
-            return x
+            return x[:, :n_orig] if x.shape[1] != n_orig else x
         block_cls = GraphTransformerProcessorBlock
         if self.gradient_checkpointing:
             block_cls = nn.remat(block_cls, static_argnums=(), prevent_cse=False)
@@ -91,7 +127,7 @@ class GraphTransformerProcessor(nn.Module):
             x, edge_data = block_cls(**block_kwargs, name=f"blocks_{i}")(
                 x, edge_data, cond
             )
-        return x
+        return x[:, :n_orig] if x.shape[1] != n_orig else x
 
 
 class _GTScanBody(nn.Module):
@@ -194,6 +230,8 @@ class TransformerProcessorBlock(nn.Module):
     use_rotary_embeddings: bool = False
     mlp_implementation: str = "mlp"
     conditional: bool = False
+    shard_strategy: str = "none"
+    valid_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, edge_data=None, cond=None):
@@ -211,6 +249,8 @@ class TransformerProcessorBlock(nn.Module):
             softcap=self.softcap,
             use_alibi_slopes=self.use_alibi_slopes,
             use_rotary_embeddings=self.use_rotary_embeddings,
+            shard_strategy=self.shard_strategy,
+            valid_len=self.valid_len,
             name="attention",
         )(normed)
         normed = _norm(self.conditional, "layer_norm_mlp")(x, **cond_kw)
@@ -254,9 +294,20 @@ class TransformerProcessor(nn.Module):
     conditional: bool = False
     gradient_checkpointing: bool = True
     scan_layers: bool = True
+    shard_strategy: str = "none"  # "heads": Ulysses over the 'model' axis
 
     @nn.compact
     def __call__(self, x, edge_data=None, cond=None):
+        n_orig = x.shape[1]
+        if self.shard_strategy == "heads":
+            from anemoi_tpu.parallel.mesh import maybe_shard, model_axis_size
+
+            S = model_axis_size()
+            if S > 1:
+                n_pad = -(-n_orig // S) * S
+                if n_pad > n_orig:
+                    x = jnp.pad(x, ((0, 0), (0, n_pad - n_orig), (0, 0)))
+                x = maybe_shard(x, (None, "model", None))
         block_kwargs = dict(
             num_channels=self.num_channels,
             hidden_dim=compute_mlp_hidden_dim(self.num_channels, self.mlp_hidden_ratio),
@@ -269,6 +320,8 @@ class TransformerProcessor(nn.Module):
             use_rotary_embeddings=self.use_rotary_embeddings,
             mlp_implementation=self.mlp_implementation,
             conditional=self.conditional,
+            shard_strategy=self.shard_strategy,
+            valid_len=n_orig if self.shard_strategy == "heads" else None,
         )
         if self.scan_layers:
             body_cls = _TransformerScanBody
@@ -282,13 +335,13 @@ class TransformerProcessor(nn.Module):
                 length=self.num_layers,
             )(block_kwargs=block_kwargs, name="blocks")
             x, _ = scanned(x, edge_data, cond)
-            return x
+            return x[:, :n_orig] if x.shape[1] != n_orig else x
         block_cls = TransformerProcessorBlock
         if self.gradient_checkpointing:
             block_cls = nn.remat(block_cls, static_argnums=(), prevent_cse=False)
         for i in range(self.num_layers):
             x, _ = block_cls(**block_kwargs, name=f"blocks_{i}")(x, edge_data, cond)
-        return x
+        return x[:, :n_orig] if x.shape[1] != n_orig else x
 
 
 class PointWiseMLPProcessor(nn.Module):

@@ -46,8 +46,18 @@ class MeshSpec:
 
 
 def create_mesh(spec: MeshSpec, devices: Optional[Sequence] = None) -> Mesh:
-    devices = list(devices if devices is not None else jax.devices())[: spec.world]
-    arr = np.asarray(devices).reshape(spec.data, spec.model, spec.ensemble)
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < spec.world:
+        raise ValueError(
+            f"mesh spec needs {spec.world} devices (data={spec.data} x "
+            f"model={spec.model} x ensemble={spec.ensemble}) but only "
+            f"{len(devices)} are visible; set hardware.num_devices to the "
+            "available count or run with "
+            "hardware.platform=cpu + hardware.num_virtual_devices=N"
+        )
+    arr = np.asarray(devices[: spec.world]).reshape(
+        spec.data, spec.model, spec.ensemble
+    )
     return Mesh(arr, axis_names=("data", "model", "ensemble"))
 
 
@@ -65,3 +75,35 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_params(mesh: Mesh, params):
     """Replicate parameters across the mesh (DDP-style; FSDP comes later)."""
     return jax.device_put(params, replicate(mesh))
+
+
+def model_axis_size(axis: str = "model") -> int:
+    """Size of the model-parallel mesh axis at trace time (1 when tracing
+    without a mesh or when the ambient mesh lacks the axis)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or mesh.empty or axis not in mesh.axis_names:
+            return 1
+        return int(mesh.shape[axis])
+    except Exception:
+        return 1
+
+
+def maybe_shard(x, spec: Sequence) -> "jax.Array":
+    """`with_sharding_constraint` against the ambient mesh, or a no-op when
+    tracing without a mesh (single-device tests) or when the mesh lacks the
+    referenced axes.  Axis names in ``spec`` that aren't in the mesh are
+    dropped (replicated)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or mesh.empty:
+            return x
+        names = set(mesh.axis_names)
+        clean = tuple(s if (s is None or s in names) else None for s in spec)
+        if all(s is None for s in clean):
+            return x
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, P(*clean))
+    except Exception:
+        return x

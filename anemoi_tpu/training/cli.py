@@ -12,6 +12,29 @@ import os
 import sys
 
 
+def _apply_hardware_platform(hw: dict) -> None:
+    """Force the JAX platform / virtual-device count from ``hardware:`` config
+    BEFORE backend init (equivalent of the reference's hardware config group,
+    /root/reference/training/src/anemoi/training/config/hardware/).
+
+    Some TPU plugins ignore the ``JAX_PLATFORMS`` env var, so
+    ``hardware.platform: cpu`` must go through ``jax.config``; the
+    host-platform device count (for mesh testing without chips) must land in
+    ``XLA_FLAGS`` before the first backend query."""
+    platform = hw.get("platform")
+    n_virtual = hw.get("num_virtual_devices")
+    if n_virtual:
+        flag = f"--xla_force_host_platform_device_count={int(n_virtual)}"
+        if flag not in os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "") + " " + flag
+            ).strip()
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", str(platform))
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     parser = argparse.ArgumentParser(prog="anemoi-tpu-training")
@@ -118,6 +141,7 @@ def main(argv=None) -> int:
     cfg = load_config(
         args.config, overrides=list(args.overrides), search_paths=[packaged]
     )
+    _apply_hardware_platform(cfg.to_dict().get("hardware", {}))
 
     if args.command == "config":  # generate (list handled above)
         import yaml

@@ -77,13 +77,44 @@ class AnemoiTrainer:
 
         model_cfg = config.get("model", {})
         training_cfg = dict(config.get("training", {}))
+
+        # --- device mesh (data/model/ensemble parallelism) -------------
+        # ref distributed/strategy.py:88-271 DDPGroupStrategy: here one
+        # jax.sharding.Mesh; the model-parallel strategy (edges halo / heads
+        # Ulysses / gspmd) is selected by model.shard_strategy and the mesh
+        # factorisation by hardware.num_devices_per_model etc.
+        from anemoi_tpu.parallel.mesh import MeshSpec, create_mesh
+
+        self.mesh = None
+        self.mesh_spec = MeshSpec()
+        hw = dict(config.get("hardware", {}))
+        if hw:
+            n_dev = int(hw.get("num_devices", len(jax.devices())))
+            self.mesh_spec = MeshSpec.from_config(hw, num_devices=n_dev)
+            if self.mesh_spec.world > 1:
+                self.mesh = create_mesh(self.mesh_spec)
+                if self.mesh_spec.model > 1:
+                    # the model builds per-shard halo tables from this
+                    model_cfg = dict(model_cfg)
+                    model_cfg["num_model_shards"] = self.mesh_spec.model
+                    config = dict(config)
+                    config["model"] = model_cfg
+                    self.config = config
+                LOGGER.info(
+                    "Mesh: data=%d model=%d ensemble=%d",
+                    self.mesh_spec.data, self.mesh_spec.model,
+                    self.mesh_spec.ensemble,
+                )
         self.rollout_schedule = RolloutSchedule(training_cfg.get("rollout"))
         self.datamodule = DataModule(
             datasets,
             n_step_input=int(model_cfg.get("n_step_input", 2)),
             n_step_output=int(model_cfg.get("n_step_output", 1)),
             rollout=self.rollout_schedule.start,
-            batch_size=int(config.get("dataloader", {}).get("batch_size", 1)),
+            # dataloader.batch_size is PER data-parallel group (reference
+            # semantics: per-GPU batch); the loader yields the global batch
+            batch_size=int(config.get("dataloader", {}).get("batch_size", 1))
+            * self.mesh_spec.data,
             validation_fraction=float(
                 config.get("dataloader", {}).get("validation_fraction", 0.15)
             ),
@@ -140,7 +171,12 @@ class AnemoiTrainer:
         # --- optimizer / state ---------------------------------------
         self.lr_schedule = build_lr_schedule(training_cfg.get("lr", {}))
         self.tx = build_optimizer(training_cfg, self.lr_schedule)
-        params = self.interface.init_params()
+        with self._mesh_ctx():
+            params = self.interface.init_params()
+        if self.mesh is not None:
+            from anemoi_tpu.parallel.mesh import shard_params
+
+            params = shard_params(self.mesh, params)
 
         # composable checkpoint-loading pipeline (sources/strategies/modifiers)
         pipeline_cfg = training_cfg.get("checkpoint_pipeline")
@@ -197,6 +233,24 @@ class AnemoiTrainer:
                            "num_params": int(n_params)})
 
     # ------------------------------------------------------------------
+    def _mesh_ctx(self):
+        """Ambient-mesh context so jitted steps (and the shard_map model
+        parallelism inside them) see the trainer's mesh."""
+        from contextlib import nullcontext
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None else nullcontext()
+
+    def _put_batch(self, batch_np):
+        if self.mesh is None:
+            return jax.device_put(batch_np)
+        from anemoi_tpu.parallel.mesh import batch_sharding
+
+        shard_grid = bool(
+            self.config.get("dataloader", {}).get("shard_grid", True)
+        ) and self.mesh_spec.model > 1
+        sharding = batch_sharding(self.mesh, shard_grid=shard_grid)
+        return {ds: jax.device_put(v, sharding) for ds, v in batch_np.items()}
+
     def _get_step_fns(self, rollout: int):
         if rollout not in self._step_fns:
             training_cfg = self.config.get("training", {})
@@ -227,9 +281,12 @@ class AnemoiTrainer:
 
         t_start = time.time()
         global_step = int(self.state.step)
+        last_metrics = None  # device values; materialised lazily (no per-step sync)
         last_loss = float("nan")
         stop = False
 
+        mesh_ctx = self._mesh_ctx()
+        mesh_ctx.__enter__()
         for epoch in range(max_epochs):
             rollout = self.rollout_schedule.at_epoch(epoch)
             self.datamodule.set_rollout(rollout)
@@ -238,8 +295,9 @@ class AnemoiTrainer:
             t_epoch = time.time()
             n_batches = 0
             for batch_np in self.datamodule.train_batches(epoch):
-                batch = jax.device_put(batch_np)
+                batch = self._put_batch(batch_np)
                 self.state, metrics = train_step(self.state, batch)
+                last_metrics = metrics
                 global_step += 1
                 n_batches += 1
 
@@ -299,6 +357,9 @@ class AnemoiTrainer:
                 stop = True
             if stop:
                 break
+        mesh_ctx.__exit__(None, None, None)
+        if last_metrics is not None:
+            last_loss = float(last_metrics["loss"])
 
         self.ckpt.save(global_step, self.state)
         self.save_inference_checkpoint()
@@ -309,12 +370,13 @@ class AnemoiTrainer:
     # ------------------------------------------------------------------
     def validate(self, rollout: Optional[int] = None) -> Optional[Dict[str, float]]:
         rollout = rollout or self.rollout_schedule.start
-        _, eval_step = self._get_step_fns(rollout)
-        losses = []
-        for batch_np in self.datamodule.val_batches():
-            batch = jax.device_put(batch_np)
-            m = eval_step(self.state, batch)
-            losses.append(float(m["val_loss"]))
+        with self._mesh_ctx():
+            _, eval_step = self._get_step_fns(rollout)
+            losses = []
+            for batch_np in self.datamodule.val_batches():
+                batch = self._put_batch(batch_np)
+                m = eval_step(self.state, batch)
+                losses.append(float(m["val_loss"]))
         if not losses:
             return None
         return {"val_loss": float(np.mean(losses))}

@@ -1,0 +1,176 @@
+"""Full-train-step model-parallel parity on the 8-virtual-device CPU mesh.
+
+The flagship-shaped (scaled-down) GraphTransformer EncProcDec trains with the
+"edges" (halo-exchange shard_map, ref models/layers/block.py:1148-1183) and
+"heads" (Ulysses all_to_all, ref layers/attention.py:208-237) strategies wired
+through the REAL model and step functions; losses must match the
+single-device run (ref distributed/strategy.py:88-271 is the torch
+equivalent of the mesh+sharding layout exercised here).
+"""
+
+from contextlib import nullcontext
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from anemoi_tpu.data_indices.collection import IndexCollection
+from anemoi_tpu.graphs.create import GraphCreator
+from anemoi_tpu.models.interface import AnemoiModelInterface
+from anemoi_tpu.parallel.mesh import MeshSpec, batch_sharding, create_mesh
+from anemoi_tpu.training.losses import get_loss_function
+from anemoi_tpu.training.optimizers import build_lr_schedule, build_optimizer
+from anemoi_tpu.training.step import TrainState, make_step_fns
+
+VARIABLES = ["q", "t", "u", "z", "cos_lat"]
+
+
+def _recipe():
+    return {
+        "nodes": {
+            "data": {
+                "node_builder": {"name": "ReducedGaussianGridNodes", "grid": "o8"},
+                "attributes": {
+                    "area_weight": {
+                        "name": "CosineLatWeightedAttribute", "norm": "unit-max"
+                    }
+                },
+            },
+            "hidden": {"node_builder": {"name": "TriNodes", "resolution": 1}},
+        },
+        "edges": [
+            {
+                "source_name": "data", "target_name": "hidden",
+                "edge_builder": {"name": "CutOffEdges", "cutoff_factor": 0.9},
+                "attributes": {"edge_length": {"name": "EdgeLength"},
+                               "edge_dirs": {"name": "EdgeDirection"}},
+            },
+            {
+                "source_name": "hidden", "target_name": "hidden",
+                "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1},
+                "attributes": {"edge_length": {"name": "EdgeLength"},
+                               "edge_dirs": {"name": "EdgeDirection"}},
+            },
+            {
+                "source_name": "hidden", "target_name": "data",
+                "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+                "attributes": {"edge_length": {"name": "EdgeLength"},
+                               "edge_dirs": {"name": "EdgeDirection"}},
+            },
+        ],
+    }
+
+
+_GRAPH = None
+
+
+def _graph():
+    global _GRAPH
+    if _GRAPH is None:
+        _GRAPH = GraphCreator(_recipe()).create()
+    return _GRAPH
+
+
+def _build_interface(shard_strategy="none", n_shards=1, processor="gt"):
+    graph = _graph()
+    indices = {
+        "data": IndexCollection(
+            {n: i for i, n in enumerate(VARIABLES)}, forcing=["cos_lat"]
+        )
+    }
+    nv = len(VARIABLES)
+    stats = {
+        "data": {
+            "mean": np.zeros(nv, np.float32),
+            "stdev": np.ones(nv, np.float32),
+            "minimum": -np.ones(nv, np.float32),
+            "maximum": np.ones(nv, np.float32),
+        }
+    }
+    gt = {"num_heads": 4, "mlp_hidden_ratio": 2.0,
+          "sub_graph_edge_attributes": ["edge_dirs", "edge_length"]}
+    if processor == "gt":
+        proc = {"name": "GraphTransformerProcessor", "num_layers": 2,
+                "gradient_checkpointing": False, **gt}
+    else:
+        proc = {"name": "TransformerProcessor", "num_layers": 2, "num_heads": 4,
+                "window_size": 8, "gradient_checkpointing": False}
+    config = {
+        "model": {
+            "name": "AnemoiModelEncProcDec",
+            "num_channels": 16,
+            "n_step_input": 2,
+            "n_step_output": 1,
+            "graph_attention_backend": "padded",
+            "shard_strategy": shard_strategy,
+            "num_model_shards": n_shards,
+            "encoder": {"name": "GraphTransformerForwardMapper", **gt},
+            "processor": proc,
+            "decoder": {"name": "GraphTransformerBackwardMapper", **gt},
+        },
+        "data": {"processors": [{"name": "InputNormalizer", "default": "mean-std"}]},
+    }
+    return AnemoiModelInterface(
+        config=config, graph=graph, data_indices=indices, statistics=stats
+    )
+
+
+def _run(iface, params, batch_np, mesh=None, steps=2):
+    losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": []}, {})}
+    tx = build_optimizer({"lr": {"rate": 1e-3, "warmup": 1, "iterations": 100}})
+    ctx = jax.set_mesh(mesh) if mesh is not None else nullcontext()
+    out = []
+    with ctx:
+        state = TrainState.create(params, tx)
+        if mesh is not None:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        train_step, _ = make_step_fns(iface, losses, rollout=1, remat_rollout=False)
+        for i in range(steps):
+            if mesh is not None:
+                batch = {
+                    ds: jax.device_put(v, batch_sharding(mesh, shard_grid=True))
+                    for ds, v in batch_np.items()
+                }
+            else:
+                batch = {ds: jnp.asarray(v) for ds, v in batch_np.items()}
+            state, metrics = train_step(state, batch)
+            out.append(float(metrics["loss"]))
+    return out
+
+
+def _mesh(model=4):
+    spec = MeshSpec(data=8 // model, model=model, ensemble=1)
+    return create_mesh(spec)
+
+
+@pytest.fixture(scope="module")
+def reference_run():
+    iface = _build_interface()
+    params = iface.init_params()
+    rng = np.random.default_rng(7)
+    n_grid = iface.model_graph.num_nodes["data"]
+    batch = {"data": rng.normal(size=(2, 3, 1, n_grid, len(VARIABLES))).astype(np.float32)}
+    return iface, params, batch, _run(iface, params, batch)
+
+
+@pytest.mark.parametrize("strategy", ["edges", "heads", "gspmd"])
+def test_gt_shard_strategy_parity(reference_run, strategy):
+    _, params, batch, ref_losses = reference_run
+    iface = _build_interface(shard_strategy=strategy, n_shards=4)
+    got = _run(iface, params, batch, mesh=_mesh(4))
+    np.testing.assert_allclose(got, ref_losses, rtol=5e-5, atol=1e-6)
+
+
+def test_transformer_heads_parity():
+    iface0 = _build_interface(processor="transformer")
+    params = iface0.init_params()
+    rng = np.random.default_rng(3)
+    n_grid = iface0.model_graph.num_nodes["data"]
+    batch = {"data": rng.normal(size=(2, 3, 1, n_grid, len(VARIABLES))).astype(np.float32)}
+    ref = _run(iface0, params, batch)
+    iface = _build_interface(shard_strategy="heads", n_shards=4, processor="transformer")
+    got = _run(iface, params, batch, mesh=_mesh(4))
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
