@@ -155,7 +155,32 @@ def make_step_fns(
             lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p, params
         )
 
-    def rollout_loss(params, batch, graph_inputs, rng):
+    # per-group validation metric indices (ref train/methods/base.py:1002-1100:
+    # `<metric>/<dataset>/<group>/<step>` in post-processed space)
+    from anemoi_tpu.training.metrics import variable_groups
+
+    groups = {
+        ds: variable_groups(idx.model.output.ordered_names)
+        for ds, idx in indices.items()
+    }
+
+    def _group_metrics(metrics_out, y_pred, batch, step, t0):
+        """Denormalised per-variable-group RMSE for one rollout step."""
+        for ds in dataset_names:
+            y_phys = pre[ds].inverse_transform(y_pred[ds].astype(jnp.float32))
+            truth = batch[ds][
+                :, t0 : t0 + n_out, ..., jnp.asarray(ia[ds]["model_out_in_data"])
+            ]
+            sq = (y_phys - truth) ** 2
+            valid = ~jnp.isnan(truth)
+            sq = jnp.where(valid, sq, 0.0)
+            denom = jnp.maximum(valid.sum(axis=(0, 1, 2, 3)), 1)
+            per_var_mse = sq.sum(axis=(0, 1, 2, 3)) / denom  # [V]
+            for gname, idxs in groups[ds].items():
+                g_mse = jnp.mean(per_var_mse[jnp.asarray(idxs)])
+                metrics_out[f"rmse/{ds}/{gname}/{step + 1}"] = jnp.sqrt(g_mse)
+
+    def rollout_loss(params, batch, graph_inputs, rng, with_metrics=False):
         params = _cast_params(params)
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
         if task == "temporal_downscaler":
@@ -197,6 +222,7 @@ def make_step_fns(
             forward = jax.checkpoint(forward)
 
         total = 0.0
+        metrics_out: Dict[str, jnp.ndarray] = {}
         effective_rollout = 1 if task in ("autoencoder", "temporal_downscaler") else rollout
         for step in range(effective_rollout):
             y_pred = forward(params, x, jax.random.fold_in(rng, step))
@@ -212,6 +238,8 @@ def make_step_fns(
                 ]
                 # loss in fp32 regardless of compute precision
                 total = total + losses[ds](y_pred[ds].astype(jnp.float32), target)
+            if with_metrics:
+                _group_metrics(metrics_out, y_pred, batch, step, t0)
             if step + 1 < rollout:
                 x = {
                     ds: advance_input(
@@ -220,7 +248,8 @@ def make_step_fns(
                     )
                     for ds in dataset_names
                 }
-        return total / (effective_rollout * len(dataset_names))
+        loss = total / (effective_rollout * len(dataset_names))
+        return (loss, metrics_out) if with_metrics else loss
 
     graph_inputs = interface.graph_inputs
 
@@ -236,10 +265,11 @@ def make_step_fns(
 
     @jax.jit
     def _eval_step(state: TrainState, batch, graph_inputs):
-        loss_val = rollout_loss(
-            state.params, batch, graph_inputs, jax.random.fold_in(base_rng, 2**31 - 1)
+        loss_val, group_metrics = rollout_loss(
+            state.params, batch, graph_inputs,
+            jax.random.fold_in(base_rng, 2**31 - 1), with_metrics=True,
         )
-        return {"val_loss": loss_val}
+        return {"val_loss": loss_val, **group_metrics}
 
     def train_step(state, batch):
         return _train_step(state, batch, graph_inputs)

@@ -369,17 +369,34 @@ class AnemoiTrainer:
 
     # ------------------------------------------------------------------
     def validate(self, rollout: Optional[int] = None) -> Optional[Dict[str, float]]:
-        rollout = rollout or self.rollout_schedule.start
-        with self._mesh_ctx():
-            _, eval_step = self._get_step_fns(rollout)
-            losses = []
-            for batch_np in self.datamodule.val_batches():
-                batch = self._put_batch(batch_np)
-                m = eval_step(self.state, batch)
-                losses.append(float(m["val_loss"]))
-        if not losses:
+        """Validation pass: scalar val_loss plus per-variable-group RMSE in
+        post-processed space, keyed `rmse/<dataset>/<group>/<step>` (ref
+        train/methods/base.py:1002-1100).  `training.validation_rollout`
+        fixes the eval rollout independently of the training curriculum."""
+        # a configured validation rollout overrides the training curriculum's
+        rollout = int(
+            self.config.get("training", {}).get("validation_rollout", 0)
+        ) or rollout or self.rollout_schedule.start
+        train_rollout = self.datamodule.rollout
+        if rollout != train_rollout:
+            self.datamodule.set_rollout(rollout)
+        sums: Dict[str, float] = {}
+        n = 0
+        try:
+            with self._mesh_ctx():
+                _, eval_step = self._get_step_fns(rollout)
+                for batch_np in self.datamodule.val_batches():
+                    batch = self._put_batch(batch_np)
+                    m = eval_step(self.state, batch)
+                    for k, v in m.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                    n += 1
+        finally:
+            if rollout != train_rollout:
+                self.datamodule.set_rollout(train_rollout)
+        if not n:
             return None
-        return {"val_loss": float(np.mean(losses))}
+        return {k: v / n for k, v in sums.items()}
 
     # ------------------------------------------------------------------
     def save_inference_checkpoint(self) -> None:

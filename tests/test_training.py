@@ -146,6 +146,25 @@ def test_validation_ran(trained):
     assert vals and all(np.isfinite(v) for v in vals)
 
 
+def test_validation_group_metrics(trained):
+    """Default validation logs per-variable-group RMSE in post-processed
+    space, keyed <metric>/<dataset>/<group>/<step> (ref
+    train/methods/base.py:1002-1100) -- every validation, not only via the
+    opt-in RolloutEval callback."""
+    trainer, result, _ = trained
+    records = [
+        json.loads(line)
+        for line in open(os.path.join(trainer.output_dir, "metrics.jsonl"))
+    ]
+    val_recs = [r for r in records if "val_loss" in r]
+    assert val_recs
+    group_keys = [k for k in val_recs[-1] if k.startswith("rmse/data/")]
+    assert any(k == "rmse/data/sfc/1" for k in group_keys), group_keys
+    # rollout start is 2 -> per-step keys for both steps
+    assert any(k.endswith("/2") for k in group_keys), group_keys
+    assert all(np.isfinite(val_recs[-1][k]) for k in group_keys)
+
+
 def test_checkpoint_resume(trained):
     from anemoi_tpu.training.checkpoint import CheckpointManager
     from anemoi_tpu.training.step import TrainState
