@@ -63,9 +63,11 @@ def create_mesh(spec: MeshSpec, devices: Optional[Sequence] = None) -> Mesh:
 
 def batch_sharding(mesh: Mesh, shard_grid: bool = True) -> NamedSharding:
     """Sharding for [B, T, E, G, V] batches: batch over 'data', grid over
-    'model' (reader-group-style sharded loading), ensemble over 'ensemble'."""
+    'model' (reader-group-style sharded loading).  The batch's E axis is
+    always 1 (single truth); ensemble members are tiled INSIDE the step and
+    sharded over 'ensemble' there (training/step.py)."""
     grid_axis = "model" if shard_grid else None
-    return NamedSharding(mesh, P("data", None, "ensemble", grid_axis, None))
+    return NamedSharding(mesh, P("data", None, None, grid_axis, None))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

@@ -202,10 +202,20 @@ def make_step_fns(
             x = {ds: v.astype(compute_dtype) for ds, v in x.items()}
         if ensemble_size > 1:
             # tile the (size-1) ensemble dim: every member starts identical,
-            # spread comes from the per-member noise rng
+            # spread comes from the per-member noise rng.  The member axis is
+            # sharded over the 'ensemble' mesh axis (ensemble parallelism,
+            # ref train/methods/ensemble.py:166-171 gather_ensemble_members):
+            # partitionable threefry makes each shard's noise slice identical
+            # to the single-device draw, and the CRPS pairwise term below
+            # triggers the member all-gather via GSPMD.
+            from anemoi_tpu.parallel.mesh import maybe_shard
+
             x = {
-                ds: jnp.broadcast_to(
-                    v, v.shape[:2] + (ensemble_size,) + v.shape[3:]
+                ds: maybe_shard(
+                    jnp.broadcast_to(
+                        v, v.shape[:2] + (ensemble_size,) + v.shape[3:]
+                    ),
+                    ("data", None, "ensemble", None, None),
                 )
                 for ds, v in x.items()
             }

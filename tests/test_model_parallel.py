@@ -118,8 +118,9 @@ def _build_interface(shard_strategy="none", n_shards=1, processor="gt"):
     )
 
 
-def _run(iface, params, batch_np, mesh=None, steps=2):
-    losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": []}, {})}
+def _run(iface, params, batch_np, mesh=None, steps=2, loss="WeightedMSELoss",
+         ensemble_size=1):
+    losses = {"data": get_loss_function({"name": loss, "scalers": []}, {})}
     tx = build_optimizer({"lr": {"rate": 1e-3, "warmup": 1, "iterations": 100}})
     ctx = jax.set_mesh(mesh) if mesh is not None else nullcontext()
     out = []
@@ -127,7 +128,10 @@ def _run(iface, params, batch_np, mesh=None, steps=2):
         state = TrainState.create(params, tx)
         if mesh is not None:
             state = jax.device_put(state, NamedSharding(mesh, P()))
-        train_step, _ = make_step_fns(iface, losses, rollout=1, remat_rollout=False)
+        train_step, _ = make_step_fns(
+            iface, losses, rollout=1, remat_rollout=False,
+            ensemble_size=ensemble_size,
+        )
         for i in range(steps):
             if mesh is not None:
                 batch = {
@@ -162,6 +166,67 @@ def test_gt_shard_strategy_parity(reference_run, strategy):
     iface = _build_interface(shard_strategy=strategy, n_shards=4)
     got = _run(iface, params, batch, mesh=_mesh(4))
     np.testing.assert_allclose(got, ref_losses, rtol=5e-5, atol=1e-6)
+
+
+def _build_ens_interface(shard_strategy="none", n_shards=1):
+    graph = _graph()
+    indices = {
+        "data": IndexCollection(
+            {n: i for i, n in enumerate(VARIABLES)}, forcing=["cos_lat"]
+        )
+    }
+    nv = len(VARIABLES)
+    stats = {
+        "data": {
+            "mean": np.zeros(nv, np.float32),
+            "stdev": np.ones(nv, np.float32),
+            "minimum": -np.ones(nv, np.float32),
+            "maximum": np.ones(nv, np.float32),
+        }
+    }
+    gt = {"num_heads": 4, "mlp_hidden_ratio": 2.0,
+          "sub_graph_edge_attributes": ["edge_dirs", "edge_length"]}
+    config = {
+        "model": {
+            "name": "AnemoiEnsModelEncProcDec",
+            "num_channels": 16,
+            "n_step_input": 2,
+            "n_step_output": 1,
+            "graph_attention_backend": "padded",
+            "shard_strategy": shard_strategy,
+            "num_model_shards": n_shards,
+            "noise_injector": {"name": "NoiseInjector", "noise_std": 1.0,
+                               "noise_channels_dim": 4,
+                               "noise_mlp_hidden_dim": 8},
+            "encoder": {"name": "GraphTransformerForwardMapper", **gt},
+            "processor": {"name": "GraphTransformerProcessor", "num_layers": 2,
+                          "gradient_checkpointing": False, **gt},
+            "decoder": {"name": "GraphTransformerBackwardMapper", **gt},
+        },
+        "data": {"processors": [{"name": "InputNormalizer", "default": "mean-std"}]},
+    }
+    return AnemoiModelInterface(
+        config=config, graph=graph, data_indices=indices, statistics=stats
+    )
+
+
+def test_ensemble_parallel_crps_parity():
+    """4 CRPS members over a 4-way 'ensemble' mesh axis x 2 model shards ==
+    single-device 4-member CRPS (ref train/methods/ensemble.py:166-171
+    gather_ensemble_members; here the member all-gather is inserted by GSPMD
+    at the pairwise spread term, and partitionable threefry makes the
+    per-member noise device-count-invariant)."""
+    iface0 = _build_ens_interface()
+    params = iface0.init_params()
+    rng = np.random.default_rng(11)
+    n_grid = iface0.model_graph.num_nodes["data"]
+    batch = {"data": rng.normal(size=(1, 3, 1, n_grid, len(VARIABLES))).astype(np.float32)}
+    ref = _run(iface0, params, batch, loss="KernelCRPS", ensemble_size=4)
+
+    iface = _build_ens_interface(shard_strategy="edges", n_shards=2)
+    mesh = create_mesh(MeshSpec(data=1, model=2, ensemble=4))
+    got = _run(iface, params, batch, mesh=mesh, loss="KernelCRPS", ensemble_size=4)
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
 
 
 def test_transformer_heads_parity():
