@@ -83,15 +83,40 @@ def _build_encoder(cfg: dict, hidden_dim: int, backend: str) -> nn.Module:
     cfg = dict(cfg)
     cls = ENCODERS[cfg.pop("name", "GraphTransformerForwardMapper")]
     cfg.pop("sub_graph_edge_attributes", None)
+    cfg.pop("edge_provider", None)
     trainable = cfg.pop("trainable_size", 0)
     cfg = _field_filter(cls, cfg)
     return cls(hidden_dim=hidden_dim, edge_trainable_size=trainable, backend=backend, **cfg)
+
+
+def _dynamic_edge_data(provider_cfg: dict, src_feat, dst_feat):
+    """Runtime (in-jit) kNN edge data for one mapper -- the working
+    equivalent of the reference's DynamicGraphProvider hook
+    (/root/reference/models/src/anemoi/models/layers/graph_provider.py:341):
+    edges + attributes + scatter-free backward tables all built at trace time
+    from node coordinates (ops/dynamic.py)."""
+    from anemoi_tpu.models.graph import EdgeData
+    from anemoi_tpu.ops.dynamic import runtime_edge_attributes, runtime_knn_tables
+
+    k = int(provider_cfg.get("num_nearest_neighbours", 3))
+    ns, nd = int(src_feat.shape[0]), int(dst_feat.shape[0])
+    default_k_out = 4 * k * max(1, -(-nd // ns))
+    k_out = int(provider_cfg.get("max_out_degree", default_k_out))
+    tables = runtime_knn_tables(src_feat, dst_feat, k, k_out)
+    attrs = tuple(provider_cfg.get("attributes", ("edge_dirs", "edge_length")))
+    edge_attr = runtime_edge_attributes(src_feat, dst_feat, tables, attrs)
+    return EdgeData(
+        edge_attr=edge_attr,
+        edge_index=jnp.stack([tables.edge_src, tables.edge_dst]),
+        tables=tables,
+    )
 
 
 def _build_decoder(cfg: dict, hidden_dim: int, out_channels: int, backend: str) -> nn.Module:
     cfg = dict(cfg)
     cls = DECODERS[cfg.pop("name", "GraphTransformerBackwardMapper")]
     cfg.pop("sub_graph_edge_attributes", None)
+    cfg.pop("edge_provider", None)
     trainable = cfg.pop("trainable_size", 0)
     cfg = _field_filter(cls, cfg)
     return cls(
@@ -291,11 +316,19 @@ class AnemoiModelEncProcDec(nn.Module):
                 axis=-1,
             )
 
+            enc_edges = graph_inputs["encoder"][ds]
+            enc_provider = (self.config["encoder"] or {}).get("edge_provider")
+            if enc_provider and enc_provider.get("name") == "DynamicKNN":
+                enc_edges = _dynamic_edge_data(
+                    enc_provider,
+                    graph_inputs["node_features"][ds],
+                    graph_inputs["node_features"][hidden],
+                )
             x_data_out, x_latent = _build_encoder(
                 self.config["encoder"], self.num_channels, self.attention_backend
             )(
                 (x_latent_in, x_hidden_latent),
-                graph_inputs["encoder"][ds],
+                enc_edges,
             )
             x_data_latent[ds] = x_data_out
             latents.append(x_latent)
@@ -324,6 +357,14 @@ class AnemoiModelEncProcDec(nn.Module):
         out = {}
         for ds in dataset_names:
             idx = self.data_indices[ds]
+            dec_edges = graph_inputs["decoder"][ds]
+            dec_provider = (self.config["decoder"] or {}).get("edge_provider")
+            if dec_provider and dec_provider.get("name") == "DynamicKNN":
+                dec_edges = _dynamic_edge_data(
+                    dec_provider,
+                    graph_inputs["node_features"][hidden],
+                    graph_inputs["node_features"][ds],
+                )
             x_out = _build_decoder(
                 self.config["decoder"],
                 self.num_channels,
@@ -331,7 +372,7 @@ class AnemoiModelEncProcDec(nn.Module):
                 self.attention_backend,
             )(
                 (x_latent_proc, x_data_latent[ds]),
-                graph_inputs["decoder"][ds],
+                dec_edges,
             )
             # [(B E), G, (T V)] -> [B, T, E, G, V]
             n_grid = x_out.shape[1]

@@ -91,6 +91,57 @@ class SparseProjector:
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self._apply_for(int(x.shape[-2]))(x)
 
+    # -- provider-style constructors (ref graph_provider.py:464-614,
+    #    ProjectionGraphProvider: build from graph edges or an .npz file) ----
+    @classmethod
+    def from_graph(
+        cls,
+        graph,
+        edges_name,
+        edge_weight_attribute: str | None = None,
+        src_node_weight_attribute: str | None = None,
+        row_normalize: bool = True,
+    ) -> "SparseProjector":
+        """Build from a (src, dst) sub-graph of a ``Graph``: weights from an
+        edge attribute, a source-node attribute, or 1 (ref :534-571)."""
+        src_name, dst_name = edges_name[0], edges_name[-1]
+        sub = graph[(src_name, dst_name)]
+        ei = np.asarray(sub.edge_index)
+        if edge_weight_attribute is not None:
+            w = np.asarray(sub.attributes[edge_weight_attribute]).reshape(-1)
+        elif src_node_weight_attribute is not None:
+            node_w = np.asarray(
+                graph[src_name].attributes[src_node_weight_attribute]
+            ).reshape(-1)
+            w = node_w[ei[0]]
+        else:
+            w = np.ones(ei.shape[1], dtype=np.float32)
+        order = np.argsort(ei[1], kind="stable")
+        ei = ei[:, order]
+        w = w[order]
+        return cls(ei, w, num_dst=graph[dst_name].num_nodes, row_normalize=row_normalize)
+
+    @classmethod
+    def from_file(cls, file_path, row_normalize: bool = True) -> "SparseProjector":
+        """Load a projection from an .npz with ``src``/``dst``/``weights``
+        (+``num_dst``) or scipy-CSR-style ``indptr``/``indices``/``data``
+        arrays (ref :530-532 _build_from_file)."""
+        z = np.load(file_path)
+        if "indptr" in z:
+            indptr, indices, data = z["indptr"], z["indices"], z["data"]
+            num_dst = len(indptr) - 1
+            dst = np.repeat(np.arange(num_dst), np.diff(indptr))
+            ei = np.stack([indices.astype(np.int64), dst.astype(np.int64)])
+            w = data
+        else:
+            ei = np.stack([z["src"].astype(np.int64), z["dst"].astype(np.int64)])
+            w = z["weights"]
+            num_dst = int(z["num_dst"]) if "num_dst" in z else int(ei[1].max()) + 1
+            order = np.argsort(ei[1], kind="stable")
+            ei = ei[:, order]
+            w = w[order]
+        return cls(ei, w, num_dst=num_dst, row_normalize=row_normalize)
+
     def as_dense(self) -> np.ndarray:
         """Materialise the [num_dst, rows] matrix (tests / inspection only)."""
         n_src = int(np.asarray(self.src).max()) + 1
