@@ -36,6 +36,7 @@ class EdgeData:
     bucket_spans: Optional[tuple] = struct.field(pytree_node=False, default=None)
     src_range_tables: Optional[tuple] = None  # per-src-range (slots, mask)
     src_range_spans: Optional[tuple] = struct.field(pytree_node=False, default=None)
+    src_range_perm: Optional[jnp.ndarray] = None  # [Ns] natural->sorted row
     # model-parallel "edges" (halo) strategy: stacked per-shard tables with a
     # leading [S] axis (see parallel/partition.py) + the edge permutation into
     # the per-shard slot layout (gather-only in both directions)
@@ -89,14 +90,24 @@ class SubGraphArrays:
         from anemoi_tpu.ops.padded import PaddedTables, build_bucketed_tables
 
         tables = PaddedTables.from_csr(self.padded_csr) if padded else None
-        bucket_tables = bucket_spans = src_tables = src_spans = None
+        bucket_tables = bucket_spans = src_tables = src_spans = src_rank = None
         if padded and bucketed:
-            bucket_tables, bucket_spans, src_tables, src_spans = build_bucketed_tables(
-                self.edge_index, self.dst_ptr, num_src=self.num_src,
-                k_multiple=k_multiple,
+            bucket_tables, bucket_spans, src_tables, src_spans, src_rank = (
+                build_bucketed_tables(
+                    self.edge_index, self.dst_ptr, num_src=self.num_src,
+                    k_multiple=k_multiple, sort_src_by_out_degree=True,
+                )
             )
-            if len(bucket_tables) <= 1:  # no win; skip the duplicate tables
+            # keep the bucketed path if EITHER side wins: >1 dst bucket, or
+            # src ranges that beat the plain full-width k_out reduction (e.g.
+            # a KNN decoder: 1 dst bucket but 3.7x src-side padding waste)
+            plain_bwd_rows = self.num_src * (
+                tables.src_gather_slots.shape[1] if tables is not None else 0
+            )
+            range_bwd_rows = sum((hi - lo) * k for lo, hi, k in src_spans)
+            if len(bucket_tables) <= 1 and range_bwd_rows >= plain_bwd_rows:
                 bucket_tables = bucket_spans = src_tables = src_spans = None
+                src_rank = None
         return EdgeData(
             edge_attr=jnp.asarray(self.edge_attr, dtype=dtype),
             edge_index=jnp.asarray(self.edge_index),
@@ -105,6 +116,7 @@ class SubGraphArrays:
             bucket_spans=bucket_spans,
             src_range_tables=src_tables,
             src_range_spans=src_spans,
+            src_range_perm=src_rank,
         )
 
     def sharded_edge_data(self, n_shards: int, dtype=jnp.float32) -> EdgeData:

@@ -56,15 +56,16 @@ def _gt_attention(query, key, value, edges_proj, edge_data, num_dst, backend: st
         if edge_data.bucket_tables is not None:
             from anemoi_tpu.ops.padded import padded_gt_attention_bucketed_heads
 
-            def fn(q, k, v, e, tbl, src_tbl):
+            def fn(q, k, v, e, tbl, src_tbl, src_rank):
                 return padded_gt_attention_bucketed_heads(
                     q, k, v, e, tbl, edge_data.bucket_spans,
                     src_tables=src_tbl, src_spans=edge_data.src_range_spans,
+                    src_rank=src_rank,
                 )
 
-            return jax.vmap(fn, in_axes=(0, 0, 0, None, None, None))(
+            return jax.vmap(fn, in_axes=(0, 0, 0, None, None, None, None))(
                 query, key, value, edges_proj, edge_data.bucket_tables,
-                edge_data.src_range_tables,
+                edge_data.src_range_tables, edge_data.src_range_perm,
             )
         assert edge_data.tables is not None, "padded backend needs PaddedCSR tables"
         return jax.vmap(padded_gt_attention, in_axes=(0, 0, 0, None, None))(

@@ -14,7 +14,11 @@ import jax.numpy as jnp
 from anemoi_tpu.models.layers.normalization import LayerNorm
 
 ACTIVATIONS = {
-    "gelu": nn.gelu,
+    # exact (erf) gelu: torch.nn.GELU's default, which reference checkpoints
+    # are trained with -- flax's nn.gelu defaults to the tanh approximation,
+    # which would break weight-port parity at ~1e-3 per layer
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu_tanh": nn.gelu,
     "relu": nn.relu,
     "silu": nn.silu,
     "swish": nn.silu,

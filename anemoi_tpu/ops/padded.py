@@ -518,8 +518,9 @@ def build_bucketed_tables(
     max_buckets: int = 3,
     bucket_multiple: int = 8,
     k_multiple: int = 1,
+    sort_src_by_out_degree: bool = False,
 ):
-    """Returns (tables_tuple, spans, src_tables, src_spans).
+    """Returns (tables_tuple, spans, src_tables, src_spans, src_rank).
 
     - tables_tuple: per-bucket PaddedTables (pytree / jit argument)
     - spans: STATIC (dst_lo, dst_hi, edge_lo, edge_hi) per bucket
@@ -527,6 +528,8 @@ def build_bucketed_tables(
       slot space (all buckets' [n_b*k_b] slot spaces concatenated, one shared
       pad row at the end) -- the backward kv reduction gathers these
     - src_spans: STATIC (src_lo, src_hi, k_out) per src range
+    - src_rank: [num_src] position of each natural src row in the reduction's
+      row order (None when ``sort_src_by_out_degree`` is off)
 
     Each bucket covers a contiguous dst range; because edges are dst-sorted,
     its edges are the contiguous slice [dst_ptr[start], dst_ptr[end]) -- so
@@ -536,7 +539,15 @@ def build_bucketed_tables(
     source to that bucket's max out-degree ([num_src, k_out_b] EACH, ~10x the
     forward volume on hub buckets), while ranges over the (degree-sorted)
     source axis with per-range k_out bring the backward gather volume back to
-    the forward's."""
+    the forward's.
+
+    ``sort_src_by_out_degree`` virtually re-sorts the SOURCE rows by
+    descending out-degree before range-bucketing, so ranges capture out-degree
+    skew even when the natural src order is arbitrary (mapper sub-graphs: the
+    hidden mesh is sorted by PROCESSOR in-degree, which says nothing about
+    decoder out-degree; a KNN-3 decoder's k_out=44 full-width table gathered
+    3.7x the forward volume, profiled at ~7 ms/step flagship).  The backward
+    then un-permutes the reduced rows with one cheap [num_src, C] gather."""
     in_deg = np.diff(dst_ptr)
     buckets = compute_buckets(in_deg, max_buckets, bucket_multiple, k_multiple)
     num_edges = int(edge_index.shape[1])
@@ -560,6 +571,17 @@ def build_bucketed_tables(
     # row-bucketed into contiguous src ranges with per-range k_out
     src = edge_index[0]
     out_deg = np.bincount(src, minlength=num_src)
+    if sort_src_by_out_degree:
+        src_order = np.argsort(-out_deg, kind="stable")  # row order of the reduction
+        src_rank_np = np.empty(num_src, dtype=np.int64)
+        src_rank_np[src_order] = np.arange(num_src)
+        row_of = src_rank_np  # natural src id -> reduction row
+        out_deg_rows = out_deg[src_order]  # descending
+        src_rank = jnp.asarray(src_rank_np.astype(np.int32))
+    else:
+        row_of = np.arange(num_src)
+        out_deg_rows = out_deg
+        src_rank = None
     # wide enough for any src-range's rounded k_r (ranges slice [:k_r] below)
     k_out = _round_up(int(max(1, out_deg.max() if num_edges else 1)), k_multiple)
     src_gather = np.full((num_src, k_out), total_slots, dtype=np.int32)
@@ -569,21 +591,22 @@ def build_bucketed_tables(
     src_ptr = np.zeros(num_src + 1, dtype=np.int64)
     np.cumsum(out_deg, out=src_ptr[1:])
     within_src = np.arange(num_edges) - src_ptr[src_sorted]
-    src_gather[src_sorted, within_src] = glob_slot[order].astype(np.int32)
-    src_mask[src_sorted, within_src] = True
-    src_buckets = compute_buckets(out_deg, max_buckets, bucket_multiple, k_multiple)
+    src_gather[row_of[src_sorted], within_src] = glob_slot[order].astype(np.int32)
+    src_mask[row_of[src_sorted], within_src] = True
+    src_buckets = compute_buckets(out_deg_rows, max_buckets, bucket_multiple, k_multiple)
     assert all(k <= k_out for _, _, k in src_buckets), (src_buckets, k_out)
     src_tables = tuple(
         (jnp.asarray(src_gather[lo:hi, :k]), jnp.asarray(src_mask[lo:hi, :k]))
         for lo, hi, k in src_buckets
     )
     src_spans = tuple((int(lo), int(hi), int(k)) for lo, hi, k in src_buckets)
-    return tuple(tables), tuple(spans), src_tables, src_spans
+    return tuple(tables), tuple(spans), src_tables, src_spans, src_rank
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _gt_bucketed_fused(
-    query, key, value, edge_attr, num_heads, spans, src_spans, tables_tuple, src_tables
+    query, key, value, edge_attr, num_heads, spans, src_spans, tables_tuple,
+    src_tables, src_rank,
 ):
     out, _ = _gt_bucketed_fwd_impl(
         query, key, value, edge_attr, num_heads, spans, tables_tuple
@@ -603,16 +626,19 @@ def _gt_bucketed_fwd_impl(query, key, value, edge_attr, num_heads, spans, tables
 
 
 def _gt_bucketed_fwd(
-    query, key, value, edge_attr, num_heads, spans, src_spans, tables_tuple, src_tables
+    query, key, value, edge_attr, num_heads, spans, src_spans, tables_tuple,
+    src_tables, src_rank,
 ):
     out, alphas = _gt_bucketed_fwd_impl(
         query, key, value, edge_attr, num_heads, spans, tables_tuple
     )
-    return out, (query, key, value, edge_attr, alphas, tables_tuple, src_tables)
+    return out, (
+        query, key, value, edge_attr, alphas, tables_tuple, src_tables, src_rank
+    )
 
 
 def _gt_bucketed_bwd(num_heads, spans, src_spans, res, g):
-    query, key, value, edge_attr, alphas, tables_tuple, src_tables = res
+    query, key, value, edge_attr, alphas, tables_tuple, src_tables, src_rank = res
     hd = query.shape[1]
 
     d_qs = []
@@ -639,6 +665,10 @@ def _gt_bucketed_bwd(num_heads, spans, src_spans, res, g):
         )
         parts.append(jnp.sum(jnp.where(mask[..., None], gathered, 0.0), axis=1))
     dkv_src = jnp.concatenate(parts, axis=0)
+    if src_rank is not None:
+        # ranges were built over out-degree-SORTED rows; one gather restores
+        # the natural src order
+        dkv_src = jnp.take(dkv_src, src_rank, axis=0)
     d_key, d_value = dkv_src[:, :hd], dkv_src[:, hd:]
 
     if edge_attr is not None:
@@ -652,7 +682,7 @@ def _gt_bucketed_bwd(num_heads, spans, src_spans, res, g):
         d_edge = jnp.concatenate(d_es, axis=0)
     else:
         d_edge = None
-    return d_query, d_key, d_value, d_edge, None, None
+    return d_query, d_key, d_value, d_edge, None, None, None
 
 
 _gt_bucketed_fused.defvjp(_gt_bucketed_fwd, _gt_bucketed_bwd)
@@ -660,13 +690,15 @@ _gt_bucketed_fused.defvjp(_gt_bucketed_fwd, _gt_bucketed_bwd)
 
 def padded_gt_attention_bucketed(
     query, key, value, edge_attr, num_heads, tables_tuple, spans,
-    src_tables=None, src_spans=None,
+    src_tables=None, src_spans=None, src_rank=None,
 ):
     """Bucketed flat attention: per-bucket calls over contiguous dst/edge
     slices.  With ``src_tables``/``src_spans`` (from build_bucketed_tables)
     the whole op is one custom VJP whose kv-grad reduction runs once over the
     global slot space with src-range-matched padding; without them, AD
     accumulates per-bucket full-width reductions (legacy path).
+    ``src_rank`` (sort_src_by_out_degree tables): reduction rows are
+    out-degree-sorted; the backward un-permutes them with one gather.
 
     ``spans``: STATIC tuple of (dst_lo, dst_hi, edge_lo, edge_hi) per bucket
     (must be static so the per-bucket shapes are compile-time constants);
@@ -674,7 +706,7 @@ def padded_gt_attention_bucketed(
     if src_tables is not None:
         return _gt_bucketed_fused(
             query, key, value, edge_attr, num_heads, tuple(spans), tuple(src_spans),
-            tables_tuple, src_tables,
+            tables_tuple, src_tables, src_rank,
         )
     outs = []
     for (lo, hi, e_lo, e_hi), tables in zip(spans, tables_tuple):
@@ -686,7 +718,8 @@ def padded_gt_attention_bucketed(
 
 
 def padded_gt_attention_bucketed_heads(
-    query, key, value, edge_attr, tables_tuple, spans, src_tables=None, src_spans=None
+    query, key, value, edge_attr, tables_tuple, spans, src_tables=None,
+    src_spans=None, src_rank=None,
 ):
     """Head-structured bucketed wrapper: q [Nd,H,D], k/v [Ns,H,D], e [E,H,D]."""
     n, h, d = query.shape
@@ -700,5 +733,6 @@ def padded_gt_attention_bucketed_heads(
         spans,
         src_tables=src_tables,
         src_spans=src_spans,
+        src_rank=src_rank,
     )
     return out.reshape(n, h, d)

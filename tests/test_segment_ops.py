@@ -218,9 +218,10 @@ def test_bucketed_attention_matches(rng):
     np.cumsum(np.bincount(ei[1], minlength=n_dst), out=dst_ptr[1:])
 
     buckets = compute_buckets(np.diff(dst_ptr))
-    tables_tuple, spans, src_tables, src_spans = build_bucketed_tables(
+    tables_tuple, spans, src_tables, src_spans, src_rank = build_bucketed_tables(
         ei, dst_ptr, num_src=n_src
     )
+    assert src_rank is None  # sorting off by default
     single = PaddedTables.from_csr(PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n_src))
 
     HD, H = 16, 2
@@ -273,6 +274,68 @@ def test_bucketed_attention_matches(rng):
     assert b_vol < single_vol
 
 
+def test_bucketed_attention_sorted_src(rng):
+    """sort_src_by_out_degree=True: backward reduction rows are virtually
+    re-sorted by out-degree (ranges capture skew regardless of the natural
+    src order) and un-permuted with one gather -- gradients must match the
+    single-table reference exactly."""
+    from anemoi_tpu.ops.padded import (
+        PaddedCSR,
+        PaddedTables,
+        build_bucketed_tables,
+        padded_gt_attention_bucketed,
+        padded_gt_attention_flat,
+    )
+
+    # skew the SRC out-degrees but keep src ids in arbitrary order (the
+    # mapper case: src order fixed by another sub-graph's sort)
+    n_src, n_dst, e = 64, 48, 700
+    src = rng.integers(0, n_src, e) ** 2 // n_src  # skewed toward low ids
+    src = (src * 37 + 11) % n_src  # scramble the order
+    dst = rng.integers(0, n_dst, e)
+    srt = np.argsort(dst, kind="stable")
+    ei = np.stack([src[srt], dst[srt]]).astype(np.int64)
+    dst_ptr = np.zeros(n_dst + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ei[1], minlength=n_dst), out=dst_ptr[1:])
+
+    tt, sp, st, ss, rank = build_bucketed_tables(
+        ei, dst_ptr, num_src=n_src, sort_src_by_out_degree=True
+    )
+    assert rank is not None and rank.shape == (n_src,)
+    single = PaddedTables.from_csr(PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n_src))
+
+    HD, H = 16, 2
+    q = jnp.asarray(rng.normal(size=(n_dst, HD)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n_src, HD)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n_src, HD)), dtype=jnp.float32)
+    e_attr = jnp.asarray(rng.normal(size=(ei.shape[1], HD)), dtype=jnp.float32)
+
+    out = padded_gt_attention_bucketed(q, k, v, e_attr, H, tt, sp, st, ss, rank)
+    ref = padded_gt_attention_flat(q, k, v, e_attr, H, single)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    gf = jax.grad(
+        lambda qq, kk, vv, ee: jnp.sum(
+            padded_gt_attention_bucketed(qq, kk, vv, ee, H, tt, sp, st, ss, rank) ** 2
+        ),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, e_attr)
+    gr = jax.grad(
+        lambda qq, kk, vv, ee: jnp.sum(
+            padded_gt_attention_flat(qq, kk, vv, ee, H, single) ** 2
+        ),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, e_attr)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # with sorting, range volume is no worse than the unsorted ranges
+    _, _, _, ss_unsorted, _ = build_bucketed_tables(ei, dst_ptr, num_src=n_src)
+    vol_sorted = sum((hi - lo) * k_r for lo, hi, k_r in ss)
+    vol_unsorted = sum((hi - lo) * k_r for lo, hi, k_r in ss_unsorted)
+    assert vol_sorted <= vol_unsorted
+
+
 def test_bucketed_attention_k_multiple(rng):
     """k_multiple=8 (the processor's tile-aligned setting) matches exact-k
     and the single-table reference -- guards the src-table width rounding
@@ -301,7 +364,7 @@ def test_bucketed_attention_k_multiple(rng):
     dst_ptr = np.zeros(n_dst + 1, dtype=np.int64)
     np.cumsum(np.bincount(ei[1], minlength=n_dst), out=dst_ptr[1:])
 
-    tt8, sp8, st8, ss8 = build_bucketed_tables(ei, dst_ptr, num_src=n_src, k_multiple=8)
+    tt8, sp8, st8, ss8, _ = build_bucketed_tables(ei, dst_ptr, num_src=n_src, k_multiple=8)
     assert all(k % 8 == 0 for _, _, k in ss8)
     assert all(t.src_slots.shape[1] % 8 == 0 for t in tt8)
     single = PaddedTables.from_csr(PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n_src))
