@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from anemoi_tpu.models.layers.normalization import RMSNorm
+from anemoi_tpu.models.layers.normalization import QKNorm, RMSNorm
 
 
 def get_alibi_slopes(num_heads: int) -> jnp.ndarray:
@@ -159,6 +159,7 @@ class MultiHeadSelfAttention(nn.Module):
     window_size: Optional[int] = None
     qkv_bias: bool = False
     qk_norm: bool = False
+    qk_norm_type: str = "layernorm"
     softcap: Optional[float] = None
     use_alibi_slopes: bool = False
     use_rotary_embeddings: bool = False
@@ -180,8 +181,8 @@ class MultiHeadSelfAttention(nn.Module):
         k = k.reshape(b, n, h, d)
         v = v.reshape(b, n, h, d)
         if self.qk_norm:
-            q = RMSNorm(name="q_norm")(q)
-            k = RMSNorm(name="k_norm")(k)
+            q = QKNorm(self.qk_norm_type, name="q_norm")(q)
+            k = QKNorm(self.qk_norm_type, name="k_norm")(k)
         if self.use_rotary_embeddings:
             q, k = apply_rotary_embeddings(q, k)
         slopes = get_alibi_slopes(h) if self.use_alibi_slopes else None
@@ -212,6 +213,7 @@ class MultiHeadCrossAttention(nn.Module):
     attn_channels: Optional[int] = None
     qkv_bias: bool = False
     qk_norm: bool = False
+    qk_norm_type: str = "layernorm"
 
     @nn.compact
     def __call__(self, x_src: jnp.ndarray, x_dst: jnp.ndarray) -> jnp.ndarray:
@@ -224,8 +226,8 @@ class MultiHeadCrossAttention(nn.Module):
         k = nn.Dense(hd, use_bias=self.qkv_bias, name="k")(x_src).reshape(b, nk, h, d)
         v = nn.Dense(hd, use_bias=self.qkv_bias, name="v")(x_src).reshape(b, nk, h, d)
         if self.qk_norm:
-            q = RMSNorm(name="q_norm")(q)
-            k = RMSNorm(name="k_norm")(k)
+            q = QKNorm(self.qk_norm_type, name="q_norm")(q)
+            k = QKNorm(self.qk_norm_type, name="k_norm")(k)
         scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
         logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         alpha = jax.nn.softmax(logits, axis=-1)

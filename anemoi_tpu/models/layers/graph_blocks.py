@@ -30,6 +30,7 @@ from anemoi_tpu.models.layers.mlp import MLP, compute_mlp_hidden_dim
 from anemoi_tpu.models.layers.normalization import (
     ConditionalLayerNorm,
     LayerNorm,
+    QKNorm,
     RMSNorm,
 )
 from anemoi_tpu.ops.padded import (
@@ -113,6 +114,7 @@ class GraphTransformerAttention(nn.Module):
     attn_channels: int
     out_channels: int
     qk_norm: bool = False
+    qk_norm_type: str = "layernorm"  # reference default kernel (utils.py:107)
     edge_pre_mlp: bool = False
     backend: str = "segment"
     shard_strategy: str = "none"
@@ -150,10 +152,10 @@ class GraphTransformerAttention(nn.Module):
             from anemoi_tpu.parallel.halo import halo_gt_attention
 
             if self.qk_norm:
-                query = RMSNorm(name="q_norm")(
+                query = QKNorm(self.qk_norm_type, name="q_norm")(
                     query.reshape(batch, n_dst, h, d)
                 ).reshape(batch, n_dst, hd)
-                key = RMSNorm(name="k_norm")(
+                key = QKNorm(self.qk_norm_type, name="k_norm")(
                     key.reshape(batch, n_src, h, d)
                 ).reshape(batch, n_src, hd)
             return halo_gt_attention(
@@ -168,10 +170,10 @@ class GraphTransformerAttention(nn.Module):
 
             if model_axis_size() > 1:
                 if self.qk_norm:
-                    query = RMSNorm(name="q_norm")(
+                    query = QKNorm(self.qk_norm_type, name="q_norm")(
                         query.reshape(batch, n_dst, h, d)
                     ).reshape(batch, n_dst, hd)
-                    key = RMSNorm(name="k_norm")(
+                    key = QKNorm(self.qk_norm_type, name="k_norm")(
                         key.reshape(batch, n_src, h, d)
                     ).reshape(batch, n_src, hd)
                 return ulysses_gt_attention(
@@ -185,8 +187,8 @@ class GraphTransformerAttention(nn.Module):
         edges = edges.reshape(-1, h, d)
 
         if self.qk_norm:
-            query = RMSNorm(name="q_norm")(query)
-            key = RMSNorm(name="k_norm")(key)
+            query = QKNorm(self.qk_norm_type, name="q_norm")(query)
+            key = QKNorm(self.qk_norm_type, name="k_norm")(key)
 
         out = _gt_attention(query, key, value, edges, edge_data, n_dst, self.backend)
         return out.reshape(batch, n_dst, hd)
@@ -200,6 +202,7 @@ class GraphTransformerMapperBlock(nn.Module):
     out_channels: int
     attn_channels: Optional[int] = None
     qk_norm: bool = False
+    qk_norm_type: str = "layernorm"  # reference default kernel (utils.py:107)
     update_src_nodes: bool = False
     edge_pre_mlp: bool = False
     mlp_implementation: str = "mlp"
@@ -227,6 +230,7 @@ class GraphTransformerMapperBlock(nn.Module):
             attn_channels=attn_channels,
             out_channels=self.out_channels,
             qk_norm=self.qk_norm,
+            qk_norm_type=self.qk_norm_type,
             edge_pre_mlp=self.edge_pre_mlp,
             backend=self.backend,
             name="attention",
@@ -267,6 +271,7 @@ class GraphTransformerProcessorBlock(nn.Module):
     out_channels: int
     attn_channels: Optional[int] = None
     qk_norm: bool = False
+    qk_norm_type: str = "layernorm"  # reference default kernel (utils.py:107)
     edge_pre_mlp: bool = False
     mlp_implementation: str = "mlp"
     conditional: bool = False
@@ -292,6 +297,7 @@ class GraphTransformerProcessorBlock(nn.Module):
             attn_channels=attn_channels,
             out_channels=self.out_channels,
             qk_norm=self.qk_norm,
+            qk_norm_type=self.qk_norm_type,
             edge_pre_mlp=self.edge_pre_mlp,
             backend=self.backend,
             shard_strategy=self.shard_strategy,

@@ -38,6 +38,26 @@ class LayerNorm(nn.Module):
         return out.astype(x.dtype)
 
 
+class QKNorm(nn.Module):
+    """Query/key normalisation kernel over the per-head dim.
+
+    ``kind='layernorm'`` matches the reference's default QueryNorm/KeyNorm
+    layer kernels (AutocastLayerNorm(bias=False), ref layers/utils.py:107-120
+    + normalization.py:19) -- required for checkpoint-port parity;
+    ``kind='rmsnorm'`` is the cheaper variant (no mean subtraction)."""
+
+    kind: str = "layernorm"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.kind == "rmsnorm":
+            return RMSNorm(name="rms")(x)
+        out = nn.LayerNorm(
+            epsilon=1e-5, use_bias=False, dtype=jnp.float32, name="ln"
+        )(x)
+        return out.astype(x.dtype)
+
+
 class ConditionalLayerNorm(nn.Module):
     """x_norm = (1 + scale(cond)) * LN(x) + bias(cond), zero-init (ref :34-96)."""
 

@@ -64,7 +64,7 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
             continue
         if p in ("layer_norm_attention", "layer_norm_attention_src",
                  "layer_norm_attention_dst", "layer_norm_mlp", "layer_norm_mlp_dst",
-                 "extractor_norm"):
+                 "extractor_norm", "q_norm", "k_norm"):
             ref = {
                 "layer_norm_attention_dst": "layer_norm_attention_dest",
                 "extractor_norm": "node_data_extractor.0",

@@ -20,6 +20,7 @@ from typing import Any, Optional, Tuple, Union
 import torch
 
 REFERENCE_MODELS_SRC = "/root/reference/models/src"
+REFERENCE_GRAPHS_SRC = "/root/reference/graphs/src"
 
 
 def _scatter(src, index, dim=0, dim_size=None, reduce="sum"):
@@ -103,10 +104,96 @@ class _DotDict(dict):
         self[k] = v
 
 
+def _dotify(obj):
+    """Recursively wrap dicts as _DotDicts (nested config access)."""
+    if isinstance(obj, dict):
+        return _DotDict({k: _dotify(v) for k, v in obj.items()})
+    if isinstance(obj, (list, tuple)):
+        return [_dotify(v) for v in obj]
+    return obj
+
+
+class _NodeStore(types.SimpleNamespace):
+    def __getattr__(self, k):  # only called when the attribute is missing
+        if k == "num_nodes":
+            return int(self.__dict__["x"].shape[0])
+        raise AttributeError(k)
+
+
+class _EdgeStore(types.SimpleNamespace):
+    """Edge store: attribute access (.edge_index) + name subscript for edge
+    attributes, the surface StaticGraphProvider reads (graph_provider.py:239)."""
+
+    def __getitem__(self, key):
+        return getattr(self, key)
+
+    def __bool__(self):
+        return True
+
+
+class _HeteroData:
+    """Just enough of torch_geometric.data.HeteroData for the reference
+    models: node/edge stores keyed by name / (src, 'to', dst)."""
+
+    def __init__(self):
+        self._nodes = {}
+        self._edges = {}
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._nodes.setdefault(key, _NodeStore())
+        if isinstance(key, tuple):
+            if len(key) == 3:
+                key = (key[0], key[2])
+            return self._edges.setdefault(key, _EdgeStore())
+        raise KeyError(key)
+
+    def __contains__(self, key):
+        if isinstance(key, tuple) and len(key) == 3:
+            key = (key[0], key[2])
+        return key in self._nodes or key in self._edges
+
+    @property
+    def node_types(self):
+        return list(self._nodes)
+
+    @property
+    def edge_types(self):
+        return [(s, "to", d) for s, d in self._edges]
+
+    def node_items(self):
+        return list(self._nodes.items())
+
+
 def install() -> None:
     """Install the stub modules and put the reference source on sys.path."""
-    if REFERENCE_MODELS_SRC not in sys.path:
-        sys.path.insert(0, REFERENCE_MODELS_SRC)
+    for p in (REFERENCE_MODELS_SRC, REFERENCE_GRAPHS_SRC):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+        oc.DictConfig = _DotDict
+        oc.ListConfig = list
+
+        class OmegaConf:
+            @staticmethod
+            def to_container(x, resolve=True):
+                def conv(v):
+                    if isinstance(v, dict):
+                        return {k: conv(u) for k, u in v.items()}
+                    if isinstance(v, (list, tuple)):
+                        return [conv(u) for u in v]
+                    return v
+
+                return conv(x)
+
+            @staticmethod
+            def create(x=None):
+                return _dotify(x or {})
+
+        oc.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = oc
 
     if "torch_geometric" not in sys.modules:
         tg = types.ModuleType("torch_geometric")
@@ -147,11 +234,7 @@ def install() -> None:
         conv_mod.MessagePassing = _MessagePassing
         nn_mod.conv = conv_mod
         data_mod = types.ModuleType("torch_geometric.data")
-
-        class HeteroData(dict):  # constructor/type-hint surface only
-            pass
-
-        data_mod.HeteroData = HeteroData
+        data_mod.HeteroData = _HeteroData
         tg.typing = typing_mod
         tg.utils = utils_mod
         tg.nn = nn_mod
@@ -207,22 +290,13 @@ def install() -> None:
 def default_layer_kernels() -> "_DotDict":
     """The reference's default layer kernel set (torch.nn classes; exact-erf
     GELU, matching anemoi_tpu's 'gelu')."""
+    import functools
+
     return _DotDict(
         Linear=torch.nn.Linear,
         LayerNorm=torch.nn.LayerNorm,
         Activation=torch.nn.GELU,
-        QueryNorm=_RMSNorm,
-        KeyNorm=_RMSNorm,
+        # the reference default: AutocastLayerNorm(bias=False) (utils.py:107)
+        QueryNorm=functools.partial(torch.nn.LayerNorm, bias=False),
+        KeyNorm=functools.partial(torch.nn.LayerNorm, bias=False),
     )
-
-
-class _RMSNorm(torch.nn.Module):
-    """RMSNorm over the trailing dim (the reference's Query/KeyNorm kernel)."""
-
-    def __init__(self, dim: int):
-        super().__init__()
-        self.weight = torch.nn.Parameter(torch.ones(dim))
-
-    def forward(self, x):
-        var = x.float().pow(2).mean(dim=-1, keepdim=True)
-        return (x.float() * torch.rsqrt(var + 1e-6)).to(x.dtype) * self.weight

@@ -64,8 +64,8 @@ def _port_block_params(state_dict, flax_params, conditional=False):
             "lin_edge": lin("lin_edge"),
             **(
                 {
-                    "q_norm": {"rms": {"scale": sd["q_norm.weight"]}},
-                    "k_norm": {"rms": {"scale": sd["k_norm.weight"]}},
+                    "q_norm": {"ln": {"scale": sd["q_norm.weight"]}},
+                    "k_norm": {"ln": {"scale": sd["k_norm.weight"]}},
                 }
                 if "q_norm.weight" in sd
                 else {}
