@@ -33,6 +33,7 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
     """Map one flax param path to the reference state-dict name."""
     parts: List[str] = list(path)
     out: List[str] = ["model"]
+    component = None  # encoder | decoder | processor (for provider-owned params)
     i = 0
     while i < len(parts):
         p = parts[i]
@@ -40,16 +41,29 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
             out += ["node_attributes", "trainable_tensors", p[len("node_attributes_"):]]
             i += 1
             continue
+        if p == "trainable_edges":
+            # trainable edge features live on the graph PROVIDER in the
+            # reference layout (graph_provider.py:254 StaticGraphProvider
+            # .trainable = TrainableTensor)
+            out = ["model", f"{component}_graph_provider"]
+            if component != "processor":
+                out.append(dataset)
+            out.append("trainable")
+            i += 1
+            continue
         if p.startswith("GraphTransformerForwardMapper"):
             out += ["encoder", dataset]
+            component = "encoder"
             i += 1
             continue
         if p.startswith("GraphTransformerBackwardMapper"):
             out += ["decoder", dataset]
+            component = "decoder"
             i += 1
             continue
         if p.startswith("GraphTransformerProcessor"):
             out += ["processor"]
+            component = "processor"
             i += 1
             continue
         if p == "blocks":  # scanned processor stack -> proc.<i> handled by caller
@@ -67,6 +81,7 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
                  "extractor_norm", "q_norm", "k_norm"):
             ref = {
                 "layer_norm_attention_dst": "layer_norm_attention_dest",
+                "layer_norm_mlp": "layer_norm_mlp_dst",
                 "extractor_norm": "node_data_extractor.0",
             }.get(p, p)
             out += ref.split(".")
@@ -86,10 +101,6 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
             continue
         if p == "extractor":
             out += ["node_data_extractor", "1"]
-            i += 1
-            continue
-        if p == "trainable_edges":
-            out += ["trainable_edges"]
             i += 1
             continue
         out.append(p)
@@ -140,6 +151,13 @@ def reference_to_flax(state_dict: Dict[str, np.ndarray], params_template, datase
 
     container = params_template.get("params", params_template)
     flat = flax.traverse_util.flatten_dict(container)
+    # accept both naming conventions: the bare nn.Module state dict
+    # (model.state_dict(): "encoder.data...") and the training-checkpoint
+    # form with the interface's "model." prefix
+    state_dict = dict(state_dict)
+    for k in list(state_dict):
+        if not k.startswith("model."):
+            state_dict.setdefault(f"model.{k}", state_dict[k])
     new_flat = {}
     missing = []
     for path, value in flat.items():

@@ -209,9 +209,9 @@ def install() -> None:
         utils_mod.degree = lambda index, num_nodes=None, dtype=None: torch.bincount(
             index, minlength=num_nodes or 0
         ).to(dtype or torch.long)
-        utils_mod.index_sort = lambda inputs, max_value=None: (
+        utils_mod.index_sort = lambda inputs, max_value=None, stable=True: (
             lambda s: (s.values, s.indices)
-        )(torch.sort(inputs, stable=True))
+        )(torch.sort(inputs, stable=stable))
 
         def _not_needed(*a, **k):  # k-hop partition helpers: not used when
             raise NotImplementedError  # model_comm_group is None
@@ -258,16 +258,17 @@ def install() -> None:
         utils_mod2 = types.ModuleType("hydra.utils")
 
         def instantiate(cfg, *args, **kwargs):
+            import functools
             import importlib
 
+            partial_flag = bool(kwargs.pop("_partial_", False))
+            kwargs.pop("_recursive_", None)
             target = cfg["_target_"] if isinstance(cfg, dict) else cfg._target_
             mod, _, name = target.rpartition(".")
             fn = getattr(importlib.import_module(mod), name)
             extra = {k: v for k, v in dict(cfg).items() if not k.startswith("_")}
             extra.update(kwargs)
-            if isinstance(cfg, dict) and cfg.get("_partial_"):
-                import functools
-
+            if partial_flag or (isinstance(cfg, dict) and cfg.get("_partial_")):
                 return functools.partial(fn, *args, **extra)
             return fn(*args, **extra)
 

@@ -84,6 +84,197 @@ def _port_block_params(state_dict, flax_params, conditional=False):
     return {"params": out}
 
 
+def test_full_model_parity(rng):
+    """Full AnemoiModelEncProcDec parity: the reference's OWN torch model
+    (models/models/encoder_processor_decoder.py) built on the same graph,
+    its real state dict loaded through models/port.py, outputs allclose in
+    fp32 -- the checkpoint-port accuracy gate."""
+    import sys
+
+    import torch as _torch
+
+    from anemoi.models.data_indices.collection import (
+        IndexCollection as RefIndexCollection,
+    )
+    from anemoi.models.models.encoder_processor_decoder import (
+        AnemoiModelEncProcDec as RefModel,
+    )
+
+    from anemoi_tpu.data_indices.collection import IndexCollection
+    from anemoi_tpu.graphs.create import GraphCreator
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from anemoi_tpu.models.port import reference_to_flax
+    from tests.reference_stubs import _dotify
+
+    NAMES = {"q": 0, "t": 1, "u": 2, "z": 3, "tp": 4, "cos_lat": 5}
+    FORCING, DIAG = ["cos_lat", "z"], ["tp"]
+    EDGE_ATTRS = ["edge_length", "edge_dirs"]
+
+    recipe = {
+        "nodes": {
+            "data": {"node_builder": {"name": "RegularLatLonNodes", "resolution": 20}},
+            "hidden": {"node_builder": {"name": "TriNodes", "resolution": 0}},
+        },
+        "edges": [
+            {"source_name": "data", "target_name": "hidden",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": {"edge_length": {"name": "EdgeLength"},
+                            "edge_dirs": {"name": "EdgeDirection"}}},
+            {"source_name": "hidden", "target_name": "hidden",
+             "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1},
+             "attributes": {"edge_length": {"name": "EdgeLength"},
+                            "edge_dirs": {"name": "EdgeDirection"}}},
+            {"source_name": "hidden", "target_name": "data",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": {"edge_length": {"name": "EdgeLength"},
+                            "edge_dirs": {"name": "EdgeDirection"}}},
+        ],
+    }
+    graph = GraphCreator(recipe).create()
+
+    # ---- the reference model on the same graph -----------------------
+    HeteroData = sys.modules["torch_geometric.data"].HeteroData
+    g = HeteroData()
+    for name in ("data", "hidden"):
+        g[name].x = _torch.from_numpy(graph[name].coords.astype(np.float32))
+    for (s, d), es in graph.edges.items():
+        store = g[(s, "to", d)]
+        store.edge_index = _torch.from_numpy(es.edge_index.astype(np.int64))
+        for attr in EDGE_ATTRS:
+            store_val = _torch.from_numpy(es.attributes[attr].astype(np.float32))
+            setattr(store, attr, store_val)
+
+    C, H, L = 16, 4, 2
+    kernels_cfg = {
+        "Linear": {"_target_": "torch.nn.Linear"},
+        "LayerNorm": {"_target_": "torch.nn.LayerNorm"},
+        "Activation": {"_target_": "torch.nn.GELU"},
+    }
+    common = {
+        "sub_graph_edge_attributes": EDGE_ATTRS,
+        "num_chunks": 1,
+        "mlp_hidden_ratio": 4,
+        "mlp_implementation": "mlp",
+        "num_heads": H,
+        "qk_norm": True,
+        "cpu_offload": False,
+        "gradient_checkpointing": False,
+        "layer_kernels": kernels_cfg,
+        "shard_strategy": "heads",
+        "graph_attention_backend": "pyg",
+        "edge_pre_mlp": False,
+    }
+    model_config = _dotify({
+        "model": {
+            "num_channels": C,
+            "model": {"hidden_nodes_name": "hidden", "latent_skip": True},
+            "layer_kernels": kernels_cfg,
+            "processor": {
+                "_target_": "anemoi.models.layers.processor.GraphTransformerProcessor",
+                "trainable_size": 2, "num_layers": L, **common,
+            },
+            "encoder": {
+                "_target_": "anemoi.models.layers.mapper.GraphTransformerForwardMapper",
+                "trainable_size": 2, **common,
+            },
+            "decoder": {
+                "_target_": "anemoi.models.layers.mapper.GraphTransformerBackwardMapper",
+                "trainable_size": 2, "initialise_data_extractor_zero": False, **common,
+            },
+            "residual": {
+                "_target_": "anemoi.models.layers.residual.SkipConnection", "step": -1,
+            },
+            "trainable_parameters": {"data": 2, "hidden": 2},
+            "bounding": [],
+        },
+    })
+    data_cfg = _dotify({"forcing": FORCING, "diagnostic": DIAG})
+    ref_indices = {"data": RefIndexCollection(data_cfg, NAMES)}
+    torch.manual_seed(0)
+    ref_model = RefModel(
+        model_config=model_config,
+        data_indices=ref_indices,
+        statistics={"data": {}},
+        n_step_input=2,
+        n_step_output=1,
+        graph_data=g,
+    )
+    ref_model.eval()
+
+    n_grid = graph["data"].num_nodes
+    n_in = 5  # q,t,u,z,cos_lat
+    x_np = rng.normal(size=(1, 2, 1, n_grid, n_in)).astype(np.float32)
+    with _torch.no_grad():
+        out_ref = ref_model({"data": _torch.from_numpy(x_np)})["data"].numpy()
+
+    # ---- ours, with the reference's state dict ported ----------------
+    tpu_cfg = {
+        "model": {
+            "name": "AnemoiModelEncProcDec",
+            "num_channels": C,
+            "n_step_input": 2,
+            "n_step_output": 1,
+            "graph_attention_backend": "padded",
+            "trainable_parameters": {"data": 2, "hidden": 2},
+            "encoder": {"name": "GraphTransformerForwardMapper", "num_heads": H,
+                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                        "trainable_size": 2,
+                        "sub_graph_edge_attributes": EDGE_ATTRS},
+            "processor": {"name": "GraphTransformerProcessor", "num_layers": L,
+                          "num_heads": H, "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                          "trainable_size": 2, "gradient_checkpointing": False,
+                          "sub_graph_edge_attributes": EDGE_ATTRS},
+            "decoder": {"name": "GraphTransformerBackwardMapper", "num_heads": H,
+                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                        "trainable_size": 2,
+                        "sub_graph_edge_attributes": EDGE_ATTRS},
+        },
+        "data": {"processors": []},
+    }
+    iface = AnemoiModelInterface(
+        config=tpu_cfg,
+        graph=graph,
+        data_indices={"data": IndexCollection(NAMES, forcing=FORCING, diagnostic=DIAG)},
+        statistics={"data": {
+            "mean": np.zeros(6, np.float32), "stdev": np.ones(6, np.float32),
+            "minimum": -np.ones(6, np.float32), "maximum": np.ones(6, np.float32),
+        }},
+    )
+    template = iface.init_params(jax.random.PRNGKey(1))
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = reference_to_flax(sd, template)
+    out_tpu = iface.apply(params, {"data": jnp.asarray(x_np)})["data"]
+    np.testing.assert_allclose(
+        np.asarray(out_tpu), out_ref, rtol=2e-4, atol=5e-5
+    )
+
+    # ---- 10-step autoregressive rollout parity -----------------------
+    # (the reference accuracy gate's discipline, test_accuracy.py:15-50,
+    # at CPU-tractable scale).  Both models advance their own predictions;
+    # forcings are re-read from a shared series.
+    steps = 10
+    forcing_series = rng.normal(size=(steps, 1, 1, 1, n_grid, 2)).astype(np.float32)
+    prog_idx = [0, 1, 2]  # q, t, u positions in model OUTPUT
+    prog_in_idx = [0, 1, 2]  # q, t, u positions in model INPUT
+    forcing_in_idx = [3, 4]  # z, cos_lat positions in model INPUT
+
+    def advance(x_prev, y_pred, t):
+        new = np.empty_like(x_prev[:, -1:])
+        new[..., prog_in_idx] = y_pred[..., prog_idx]
+        new[..., forcing_in_idx] = forcing_series[t]
+        return np.concatenate([x_prev[:, 1:], new], axis=1)
+
+    x_ref = x_np.copy()
+    x_tpu = x_np.copy()
+    for t in range(steps):
+        with _torch.no_grad():
+            y_ref = ref_model({"data": _torch.from_numpy(x_ref)})["data"].numpy()
+        y_tpu = np.asarray(iface.apply(params, {"data": jnp.asarray(x_tpu)})["data"])
+        x_ref = advance(x_ref, y_ref, t)
+        x_tpu = advance(x_tpu, y_tpu, t)
+    np.testing.assert_allclose(x_tpu, x_ref, rtol=2e-3, atol=2e-4)
+
+
 @pytest.mark.parametrize("qk_norm", [False, True])
 def test_gt_processor_block_parity(rng, qk_norm):
     C, H, F = 32, 4, 6
