@@ -152,12 +152,14 @@ class AnemoiModelInterface:
         (ref models/base.py:303-390 predict_step)
         """
         x = {}
+        aux = {}
         for ds, idx in self.data_indices.items():
             xb = batch[ds][:, : self.model.n_step_input]
+            aux[ds] = self.pre_processors[ds].compute_aux(xb)
             xb = self.pre_processors[ds].transform(xb)
             x[ds] = xb[..., jnp.asarray(idx.data.input.full)]
         y = self.apply(params, x)
         out = {}
         for ds, idx in self.data_indices.items():
-            out[ds] = self.pre_processors[ds].inverse_transform(y[ds])
+            out[ds] = self.pre_processors[ds].inverse_transform(y[ds], aux=aux[ds])
         return out

@@ -98,6 +98,7 @@ class BaseLoss:
         squash: bool = True,
         scaler_subset: Optional[Sequence[str]] = None,
         without_scalers: Optional[Sequence[str]] = None,
+        mask: Optional[jnp.ndarray] = None,  # [B, G, V] imputer loss mask
     ) -> jnp.ndarray:
         scalers = self.scalers
         if scaler_subset is not None:
@@ -120,6 +121,16 @@ class BaseLoss:
 
         weighted = scalers.scale(err)
         weight = scalers.combined_weight(err.shape) * valid.astype(err.dtype)
+        if mask is not None:
+            # imputer-coupled loss mask (ref imputer.py:219-227
+            # loss_mask_training): zero weight where an imputed input that is
+            # also an output variable was NaN.  mask: [B, G, V] broadcast
+            # over time/ensemble.
+            m = mask.reshape(
+                mask.shape[0], *([1] * (err.ndim - 3)), mask.shape[-2], mask.shape[-1]
+            ).astype(err.dtype)
+            weighted = weighted * m
+            weight = weight * m
 
         if squash:
             return jnp.sum(weighted) / jnp.maximum(jnp.sum(weight), 1e-12)

@@ -164,15 +164,18 @@ def make_step_fns(
         for ds, idx in indices.items()
     }
 
-    def _group_metrics(metrics_out, y_pred, batch, step, t0):
+    def _group_metrics(metrics_out, y_pred, batch, step, t0, pre_aux=None):
         """Denormalised per-variable-group RMSE for one rollout step."""
         for ds in dataset_names:
-            y_phys = pre[ds].inverse_transform(y_pred[ds].astype(jnp.float32))
+            y_phys = pre[ds].inverse_transform(
+                y_pred[ds].astype(jnp.float32),
+                aux=None if pre_aux is None else pre_aux[ds],
+            )
             truth = batch[ds][
                 :, t0 : t0 + n_out, ..., jnp.asarray(ia[ds]["model_out_in_data"])
             ]
             sq = (y_phys - truth) ** 2
-            valid = ~jnp.isnan(truth)
+            valid = ~jnp.isnan(truth) & ~jnp.isnan(y_phys)
             sq = jnp.where(valid, sq, 0.0)
             denom = jnp.maximum(valid.sum(axis=(0, 1, 2, 3)), 1)
             per_var_mse = sq.sum(axis=(0, 1, 2, 3)) / denom  # [V]
@@ -182,6 +185,12 @@ def make_step_fns(
 
     def rollout_loss(params, batch, graph_inputs, rng, with_metrics=False):
         params = _cast_params(params)
+        # imputer NaN bookkeeping from the RAW batch (functional equivalent
+        # of the reference's cached nan_locations/loss_mask_training,
+        # imputer.py:189-241): the loss zeroes weights where an imputed
+        # input-and-output variable was NaN
+        pre_aux = {ds: pre[ds].compute_aux(batch[ds]) for ds in dataset_names}
+        loss_masks = {ds: pre[ds].loss_mask(pre_aux[ds]) for ds in dataset_names}
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
         if task == "temporal_downscaler":
             # inputs = window endpoints (positions 0 and n_out+1)
@@ -247,9 +256,12 @@ def make_step_fns(
                     :, t0 : t0 + n_out, ..., jnp.asarray(ia[ds]["model_out_in_data"])
                 ]
                 # loss in fp32 regardless of compute precision
-                total = total + losses[ds](y_pred[ds].astype(jnp.float32), target)
+                total = total + losses[ds](
+                    y_pred[ds].astype(jnp.float32), target,
+                    mask=loss_masks[ds],
+                )
             if with_metrics:
-                _group_metrics(metrics_out, y_pred, batch, step, t0)
+                _group_metrics(metrics_out, y_pred, batch, step, t0, pre_aux)
             if step + 1 < rollout:
                 x = {
                     ds: advance_input(
