@@ -174,8 +174,9 @@ class SpectralOrnsteinConnection(nn.Module):
 
     prog_idx: Tuple[int, ...]  # model-input indices of prognostic variables
     num_vars: int  # model-input width
-    gaussian_n: int  # F<n> grid; grid size must equal 8n^2
-    lmax: int = 0  # 0 -> 2n-1
+    gaussian_n: int  # grid n: F<n> (full), O<n> (octahedral), N<n> (reduced)
+    grid_kind: str = "full"  # full | octahedral | reduced (ReducedSHT)
+    lmax: int = 0  # 0 -> grid default
     theta_init: float = 0.0  # initial logit shared by all degrees
     theta_buff: float = 0.0
     theta_train: bool = True
@@ -184,14 +185,21 @@ class SpectralOrnsteinConnection(nn.Module):
     def __call__(self, x: jnp.ndarray, n_step_output: int = 1) -> jnp.ndarray:
         import jax
 
-        from anemoi_tpu.ops.spectral import GaussianSHT
+        from anemoi_tpu.ops.spectral import GaussianSHT, ReducedSHT
 
-        sht = GaussianSHT.create(self.gaussian_n, self.lmax if self.lmax else None)
+        if self.grid_kind == "full":
+            sht = GaussianSHT.create(self.gaussian_n, self.lmax if self.lmax else None)
+            n_expected = sht.nlat * sht.nlon
+        else:
+            sht = ReducedSHT.create(
+                self.gaussian_n, self.lmax if self.lmax else None, kind=self.grid_kind
+            )
+            n_expected = sht.n_points
         x_last = x[:, -1]  # [batch, ens, grid, vars]
         n_grid = x_last.shape[-2]
-        assert n_grid == sht.nlat * sht.nlon, (
-            f"SpectralOrnsteinConnection needs a full Gaussian F{self.gaussian_n} "
-            f"grid ({sht.nlat * sht.nlon} points), got {n_grid}"
+        assert n_grid == n_expected, (
+            f"SpectralOrnsteinConnection: {self.grid_kind} grid n={self.gaussian_n} "
+            f"has {n_expected} points, got {n_grid}"
         )
         n_prog = len(self.prog_idx)
 
@@ -205,10 +213,9 @@ class SpectralOrnsteinConnection(nn.Module):
         gain = 1.0 - jax.nn.sigmoid(theta) * (1.0 - self.theta_buff) - self.theta_buff
 
         prog = jnp.take(x_last, jnp.asarray(self.prog_idx), axis=-1)
-        # [batch, ens, grid, prog] -> [batch, ens, prog, nlat, nlon]
-        field = jnp.moveaxis(prog, -1, -2).reshape(
-            prog.shape[:-2] + (n_prog, sht.nlat, sht.nlon)
-        )
+        field = jnp.moveaxis(prog, -1, -2)  # [batch, ens, prog, grid]
+        if self.grid_kind == "full":
+            field = field.reshape(field.shape[:-1] + (sht.nlat, sht.nlon))
         coeffs = sht.analysis(field.astype(jnp.float32))
         coeffs = coeffs * gain[:, None]  # per-degree l, broadcast over m
         damped = sht.synthesis(coeffs)
@@ -263,6 +270,7 @@ def build_residual(config: Optional[dict], graph=None, dataset: str = "data", **
             prog_idx=tuple(int(i) for i in mi.prognostic),
             num_vars=len(mi.full),
             gaussian_n=int(cfg["gaussian_n"]),
+            grid_kind=str(cfg.get("grid_kind", "full")),
             lmax=int(cfg.get("lmax", 0)),
             theta_init=float(cfg.get("theta_init", 0.0)),
             theta_buff=float(cfg.get("theta_buff", 0.0)),

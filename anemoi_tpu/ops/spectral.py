@@ -92,6 +92,142 @@ class GaussianSHT:
         return jnp.sum(p, axis=-1)
 
 
+@dataclass(frozen=True)
+class ReducedSHT:
+    """Spherical-harmonic transform on REDUCED Gaussian grids (octahedral
+    O<n> and FFT-friendly N-style grids) -- the grids anemoi models actually
+    run on.  Equivalent of the reference's ReducedSHT / OctahedralSHT
+    (/root/reference/models/src/anemoi/models/layers/spectral_transforms.py:264,328).
+
+    TPU-native formulation: the per-ring variable-length rFFT (awkward under
+    XLA's static shapes) becomes one batched ring-DFT MATMUL over a padded
+    [nlat, Nmax] layout -- cos/sin design tensors are precomputed per ring on
+    the host, masked beyond each ring's true length, and the whole transform
+    is three einsums that ride the MXU:
+
+        field [..., n_points] --gather--> [..., nlat, Nmax]
+        fm    = field_pad x {cos, sin}[j, n, m]      (ring DFT)
+        a_lm  = fm x (w_j * Pbar_lm(x_j))            (Legendre quadrature)
+
+    and the transpose chain for synthesis.  As with the full-grid transform,
+    quadrature is exact for l <= lmax only when every ring resolves m (short
+    polar rings alias the highest m, exactly like the reference's
+    implementation on the same grids).
+    """
+
+    lmax: int
+    nlat: int
+    n_points: int
+    ring_lengths: np.ndarray  # [nlat]
+    gather_idx: np.ndarray  # [nlat, Nmax] flat point per pad slot (pad=n)
+    flat_idx: np.ndarray  # [n_points] pad slot per flat point
+    cos_a: np.ndarray  # [nlat, Nmax, M] analysis cos, weighted 2pi/Nj
+    sin_a: np.ndarray  # [nlat, Nmax, M]
+    cos_s: np.ndarray  # [nlat, M, Nmax] synthesis cos with m-factor
+    sin_s: np.ndarray  # [nlat, M, Nmax]
+    wplm: np.ndarray  # [L, M, nlat] quadrature-weighted legendre
+    plm: np.ndarray  # [L, M, nlat]
+
+    @classmethod
+    @lru_cache(maxsize=8)
+    def create(cls, n: int, lmax: int | None = None, kind: str = "octahedral") -> "ReducedSHT":
+        from anemoi_tpu.graphs.generate.gaussian import (
+            octahedral_ring_lengths,
+            reduced_ring_lengths,
+        )
+
+        nodes, weights = np.polynomial.legendre.leggauss(2 * n)
+        order = np.argsort(-nodes)  # north -> south, matching grid generation
+        nodes, weights = nodes[order], weights[order]
+        rings = (
+            octahedral_ring_lengths(n) if kind == "octahedral" else reduced_ring_lengths(n)
+        ).astype(np.int64)
+        nlat = 2 * n
+        lmax = lmax if lmax is not None else n - 1
+        m_dim = lmax + 1
+        n_points = int(rings.sum())
+        nmax = int(rings.max())
+
+        gather_idx = np.full((nlat, nmax), n_points, dtype=np.int32)
+        flat_idx = np.empty(n_points, dtype=np.int32)
+        cos_a = np.zeros((nlat, nmax, m_dim), dtype=np.float32)
+        sin_a = np.zeros((nlat, nmax, m_dim), dtype=np.float32)
+        cos_s = np.zeros((nlat, m_dim, nmax), dtype=np.float32)
+        sin_s = np.zeros((nlat, m_dim, nmax), dtype=np.float32)
+        m = np.arange(m_dim)
+        factor = np.where(m == 0, 1.0, 2.0)
+        off = 0
+        for j, nj in enumerate(rings):
+            nj = int(nj)
+            ids = np.arange(off, off + nj, dtype=np.int32)
+            gather_idx[j, :nj] = ids
+            flat_idx[off : off + nj] = j * nmax + np.arange(nj)
+            lam = 2.0 * np.pi * np.arange(nj) / nj  # lon_0 = 0 per ring
+            phase = m[None, :] * lam[:, None]  # [nj, M]
+            cos_a[j, :nj] = np.cos(phase) * (2.0 * np.pi / nj)
+            sin_a[j, :nj] = -np.sin(phase) * (2.0 * np.pi / nj)
+            # synthesis: f = sum_m factor_m (Re fm cos - Im fm sin); modes the
+            # ring cannot represent (m >= ceil(nj/2)) are dropped to avoid
+            # aliasing energy back onto the short polar rings
+            m_ok = (m <= (nj - 1) // 2).astype(np.float32)
+            cos_s[j, :, :nj] = (factor * m_ok)[:, None] * np.cos(phase).T
+            sin_s[j, :, :nj] = (factor * m_ok)[:, None] * np.sin(phase).T
+            off += nj
+
+        plm = associated_legendre(lmax, nodes).astype(np.float32)
+        wplm = (plm * weights[None, None, :]).astype(np.float32)
+        return cls(
+            lmax=lmax, nlat=nlat, n_points=n_points, ring_lengths=rings,
+            gather_idx=gather_idx, flat_idx=flat_idx,
+            cos_a=cos_a, sin_a=sin_a, cos_s=cos_s, sin_s=sin_s,
+            wplm=wplm, plm=plm,
+        )
+
+    # -- layout helpers -------------------------------------------------
+    def to_rings(self, field: jnp.ndarray) -> jnp.ndarray:
+        """[..., n_points] -> padded [..., nlat, Nmax] (pad slots zero)."""
+        pad = jnp.concatenate(
+            [field, jnp.zeros(field.shape[:-1] + (1,), field.dtype)], axis=-1
+        )
+        idx = jnp.asarray(self.gather_idx)
+        return jnp.take(pad, idx.reshape(-1), axis=-1).reshape(
+            field.shape[:-1] + idx.shape
+        )
+
+    def from_rings(self, ringed: jnp.ndarray) -> jnp.ndarray:
+        """Padded [..., nlat, Nmax] -> flat [..., n_points]."""
+        flat = ringed.reshape(ringed.shape[:-2] + (-1,))
+        return jnp.take(flat, jnp.asarray(self.flat_idx), axis=-1)
+
+    # -- transforms ------------------------------------------------------
+    def analysis(self, field: jnp.ndarray) -> jnp.ndarray:
+        """[..., n_points] -> complex coefficients [..., L, M] (m <= l)."""
+        ringed = self.to_rings(field)  # [..., nlat, Nmax]
+        fm_re = jnp.einsum("...jn,jnm->...jm", ringed, jnp.asarray(self.cos_a))
+        fm_im = jnp.einsum("...jn,jnm->...jm", ringed, jnp.asarray(self.sin_a))
+        wplm = jnp.asarray(self.wplm)
+        re = jnp.einsum("...jm,lmj->...lm", fm_re, wplm)
+        im = jnp.einsum("...jm,lmj->...lm", fm_im, wplm)
+        return re + 1j * im
+
+    def synthesis(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """coefficients [..., L, M] -> field [..., n_points]."""
+        plm = jnp.asarray(self.plm)
+        fm_re = jnp.einsum("...lm,lmj->...jm", jnp.real(coeffs), plm)
+        fm_im = jnp.einsum("...lm,lmj->...jm", jnp.imag(coeffs), plm)
+        ringed = jnp.einsum("...jm,jmn->...jn", fm_re, jnp.asarray(self.cos_s)) - (
+            jnp.einsum("...jm,jmn->...jn", fm_im, jnp.asarray(self.sin_s))
+        )
+        return self.from_rings(ringed)
+
+    def power_spectrum(self, field: jnp.ndarray) -> jnp.ndarray:
+        """Per-degree power sum_m |a_lm|^2 (m>0 doubled): [..., lmax+1]."""
+        c = self.analysis(field)
+        p = jnp.abs(c) ** 2
+        p = p.at[..., :, 1:].multiply(2.0)
+        return jnp.sum(p, axis=-1)
+
+
 def fft2(field: jnp.ndarray) -> jnp.ndarray:
     """2-D FFT over the trailing two dims (ref FFT2D :51)."""
     return jnp.fft.fft2(field, axes=(-2, -1))

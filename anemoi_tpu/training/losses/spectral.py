@@ -52,15 +52,26 @@ class ZonalSpectralLoss(BaseLoss):
 
 @loss_registry.register("SphericalSpectralLoss")
 class SphericalSpectralLoss(BaseLoss):
-    """MSE between per-degree spherical-harmonic power spectra (F<n> grids)."""
+    """MSE between per-degree spherical-harmonic power spectra.
+
+    ``grid_kind``: "full" (F<n>, default) | "octahedral" (O<n>) |
+    "reduced" (N-style) -- the reduced variants run on the grids the models
+    actually use (ref spectral_transforms.py:264,328 ReducedSHT/OctahedralSHT)."""
 
     supports_sharding = False
 
     def __init__(self, scalers=None, ignore_nans: bool = True, gaussian_n: int = 0,
-                 lmax: Optional[int] = None, log_space: bool = True, eps: float = 1e-12):
+                 lmax: Optional[int] = None, log_space: bool = True, eps: float = 1e-12,
+                 grid_kind: str = "full"):
         super().__init__(scalers, ignore_nans)
         assert gaussian_n > 0, "SphericalSpectralLoss needs the Gaussian grid n"
-        self.sht = GaussianSHT.create(gaussian_n, lmax)
+        self.grid_kind = grid_kind
+        if grid_kind == "full":
+            self.sht = GaussianSHT.create(gaussian_n, lmax)
+        else:
+            from anemoi_tpu.ops.spectral import ReducedSHT
+
+            self.sht = ReducedSHT.create(gaussian_n, lmax, kind=grid_kind)
         self.log_space = log_space
         self.eps = eps
 
@@ -68,7 +79,8 @@ class SphericalSpectralLoss(BaseLoss):
         def spectra(x):
             x = jnp.nan_to_num(x)
             f = jnp.moveaxis(x, -1, -2)  # [..., V, G]
-            f = f.reshape(f.shape[:-1] + (self.sht.nlat, self.sht.nlon))
+            if self.grid_kind == "full":
+                f = f.reshape(f.shape[:-1] + (self.sht.nlat, self.sht.nlon))
             return self.sht.power_spectrum(f)
 
         p_spec, t_spec = spectra(pred), spectra(target)
