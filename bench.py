@@ -143,6 +143,28 @@ def main() -> None:
             "loss": float(metrics["loss"]),
         },
     }
+
+    # benchmark-regression discipline (ref diagnostics/benchmark_server.py:194):
+    # push this run into the commit-keyed store and compare against the most
+    # recent ancestor commit that also has a stored result
+    try:
+        from anemoi_tpu.training.benchmark_store import BenchmarkStore
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        store = BenchmarkStore(os.path.join(repo, ".bench_store"), repo=repo)
+        base_commit = store.find_latest_shared_commit()
+        metrics_flat = {
+            "grid_points_per_s": gps,
+            "step_time_ms": step_time * 1000,
+            "compile_s": compile_s,
+            "loss": float(metrics["loss"]),
+        }
+        cmp = store.compare(metrics_flat) if base_commit else None
+        commit = store.push(metrics_flat)
+        result["store"] = {"commit": commit, "compare": cmp}
+    except Exception as e:  # never fail the bench on store trouble
+        result["store"] = {"error": str(e)}
+
     print(json.dumps(result))
 
 

@@ -309,3 +309,63 @@ def test_multi_dataset_model(rng):
     assert out["lam"].shape == (1, 1, 1, graph["lam"].num_nodes, 2)
     assert np.isfinite(np.asarray(out["era"])).all()
     assert np.isfinite(np.asarray(out["lam"])).all()
+
+
+def test_bf16_fp32_training_agreement(tiny_graph, rng):
+    """Mixed-precision characterisation (bf16 compute copies of fp32
+    masters): short training trajectories track the fp32 run -- losses
+    within bf16 tolerance at every step, finite grads, same descent."""
+    from tests.test_models import make_indices, make_statistics
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from anemoi_tpu.training.losses import get_loss_function
+    from anemoi_tpu.training.optimizers import build_optimizer
+    from anemoi_tpu.training.step import TrainState, make_step_fns
+
+    cfg = {
+        "model": {
+            "name": "AnemoiModelEncProcDec",
+            "num_channels": 16,
+            "n_step_input": 2,
+            "n_step_output": 1,
+            "encoder": {"name": "GraphTransformerForwardMapper", "num_heads": 4,
+                        "mlp_hidden_ratio": 2.0},
+            "processor": {"name": "GraphTransformerProcessor", "num_layers": 2,
+                          "num_heads": 4, "mlp_hidden_ratio": 2.0,
+                          "gradient_checkpointing": False},
+            "decoder": {"name": "GraphTransformerBackwardMapper", "num_heads": 4,
+                        "mlp_hidden_ratio": 2.0},
+        },
+        "data": {"processors": [{"name": "InputNormalizer", "default": "mean-std"}]},
+    }
+    iface = AnemoiModelInterface(
+        config=cfg, graph=tiny_graph,
+        data_indices={"data": make_indices()},
+        statistics={"data": make_statistics()},
+    )
+    params = iface.init_params(jax.random.PRNGKey(0))
+    losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": []}, {})}
+    n_grid = tiny_graph["data"].num_nodes
+    batch = {"data": jnp.asarray(rng.normal(size=(2, 3, 1, n_grid, 6)), jnp.float32)}
+
+    def run(precision):
+        tx = build_optimizer({"lr": {"rate": 2e-3, "warmup": 1, "iterations": 100}})
+        state = TrainState.create(params, tx)
+        step, _ = make_step_fns(
+            iface, losses, rollout=1, remat_rollout=False, precision=precision
+        )
+        out = []
+        for _ in range(6):
+            state, m = step(state, batch)
+            out.append((float(m["loss"]), float(m["grad_norm"])))
+        return out
+
+    fp32 = run("fp32")
+    bf16 = run("bf16")
+    for (l32, g32), (l16, g16) in zip(fp32, bf16):
+        assert np.isfinite(l16) and np.isfinite(g16)
+        # bf16 has ~3 decimal digits; trajectories must track within ~2%
+        assert abs(l16 - l32) / max(abs(l32), 1e-6) < 2e-2, (l16, l32)
+        assert abs(g16 - g32) / max(abs(g32), 1e-6) < 0.15, (g16, g32)
+    # both descend
+    assert fp32[-1][0] < fp32[0][0]
+    assert bf16[-1][0] < bf16[0][0]
