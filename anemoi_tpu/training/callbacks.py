@@ -157,3 +157,251 @@ def build_callbacks(configs) -> list:
     for cfg in configs or []:
         out.append(callback_registry.build_from_config(dict(cfg)))
     return out
+
+
+# ----------------------------------------------------------------------
+# plotting callbacks (ref diagnostics/callbacks/plot.py:372-1084)
+# ----------------------------------------------------------------------
+class BasePlotCallback(Callback):
+    """Shared machinery: plots/ directory, async executor, cadence."""
+
+    def __init__(self, every_n_validations: int = 1, async_plots: bool = True):
+        from anemoi_tpu.training.plots import AsyncPlotExecutor, SyncPlotExecutor
+
+        self.every = max(1, every_n_validations)
+        self._n = 0
+        self.executor = AsyncPlotExecutor() if async_plots else SyncPlotExecutor()
+
+    def _due(self) -> bool:
+        self._n += 1
+        return self._n % self.every == 0
+
+    def _plot_dir(self, trainer) -> str:
+        import os
+
+        return os.path.join(trainer.output_dir, "plots")
+
+    def _sample(self, trainer):
+        """One validation batch: (lats, lons, pred_phys, truth_phys, names).
+
+        pred/truth are [G, V_out] physical-space fields of the first sample's
+        first output step."""
+        batch_np = next(iter(trainer.datamodule.val_batches()))
+        batch = {ds: jax.device_put(v) for ds, v in batch_np.items()}
+        out = trainer.interface.predict_step(trainer.state.params, batch)
+        ds = sorted(batch)[0]
+        idx = trainer.data_indices[ds]
+        m = trainer.interface.model.n_step_input
+        cols = np.asarray([idx.name_to_index[n]
+                           for n in idx.model.output.ordered_names])
+        truth = np.asarray(batch_np[ds][0, m, 0])[:, cols]  # [G, V_out]
+        pred = np.asarray(out[ds])[0, 0, 0]  # [G, V_out]
+        coords = trainer.graph[ds].coords
+        names = idx.model.output.ordered_names
+        return coords[:, 0], coords[:, 1], pred, truth, names
+
+
+@callback_registry.register("PlotSample")
+class PlotSample(BasePlotCallback):
+    """Truth / prediction / error maps for selected variables each
+    validation (ref BatchOutputPlot, plot.py:917)."""
+
+    def __init__(self, variables: Optional[list] = None, max_vars: int = 4,
+                 every_n_validations: int = 1, async_plots: bool = True):
+        super().__init__(every_n_validations, async_plots)
+        self.variables = variables
+        self.max_vars = max_vars
+
+    def on_validation(self, trainer, step, val_metrics):
+        if not self._due():
+            return
+        import os
+
+        from anemoi_tpu.training.plots import plot_sample_maps, save_figure
+
+        lats, lons, pred, truth, names = self._sample(trainer)
+        sel = [names.index(v) for v in self.variables] if self.variables else (
+            list(range(min(self.max_vars, len(names))))
+        )
+        path = os.path.join(self._plot_dir(trainer), f"sample_step{step:07d}.png")
+        self.executor.schedule(
+            lambda: save_figure(
+                plot_sample_maps(lats, lons, pred[:, sel], truth[:, sel],
+                                 [names[i] for i in sel]),
+                path,
+            )
+        )
+
+
+@callback_registry.register("PlotSpectrum")
+class PlotSpectrum(BasePlotCallback):
+    """Per-degree spherical-harmonic power spectra of prediction vs truth
+    (ref SpectrumPlot).  ``gaussian_n``/``grid_kind`` select the SHT; for
+    non-ring grids the callback is a no-op with a warning."""
+
+    def __init__(self, gaussian_n: int = 0, grid_kind: str = "octahedral",
+                 variables: Optional[list] = None, max_vars: int = 3,
+                 every_n_validations: int = 1, async_plots: bool = True):
+        super().__init__(every_n_validations, async_plots)
+        self.gaussian_n = gaussian_n
+        self.grid_kind = grid_kind
+        self.variables = variables
+        self.max_vars = max_vars
+
+    def on_validation(self, trainer, step, val_metrics):
+        if not self._due():
+            return
+        import os
+
+        import jax.numpy as jnp
+
+        from anemoi_tpu.ops.spectral import GaussianSHT, ReducedSHT
+        from anemoi_tpu.training.plots import plot_power_spectra, save_figure
+
+        lats, lons, pred, truth, names = self._sample(trainer)
+        if self.grid_kind == "full":
+            sht = GaussianSHT.create(self.gaussian_n)
+            n_exp = sht.nlat * sht.nlon
+        else:
+            sht = ReducedSHT.create(self.gaussian_n, kind=self.grid_kind)
+            n_exp = sht.n_points
+        if pred.shape[0] != n_exp:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "PlotSpectrum: grid size %d != %s n=%d (%d points); skipping",
+                pred.shape[0], self.grid_kind, self.gaussian_n, n_exp,
+            )
+            return
+        sel = [names.index(v) for v in self.variables] if self.variables else (
+            list(range(min(self.max_vars, len(names))))
+        )
+        spectra = {}
+        for i in sel:
+            f_p = jnp.nan_to_num(jnp.asarray(pred[:, i]))
+            f_t = jnp.nan_to_num(jnp.asarray(truth[:, i]))
+            if self.grid_kind == "full":
+                f_p = f_p.reshape(sht.nlat, sht.nlon)
+                f_t = f_t.reshape(sht.nlat, sht.nlon)
+            spectra[f"{names[i]} pred"] = np.asarray(sht.power_spectrum(f_p))
+            spectra[f"{names[i]} truth"] = np.asarray(sht.power_spectrum(f_t))
+        path = os.path.join(self._plot_dir(trainer), f"spectrum_step{step:07d}.png")
+        self.executor.schedule(
+            lambda: save_figure(plot_power_spectra(spectra), path)
+        )
+
+
+@callback_registry.register("PlotHistogram")
+class PlotHistogram(BasePlotCallback):
+    """Predicted-vs-truth value histograms (ref HistogramPlot)."""
+
+    def __init__(self, variables: Optional[list] = None, max_vars: int = 4,
+                 every_n_validations: int = 1, async_plots: bool = True):
+        super().__init__(every_n_validations, async_plots)
+        self.variables = variables
+        self.max_vars = max_vars
+
+    def on_validation(self, trainer, step, val_metrics):
+        if not self._due():
+            return
+        import os
+
+        from anemoi_tpu.training.plots import plot_histograms, save_figure
+
+        lats, lons, pred, truth, names = self._sample(trainer)
+        sel = [names.index(v) for v in self.variables] if self.variables else (
+            list(range(min(self.max_vars, len(names))))
+        )
+        path = os.path.join(self._plot_dir(trainer), f"histogram_step{step:07d}.png")
+        self.executor.schedule(
+            lambda: save_figure(
+                plot_histograms(pred[:, sel], truth[:, sel],
+                                [names[i] for i in sel]),
+                path,
+            )
+        )
+
+
+@callback_registry.register("GraphTrainableFeaturesPlot")
+class GraphTrainableFeaturesPlot(BasePlotCallback):
+    """Norm of the trainable node embeddings on the map (ref
+    GraphFeaturePlot, plot.py:523)."""
+
+    def __init__(self, every_n_validations: int = 1, async_plots: bool = True):
+        super().__init__(every_n_validations, async_plots)
+
+    def on_validation(self, trainer, step, val_metrics):
+        if not self._due():
+            return
+        import os
+
+        import flax
+
+        from anemoi_tpu.training.plots import _plt, plot_field_map, save_figure
+
+        flat = flax.traverse_util.flatten_dict(trainer.state.params["params"])
+        feats = {
+            path[-2]: np.asarray(v)
+            for path, v in flat.items()
+            if "node_attributes" in str(path[-2]) and path[-1] == "trainable"
+        }
+        if not feats:
+            return
+
+        def render():
+            plt = _plt()
+            fig, axes = plt.subplots(len(feats), 1, figsize=(6, 3 * len(feats)),
+                                     squeeze=False)
+            for ax, (name, emb) in zip(axes[:, 0], sorted(feats.items())):
+                node_set = name.replace("node_attributes_", "")
+                coords = trainer.graph[node_set].coords
+                plot_field_map(
+                    coords[:, 0], coords[:, 1], np.linalg.norm(emb, axis=-1),
+                    f"|trainable| {node_set}", ax=ax,
+                )
+            fig.tight_layout()
+            save_figure(
+                fig,
+                os.path.join(self._plot_dir(trainer), f"node_features_step{step:07d}.png"),
+            )
+
+        self.executor.schedule(render)
+
+
+@callback_registry.register("LossCurvePlot")
+class LossCurvePlot(BasePlotCallback):
+    """Loss-vs-step curve rendered from metrics.jsonl (ref LossCurvePlot,
+    plot.py:604)."""
+
+    def __init__(self, every_n_validations: int = 1, async_plots: bool = True):
+        super().__init__(every_n_validations, async_plots)
+
+    def on_validation(self, trainer, step, val_metrics):
+        if not self._due():
+            return
+        import json
+        import os
+
+        from anemoi_tpu.training.plots import plot_loss_curve, save_figure
+
+        path = os.path.join(trainer.output_dir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return
+        steps, losses, vsteps, vlosses = [], [], [], []
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "loss" in rec and "step" in rec:
+                    steps.append(rec["step"])
+                    losses.append(rec["loss"])
+                if "val_loss" in rec and "step" in rec:
+                    vsteps.append(rec["step"])
+                    vlosses.append(rec["val_loss"])
+        if not steps:
+            return
+        out = os.path.join(self._plot_dir(trainer), f"loss_curve_step{step:07d}.png")
+        self.executor.schedule(
+            lambda: save_figure(
+                plot_loss_curve(steps, losses, vsteps, vlosses), out
+            )
+        )
