@@ -166,6 +166,7 @@ class MultiHeadSelfAttention(nn.Module):
     dropout_p: float = 0.0
     shard_strategy: str = "none"  # "heads" = Ulysses sequence parallelism
     valid_len: Optional[int] = None  # true node count before mesh padding
+    attention_impl: str = "xla"  # "pallas" = fused flash banded kernel
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -196,6 +197,15 @@ class MultiHeadSelfAttention(nn.Module):
             from anemoi_tpu.parallel.heads import ulysses_mhsa
 
             out = ulysses_mhsa(
+                q, k, v, self.window_size, self.softcap, slopes,
+                valid_len=self.valid_len,
+            )
+        elif self.attention_impl == "pallas" and self.window_size is not None:
+            from anemoi_tpu.ops.pallas.window_attention import (
+                window_attention_pallas,
+            )
+
+            out = window_attention_pallas(
                 q, k, v, self.window_size, self.softcap, slopes,
                 valid_len=self.valid_len,
             )

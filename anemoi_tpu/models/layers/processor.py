@@ -230,6 +230,7 @@ class TransformerProcessorBlock(nn.Module):
     use_rotary_embeddings: bool = False
     mlp_implementation: str = "mlp"
     conditional: bool = False
+    attention_impl: str = "xla"  # "pallas" = fused flash banded kernel
     shard_strategy: str = "none"
     valid_len: Optional[int] = None
 
@@ -251,6 +252,7 @@ class TransformerProcessorBlock(nn.Module):
             use_rotary_embeddings=self.use_rotary_embeddings,
             shard_strategy=self.shard_strategy,
             valid_len=self.valid_len,
+            attention_impl=self.attention_impl,
             name="attention",
         )(normed)
         normed = _norm(self.conditional, "layer_norm_mlp")(x, **cond_kw)
@@ -294,6 +296,7 @@ class TransformerProcessor(nn.Module):
     conditional: bool = False
     gradient_checkpointing: bool = True
     scan_layers: bool = True
+    attention_impl: str = "xla"  # "pallas" = fused flash banded kernel
     shard_strategy: str = "none"  # "heads": Ulysses over the 'model' axis
 
     @nn.compact
@@ -320,6 +323,7 @@ class TransformerProcessor(nn.Module):
             use_rotary_embeddings=self.use_rotary_embeddings,
             mlp_implementation=self.mlp_implementation,
             conditional=self.conditional,
+            attention_impl=self.attention_impl,
             shard_strategy=self.shard_strategy,
             valid_len=n_orig if self.shard_strategy == "heads" else None,
         )

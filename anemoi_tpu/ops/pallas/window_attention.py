@@ -44,6 +44,7 @@ def _flash_band_kernel(
     k_ref,  # [1, w, D]   (kv block j of {i-1, i, i+1})
     v_ref,  # [1, w, D]
     out_ref,  # [1, w, D]
+    lse_ref,  # [1, w]  log-sum-exp per query row
     acc_ref,  # VMEM [w, D] fp32
     m_ref,  # VMEM [w, 1] fp32 running max
     l_ref,  # VMEM [w, 1] fp32 running denom
@@ -110,6 +111,10 @@ def _flash_band_kernel(
     def _finalize():
         denom = jnp.maximum(l_ref[:], 1e-16)
         out_ref[0] = (acc_ref[:] / denom).astype(out_ref.dtype)
+        # log-sum-exp per query row, for the flash backward.  Shaped
+        # [bh, nb, w] with ONE [nb, w] block per bh (Mosaic requires the last
+        # two block dims divisible by (8, 128) or equal to the array dims)
+        lse_ref[0, i, :] = (m_ref[:] + jnp.log(denom))[:, 0]
 
 
 def _flash_window_forward(
@@ -142,14 +147,20 @@ def _flash_window_forward(
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nb, w), jnp.float32),
+        ),
         grid=(bh, nb, 3),
         in_specs=[
             pl.BlockSpec((1, w, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, w, d), kv_index),
             pl.BlockSpec((1, w, d), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, w, d), lambda b, i, j: (b, i, 0)),
+        out_specs=(
+            pl.BlockSpec((1, w, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, nb, w), lambda b, i, j: (b, 0, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((w, d), jnp.float32),
             pltpu.VMEM((w, 1), jnp.float32),
@@ -159,13 +170,193 @@ def _flash_window_forward(
     )(q, k, v)
 
 
+def _band_bias_mask(i_block, j_block, w, valid_len, num_heads, alibi_slopes, bh):
+    """(bias, mask) for logits of q block ``i_block`` vs kv block ``j_block``."""
+    qpos = i_block * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    kpos = j_block * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    mask = jnp.logical_and(jnp.abs(qpos - kpos) <= w, kpos < valid_len)
+    bias = jnp.float32(0.0)
+    if alibi_slopes is not None:
+        h_id = jax.lax.rem(bh, num_heads)
+        slope = jnp.float32(0.0)
+        for idx, s_val in enumerate(alibi_slopes):
+            slope = jnp.where(h_id == idx, jnp.float32(s_val), slope)
+        bias = -slope * jnp.abs(qpos - kpos).astype(jnp.float32)
+    return bias, mask
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+    *, w, scale, valid_len, num_heads, alibi_slopes,
+):
+    """dq for query block i, accumulated over its three kv blocks."""
+    bh = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    kb = i + j - 1
+    in_range = jnp.logical_and(kb >= 0, kb < pl.num_programs(1))
+
+    @pl.when(in_range)
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, i, :][:, None]  # [w, 1]
+        delta = delta_ref[0, i, :][:, None]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        bias, mask = _band_bias_mask(i, kb, w, valid_len, num_heads, alibi_slopes, bh)
+        logits = logits + bias
+        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dq_acc[:] += scale * jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == 2)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, w, scale, valid_len, num_heads, alibi_slopes,
+):
+    """dk/dv for kv block jb, accumulated over incoming q blocks
+    {jb-1, jb, jb+1} (the band is symmetric)."""
+    bh = pl.program_id(0)
+    jb = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    ib = jb + t - 1
+    in_range = jnp.logical_and(ib >= 0, ib < pl.num_programs(1))
+
+    @pl.when(in_range)
+    def _step():
+        k = k_ref[0]
+        v = v_ref[0]
+        q = q_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        pos = jnp.clip(ib, 0, pl.num_programs(1) - 1)
+        lse = lse_ref[0, pos, :][:, None]
+        delta = delta_ref[0, pos, :][:, None]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        bias, mask = _band_bias_mask(ib, jb, w, valid_len, num_heads, alibi_slopes, bh)
+        logits = logits + bias
+        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)  # [wq, wk]
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dk_acc[:] += scale * jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == 2)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_window_backward(
+    q, k, v, out, lse, g, w, valid_len, num_heads, alibi_slopes, interpret
+):
+    bh, n, d = q.shape
+    nb = n // w
+    scale = 1.0 / float(np.sqrt(d))
+    # delta = rowsum(dO * O): cheap elementwise on the XLA side
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).reshape(bh, nb, w)
+
+    common = dict(w=w, scale=scale, valid_len=valid_len, num_heads=num_heads,
+                  alibi_slopes=alibi_slopes)
+
+    def q_index(b, i, j):
+        return (b, i, 0)
+
+    def kv_index(b, i, j):
+        return (b, jnp.clip(i + j - 1, 0, nb - 1), 0)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        grid=(bh, nb, 3),
+        in_specs=[
+            pl.BlockSpec((1, w, d), q_index),
+            pl.BlockSpec((1, w, d), kv_index),
+            pl.BlockSpec((1, w, d), kv_index),
+            pl.BlockSpec((1, w, d), q_index),
+            pl.BlockSpec((1, nb, w), lambda b, i, j: (b, 0, 0)),
+            pl.BlockSpec((1, nb, w), lambda b, i, j: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, w, d), q_index),
+        scratch_shapes=[pltpu.VMEM((w, d), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), v.dtype),
+        ),
+        grid=(bh, nb, 3),
+        in_specs=[
+            pl.BlockSpec((1, w, d), q_index),  # k block jb
+            pl.BlockSpec((1, w, d), q_index),  # v block jb
+            pl.BlockSpec((1, w, d), kv_index),  # q block jb+t-1
+            pl.BlockSpec((1, w, d), kv_index),  # dO block jb+t-1
+            pl.BlockSpec((1, nb, w), lambda b, i, j: (b, 0, 0)),  # lse
+            pl.BlockSpec((1, nb, w), lambda b, i, j: (b, 0, 0)),  # delta
+        ],
+        out_specs=(
+            pl.BlockSpec((1, w, d), q_index),
+            pl.BlockSpec((1, w, d), q_index),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w, d), jnp.float32),
+            pltpu.VMEM((w, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(k, v, q, g, lse, delta)
+    return dq, dk, dv
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
 def _flash_window(q, k, v, w, softcap, valid_len, num_heads, alibi_slopes, interpret):
-    return _flash_window_forward(
+    out, _ = _flash_window_forward(
         q, k, v, w, softcap, valid_len, num_heads, alibi_slopes, interpret
     )
+    return out
 
 
 def _reference_window(q, k, v, w, softcap, valid_len, num_heads, alibi_slopes):
@@ -184,14 +375,20 @@ def _reference_window(q, k, v, w, softcap, valid_len, num_heads, alibi_slopes):
 
 
 def _fw_fwd(q, k, v, w, softcap, valid_len, num_heads, alibi_slopes, interpret):
-    out = _flash_window(
+    out, lse = _flash_window_forward(
         q, k, v, w, softcap, valid_len, num_heads, alibi_slopes, interpret
     )
-    return out, (q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _fw_bwd(w, softcap, valid_len, num_heads, alibi_slopes, interpret, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
+    if softcap is None:
+        return _flash_window_backward(
+            q, k, v, out, lse, g, w, valid_len, num_heads, alibi_slopes, interpret
+        )
+    # softcap saturates the logits through tanh; differentiate the XLA
+    # reference for that (rare) configuration instead of a third kernel
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _reference_window(
             q_, k_, v_, w, softcap, valid_len, num_heads, alibi_slopes

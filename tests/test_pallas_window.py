@@ -103,3 +103,26 @@ def test_window_attention_pallas_wrapper(rng):
         out = window_attention_pallas(q, k, v, w)
     ref = _window_attention(q, k, v, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_flash_window_gradients_alibi_validlen(rng):
+    """Flash backward with ALiBi bias and trailing pad rows."""
+    w, n, d, h = 16, 64, 32, 2
+    valid = 55
+    slopes = (0.5, 0.125)
+    q = jnp.asarray(rng.normal(size=(h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(h, n, d)), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        out = _flash_window(q, k, v, w, None, valid, h, slopes, True)
+        return jnp.sum(out[:, :valid] ** 2)
+
+    def loss_ref(q, k, v):
+        out = _ref(q, k, v, w, slopes=slopes, valid_len=valid, h=h)
+        return jnp.sum(out[:, :valid] ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
