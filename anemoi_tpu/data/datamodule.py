@@ -22,7 +22,7 @@ def usable_window_starts(
     num_times: int, window: int, missing: set, drop_tail: int = 0
 ) -> np.ndarray:
     """Start indices t such that [t, t+window) contains no missing step
-    (ref data/usable_indices.py:44-124)."""
+    (ref data/usable_indices.py:91-124)."""
     ok = np.ones(num_times, dtype=bool)
     for m in missing:
         if 0 <= m < num_times:
@@ -36,6 +36,37 @@ def usable_window_starts(
         if start >= 0 and start < limit and run >= window:
             starts.append(start)
     return np.asarray(starts, dtype=np.int64)
+
+
+def intersect_anchor_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(sequence, position) rows present in both anchor arrays, sorted
+    (ref data/usable_indices.py:21-41)."""
+    if a.size == 0 or b.size == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    b = np.ascontiguousarray(b, dtype=np.int64)
+    dtype = np.dtype((np.void, a.dtype.itemsize * a.shape[1]))
+    common = np.intersect1d(a.view(dtype), b.view(dtype))
+    return common.view(np.int64).reshape(-1, 2)
+
+
+def compute_valid_anchors(
+    datasets: Dict[str, BaseDataset], window: int
+) -> np.ndarray:
+    """Valid (sequence, position) anchors shared by ALL datasets: an anchor
+    is valid if each dataset can sample the full window [p, p+window) inside
+    sequence s (missing-aware).  The intersection across datasets is the
+    MultiDataset anchor set (ref data/usable_indices.py:44-88)."""
+    rel = np.arange(window, dtype=np.int64)
+    inter: np.ndarray = None
+    for name, ds in datasets.items():
+        anchors = ds.compute_anchors(rel)
+        if len(anchors) == 0:
+            raise ValueError(f"No valid anchors for dataset '{name}'")
+        inter = anchors if inter is None else intersect_anchor_rows(inter, anchors)
+    if inter is None or len(inter) == 0:
+        raise ValueError("No valid anchors after intersection across datasets")
+    return inter
 
 
 class WindowSampler:
@@ -102,17 +133,10 @@ class DataModule:
         self.batch_size = batch_size
         self.window = n_step_input + rollout * n_step_output
 
-        lengths = {len(ds) for ds in datasets.values()}
-        assert len(lengths) == 1, "All datasets must share the time axis"
-        num_times = lengths.pop()
-
-        missing: set = set()
-        for ds in datasets.values():
-            missing |= ds.missing
-        starts = usable_window_starts(num_times, self.window, missing)
-        n_val = max(1, int(len(starts) * validation_fraction))
-        self.train_starts = starts[:-n_val]
-        self.val_starts = starts[-n_val:]
+        anchors = compute_valid_anchors(datasets, self.window)
+        n_val = max(1, int(len(anchors) * validation_fraction))
+        self.train_starts = anchors[:-n_val]
+        self.val_starts = anchors[-n_val:]
 
         self.train_sampler = WindowSampler(
             self.train_starts, batch_size, shuffle=True,
@@ -130,19 +154,22 @@ class DataModule:
             return
         self.rollout = rollout
         self.window = self.n_step_input + rollout * self.n_step_output
-        num_times = len(next(iter(self.datasets.values())))
-        missing: set = set()
-        for ds in self.datasets.values():
-            missing |= ds.missing
-        starts = usable_window_starts(num_times, self.window, missing)
-        n_val = max(1, int(len(starts) * 0.15))
-        self.train_sampler.starts = starts[:-n_val]
-        self.val_sampler.starts = starts[-n_val:]
+        anchors = compute_valid_anchors(self.datasets, self.window)
+        n_val = max(1, int(len(anchors) * 0.15))
+        self.train_sampler.starts = anchors[:-n_val]
+        self.val_sampler.starts = anchors[-n_val:]
 
-    def make_batch(self, start_indices: np.ndarray) -> Dict[str, np.ndarray]:
+    def make_batch(self, anchors: np.ndarray) -> Dict[str, np.ndarray]:
+        """``anchors``: [B, 2] (sequence, position) rows (or legacy [B] starts
+        interpreted as sequence 0)."""
+        anchors = np.asarray(anchors)
+        if anchors.ndim == 1:
+            anchors = np.stack([np.zeros_like(anchors), anchors], axis=1)
         batch = {}
         for name, ds in self.datasets.items():
-            windows = [ds.get_window(int(s), self.window) for s in start_indices]
+            windows = [
+                ds.get_seq_window(int(s), int(p), self.window) for s, p in anchors
+            ]
             batch[name] = np.stack(windows, axis=0)  # [B, T, E, G, V]
         return batch
 

@@ -27,7 +27,13 @@ import numpy as np
 
 
 class BaseDataset:
-    """Interface: indexable time series of [variable, ensemble, grid] fields."""
+    """Interface: indexable time series of [variable, ensemble, grid] fields.
+
+    Datasets expose a *sequence* structure (ref data_reader.py:130-180): an
+    analysis dataset is ONE sequence covering the whole time axis, while a
+    trajectory (forecast) dataset is one sequence per base date.  Training
+    windows never cross sequence boundaries.
+    """
 
     variables: List[str]
     latitudes: np.ndarray  # radians
@@ -48,9 +54,54 @@ class BaseDataset:
     def __len__(self) -> int:
         raise NotImplementedError
 
+    # ----- sequence API (single-sequence defaults for analysis datasets)
+    @property
+    def num_sequences(self) -> int:
+        return 1
+
+    def sequence_length(self, sequence: int = 0) -> int:
+        return len(self)
+
+    @property
+    def missing_sequences(self) -> set:
+        """Sequences that are entirely missing (trajectory: missing base dates)."""
+        return set()
+
+    def missing_positions(self, sequence: int = 0) -> set:
+        """Missing positions WITHIN a sequence."""
+        return self.missing
+
     def get_window(self, start: int, length: int, grid_slice: slice = slice(None)) -> np.ndarray:
         """[length, ensemble, grid, variable] float32 window starting at ``start``."""
         raise NotImplementedError
+
+    def get_seq_window(
+        self, sequence: int, start: int, length: int, grid_slice: slice = slice(None)
+    ) -> np.ndarray:
+        """Window within one sequence; analysis datasets ignore ``sequence``."""
+        return self.get_window(start, length, grid_slice)
+
+    def compute_anchors(self, relative_indices) -> np.ndarray:
+        """Valid ``(sequence, position)`` anchors for the requested relative
+        offsets (ref data_reader.py compute_anchors + usable_indices.py:91-124):
+        anchor (s, p) is valid iff every p + i (i in relative_indices) is
+        in-bounds and not missing within sequence s."""
+        rel = np.asarray(relative_indices, dtype=np.int64)
+        rows = []
+        for s in range(self.num_sequences):
+            if s in self.missing_sequences:
+                continue
+            n = self.sequence_length(s)
+            pos = np.arange(n, dtype=np.int64)
+            pos = pos[(pos + rel.min() >= 0) & (pos + rel.max() < n)]
+            for m in self.missing_positions(s):
+                hit = m - rel  # anchors whose relative offsets land on m
+                pos = pos[np.all(pos != hit[:, None], axis=0)]
+            if len(pos):
+                rows.append(np.stack([np.full(len(pos), s, dtype=np.int64), pos], 1))
+        if not rows:
+            return np.empty((0, 2), dtype=np.int64)
+        return np.concatenate(rows, axis=0)
 
 
 class NpyDataset(BaseDataset):
@@ -83,6 +134,79 @@ class NpyDataset(BaseDataset):
         w = np.asarray(self.data[start : start + length, :, :, grid_slice], dtype=np.float32)
         # [T, V, E, G] -> [T, E, G, V]
         return np.transpose(w, (0, 2, 3, 1))
+
+
+class TrajectoryDataset(BaseDataset):
+    """Forecast-trajectory dataset with an explicit lead-step axis
+    (ref data_reader.py:339-464).
+
+    On-disk layout mirrors the npy analysis format with a 5-D data file:
+
+        <dir>/trajectories.npy   [base_dates, variable, ensemble, step, grid]
+        <dir>/coords.npz / statistics.npz / metadata.json  (as NpyDataset;
+        metadata may list ``missing`` base-date indices and
+        ``step_frequency_hours``)
+
+    Each base date (forecast initialisation) is one sequence and the forecast
+    step is the within-sequence position, so a training sample is always
+    contained inside a single forecast and never crosses initialisation
+    boundaries."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        self.variables = list(meta["variables"])
+        # step frequency comes from the dataset itself (ref data_reader.py:378:
+        # passing data.frequency is rejected there; here it is simply ignored)
+        self.timestep_hours = float(
+            meta.get("step_frequency_hours", meta.get("timestep_hours", 6))
+        )
+        self.missing = set()  # per-position gaps do not exist in forecasts
+        self._missing_bases = set(meta.get("missing", []))
+        coords = np.load(os.path.join(path, "coords.npz"))
+        self.latitudes = np.deg2rad(coords["latitudes"].astype(np.float64))
+        self.longitudes = np.deg2rad(coords["longitudes"].astype(np.float64))
+        stats = np.load(os.path.join(path, "statistics.npz"))
+        self.statistics = {k: stats[k] for k in stats.files}
+        tpath = os.path.join(path, "statistics_tendencies.npz")
+        self.statistics_tendencies = (
+            {k: v for k, v in np.load(tpath).items()} if os.path.exists(tpath) else None
+        )
+        self.data = np.load(os.path.join(path, "trajectories.npy"), mmap_mode="r")
+        assert self.data.ndim == 5, (
+            "trajectories.npy must be [base, variable, ensemble, step, grid]"
+        )
+        assert self.data.shape[1] == len(self.variables)
+
+    def __len__(self) -> int:  # total steps across forecasts (informational)
+        return self.data.shape[0] * self.data.shape[3]
+
+    @property
+    def num_sequences(self) -> int:
+        return self.data.shape[0]
+
+    def sequence_length(self, sequence: int = 0) -> int:
+        return self.data.shape[3]
+
+    @property
+    def missing_sequences(self) -> set:
+        return self._missing_bases
+
+    def missing_positions(self, sequence: int = 0) -> set:
+        return set()
+
+    def get_window(self, start: int, length: int, grid_slice: slice = slice(None)) -> np.ndarray:
+        return self.get_seq_window(0, start, length, grid_slice)
+
+    def get_seq_window(
+        self, sequence: int, start: int, length: int, grid_slice: slice = slice(None)
+    ) -> np.ndarray:
+        w = np.asarray(
+            self.data[sequence, :, :, start : start + length, grid_slice],
+            dtype=np.float32,
+        )  # [V, E, T, G]
+        return np.transpose(w, (2, 1, 3, 0))  # [T, E, G, V]
 
 
 class SyntheticDataset(BaseDataset):
@@ -163,6 +287,8 @@ def open_dataset(path_or_config) -> BaseDataset:
     kind = cfg.pop("kind", "npy")
     if kind == "npy":
         return NpyDataset(cfg["path"])
+    if kind == "trajectory":
+        return TrajectoryDataset(cfg["path"])
     if kind == "synthetic":
         from anemoi_tpu.graphs.nodes import node_builder_registry
 
@@ -172,6 +298,42 @@ def open_dataset(path_or_config) -> BaseDataset:
             latitudes=coords[:, 0], longitudes=coords[:, 1], **cfg
         )
     raise ValueError(f"Unknown dataset kind '{kind}'")
+
+
+def save_trajectory_dataset(
+    path: str,
+    data: np.ndarray,  # [base, variable, ensemble, step, grid]
+    variables: List[str],
+    latitudes_deg: np.ndarray,
+    longitudes_deg: np.ndarray,
+    step_frequency_hours: float = 6.0,
+    missing_bases: Optional[List[int]] = None,
+) -> None:
+    """Write the on-disk trajectory dataset format (see TrajectoryDataset)."""
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "trajectories.npy"), data.astype(np.float32))
+    np.savez(
+        os.path.join(path, "coords.npz"),
+        latitudes=latitudes_deg,
+        longitudes=longitudes_deg,
+    )
+    flat = np.transpose(data, (1, 0, 2, 3, 4)).reshape(data.shape[1], -1)
+    np.savez(
+        os.path.join(path, "statistics.npz"),
+        mean=flat.mean(axis=1).astype(np.float32),
+        stdev=(flat.std(axis=1) + 1e-12).astype(np.float32),
+        minimum=flat.min(axis=1).astype(np.float32),
+        maximum=flat.max(axis=1).astype(np.float32),
+    )
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(
+            {
+                "variables": list(variables),
+                "step_frequency_hours": step_frequency_hours,
+                "missing": sorted(missing_bases or []),
+            },
+            f,
+        )
 
 
 def save_dataset(

@@ -70,3 +70,75 @@ def test_datamodule_rollout_grow():
     dm.set_rollout(4)
     b = next(iter(dm.train_batches(0)))["data"]
     assert b.shape[1] == 2 + 4  # n_step_input + rollout
+
+
+def test_trajectory_dataset_roundtrip(tmp_path, rng):
+    from anemoi_tpu.data.dataset import TrajectoryDataset, save_trajectory_dataset
+
+    # [base=4, var=3, ens=1, step=6, grid=25]
+    data = rng.normal(size=(4, 3, 1, 6, 25)).astype(np.float32)
+    save_trajectory_dataset(
+        str(tmp_path / "traj"),
+        data,
+        variables=["x", "y", "z"],
+        latitudes_deg=np.linspace(-80, 80, 25),
+        longitudes_deg=np.linspace(-170, 170, 25),
+        step_frequency_hours=12.0,
+        missing_bases=[2],
+    )
+    ds = TrajectoryDataset(str(tmp_path / "traj"))
+    assert ds.num_sequences == 4
+    assert ds.sequence_length(0) == 6
+    assert ds.missing_sequences == {2}
+    assert ds.timestep_hours == 12.0
+    w = ds.get_seq_window(1, 2, 3)
+    assert w.shape == (3, 1, 25, 3)
+    np.testing.assert_allclose(w[0, 0, :, 1], data[1, 1, 0, 2, :])
+
+
+def test_trajectory_anchors_never_cross_sequences(tmp_path, rng):
+    from anemoi_tpu.data.dataset import TrajectoryDataset, save_trajectory_dataset
+
+    data = rng.normal(size=(3, 2, 1, 5, 9)).astype(np.float32)
+    save_trajectory_dataset(
+        str(tmp_path / "traj"), data, ["a", "b"],
+        np.linspace(-80, 80, 9), np.linspace(-170, 170, 9), missing_bases=[1],
+    )
+    ds = TrajectoryDataset(str(tmp_path / "traj"))
+    anchors = ds.compute_anchors(np.arange(3))  # window 3 in length-5 sequences
+    # sequences 0 and 2 only (1 missing), positions 0..2
+    assert set(map(tuple, anchors)) == {(s, p) for s in (0, 2) for p in (0, 1, 2)}
+
+
+def test_anchor_intersection_multi_dataset():
+    from anemoi_tpu.data.datamodule import compute_valid_anchors
+
+    lat = np.linspace(-1.4, 1.4, 8)
+    a = SyntheticDataset(lat, lat, ["u"], num_times=12)
+    b = SyntheticDataset(lat, lat, ["v"], num_times=12)
+    b.missing = {6}
+    anchors = compute_valid_anchors({"a": a, "b": b}, window=3)
+    # b excludes starts 4,5,6; intersection drops them for both
+    starts = set(anchors[:, 1].tolist())
+    assert starts == set(range(10)) - {4, 5, 6}
+    assert (anchors[:, 0] == 0).all()
+
+
+def test_datamodule_over_trajectory(tmp_path, rng):
+    from anemoi_tpu.data.dataset import TrajectoryDataset, save_trajectory_dataset
+
+    data = rng.normal(size=(5, 2, 1, 8, 9)).astype(np.float32)
+    save_trajectory_dataset(
+        str(tmp_path / "traj"), data, ["a", "b"],
+        np.linspace(-80, 80, 9), np.linspace(-170, 170, 9),
+    )
+    ds = TrajectoryDataset(str(tmp_path / "traj"))
+    dm = DataModule({"data": ds}, n_step_input=2, n_step_output=1, rollout=1,
+                    batch_size=2, validation_fraction=0.2)
+    batch = next(iter(dm.train_batches(epoch=0)))["data"]
+    assert batch.shape == (2, 3, 1, 9, 2)
+    # windows must equal the raw trajectory slices for their anchors
+    anchors = dm.train_sampler.starts
+    ref = ds.get_seq_window(int(anchors[0][0]), int(anchors[0][1]), 3)
+    got = dm.make_batch(anchors[:1])["data"][0]
+    np.testing.assert_array_equal(got, ref)
