@@ -1,0 +1,619 @@
+"""Fused paged graph-transformer attention (Pallas/Mosaic TPU kernel).
+
+The TPU answer to the reference's Triton CSC kernel
+(/root/reference/models/src/anemoi/models/triton/gt.py:82-391): per-destination
+softmax attention over incoming graph edges, fused so the gathered neighbour
+tensors never touch HBM.  Mosaic has no in-kernel random row gather (measured:
+``jnp.take``/``take_along_axis`` fail to lower on this toolchain), so the
+kernel is built from three TPU-native mechanisms instead:
+
+1. **Paged indirection** -- nodes are ordered along a space-filling curve
+   (graphs.post_process) so each block of ``bd`` destinations draws its
+   neighbours from a handful of ``page``-row source blocks.  A scalar-prefetch
+   ``page_ids`` array drives the kv BlockSpec index map, exactly like the
+   splash/paged-attention reference kernels: the Mosaic pipeline DMAs one page
+   per grid step, double-buffered.
+
+2. **One-hot matmul gathers** -- within a (dst-block, page) *slot* of up to
+   ``r`` edges, rows are gathered from the VMEM-resident page by an
+   iota-compare one-hot [r, page] matmul: contraction width 128 is a perfect
+   MXU tile, and 0/1 x bf16 products are exact.  The same trick broadcasts
+   per-destination quantities to edge rows (``oq @ x``) and reduces edge rows
+   to destinations (``dot(oq, x, contract rows)``).
+
+3. **Mean-shift online softmax** -- softmax needs a per-destination shift, but
+   a per-destination *max* cannot be produced by matmuls.  Softmax is
+   shift-invariant, so the kernel uses the per-destination *mean* logit
+   (computable with one-hot matmuls) as the stabiliser, maintained online
+   across slots with flash-attention-style accumulator corrections.  This is
+   exact (not an approximation); it only requires the within-destination
+   logit spread to stay inside the fp32 exp range (~1e38), which any sane
+   attention distribution satisfies.
+
+The grid is a ragged 1-D walk over the slots of all destination blocks (no
+padding to a max page count per block): per-block accumulators live in VMEM
+scratch, outputs are revolving blocks flushed when the walk enters the next
+destination block.
+
+Edge features ride in *slot layout* ``[n_slots*r, HD]`` (zero-padded, built
+once at graph construction) so they stream through contiguous BlockSpecs and
+are added to gathered k and v in VMEM -- per-edge attention bias costs no
+scatter at all.
+
+Backward (same two-pass structure as the reference Triton kernel, re-derived
+for gather-only hardware): one kernel accumulates dq per destination block and
+writes per-slot dkv rows contiguously; the slot-space kv grads are then
+reduced to source nodes by the existing src-range gather tables
+(ops/padded.py), and d_edge is a pure slice-add.  No scatter appears anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # keep importable where pallas is unavailable
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    PALLAS_AVAILABLE = False
+
+
+# ----------------------------------------------------------------------
+# host-side table construction
+# ----------------------------------------------------------------------
+@dataclass(frozen=True)
+class PagedCSR:
+    """Host-precomputed slot tables for one edge set (see module docstring)."""
+
+    blk_ids: np.ndarray  # [S] int32 dst block per slot (non-decreasing)
+    page_ids: np.ndarray  # [S] int32 src page per slot
+    idx: np.ndarray  # [S, 2, r] int32: [s,0]=within-page col (pad=page),
+    #                                  [s,1]=within-block dst row (pad=bd)
+    slot_pos: np.ndarray  # [E] flat slot-space position of each ORIGINAL edge
+    num_src: int
+    num_dst: int
+    bd: int
+    page: int
+    r: int
+    # src-side reduction tables over the slot space (backward kv grads)
+    src_tables: tuple  # per src-range (slots, mask) jnp arrays
+    src_spans: tuple  # per src-range (lo, hi, k_out) static ints
+    src_rank: Optional[np.ndarray]  # [num_src] un-permutation of reduction rows
+
+    @property
+    def num_slots(self) -> int:
+        return int(self.blk_ids.shape[0])
+
+    @property
+    def num_flat(self) -> int:
+        return self.num_slots * self.r
+
+    def pad_edge_array(self, x: np.ndarray) -> np.ndarray:
+        """Scatter a canonical (dst-sorted) per-edge array into slot layout
+        ``[num_slots*r, ...]`` with zero padding (host, build time only)."""
+        out = np.zeros((self.num_flat,) + x.shape[1:], dtype=x.dtype)
+        out[self.slot_pos] = x
+        return out
+
+
+def build_paged_csr(
+    edge_index: np.ndarray,
+    num_src: int,
+    num_dst: int,
+    bd: int = 128,
+    page: int = 128,
+    r: int = 128,
+    max_src_buckets: int = 3,
+) -> PagedCSR:
+    """Build slot tables from edges in their canonical (dst-sorted) order.
+
+    Slots are the ragged list of (dst-block, src-page) pairs, each holding at
+    most ``r`` edges (larger pairs repeat the page over several slots)."""
+    from anemoi_tpu.ops.padded import compute_buckets, _round_up
+
+    src = np.asarray(edge_index[0], dtype=np.int64)
+    dst = np.asarray(edge_index[1], dtype=np.int64)
+    e = len(src)
+    blk = dst // bd
+    pg = src // page
+    order = np.lexsort((dst, pg, blk))  # kernel edge order
+    blk_o, pg_o, src_o, dst_o = blk[order], pg[order], src[order], dst[order]
+
+    # pair boundaries -> slot of each (ordered) edge
+    pair_change = np.empty(e, dtype=bool)
+    if e:
+        pair_change[0] = True
+        pair_change[1:] = (blk_o[1:] != blk_o[:-1]) | (pg_o[1:] != pg_o[:-1])
+    pair_id = np.cumsum(pair_change) - 1
+    pair_start = np.flatnonzero(pair_change)
+    within_pair = np.arange(e) - pair_start[pair_id]
+    slot_in_pair = within_pair // r
+    within_slot = within_pair % r
+    # global slot ids: pairs expand to ceil(count)/r slots each
+    pair_counts = np.diff(np.append(pair_start, e))
+    pair_slots = -(-pair_counts // r)
+    pair_slot_offset = np.concatenate([[0], np.cumsum(pair_slots)])[:-1]
+    slot_of_edge = pair_slot_offset[pair_id] + slot_in_pair
+    num_slots = int(pair_slots.sum()) if e else 0
+
+    blk_ids = np.zeros(max(num_slots, 1), dtype=np.int32)
+    page_ids = np.zeros(max(num_slots, 1), dtype=np.int32)
+    idx = np.empty((max(num_slots, 1), 2, r), dtype=np.int32)
+    idx[:, 0, :] = page  # col sentinel -> one-hot row of zeros
+    idx[:, 1, :] = bd  # drow sentinel
+    if e:
+        blk_ids[slot_of_edge] = blk_o.astype(np.int32)
+        page_ids[slot_of_edge] = pg_o.astype(np.int32)
+        idx[slot_of_edge, 0, within_slot] = (src_o % page).astype(np.int32)
+        idx[slot_of_edge, 1, within_slot] = (dst_o % bd).astype(np.int32)
+    num_slots = max(num_slots, 1)
+
+    # flat slot position of each ORIGINAL edge
+    slot_pos = np.zeros(e, dtype=np.int64)
+    slot_pos[order] = slot_of_edge * r + within_slot
+
+    # src-side reduction tables over the flat slot space (same range-bucketed
+    # gather-only transpose as ops/padded.build_bucketed_tables, with the
+    # virtual out-degree sort so spatially-ordered hubs do not blow up k_out)
+    total = num_slots * r
+    out_deg = np.bincount(src, minlength=num_src)
+    src_order = np.argsort(-out_deg, kind="stable")
+    src_rank_np = np.empty(num_src, dtype=np.int64)
+    src_rank_np[src_order] = np.arange(num_src)
+    out_deg_rows = out_deg[src_order]
+    k_out = int(max(1, out_deg.max() if e else 1))
+    src_gather = np.full((num_src, k_out), total, dtype=np.int32)
+    src_mask = np.zeros((num_src, k_out), dtype=bool)
+    so = np.argsort(src, kind="stable")
+    src_sorted = src[so]
+    src_ptr = np.zeros(num_src + 1, dtype=np.int64)
+    np.cumsum(out_deg, out=src_ptr[1:])
+    within_src = np.arange(e) - src_ptr[src_sorted]
+    src_gather[src_rank_np[src_sorted], within_src] = slot_pos[so].astype(np.int32)
+    src_mask[src_rank_np[src_sorted], within_src] = True
+    src_buckets = compute_buckets(out_deg_rows, max_src_buckets, 8, 1)
+    src_tables = tuple(
+        (jnp.asarray(src_gather[lo:hi, :k]), jnp.asarray(src_mask[lo:hi, :k]))
+        for lo, hi, k in src_buckets
+    )
+    src_spans = tuple((int(lo), int(hi), int(k)) for lo, hi, k in src_buckets)
+
+    return PagedCSR(
+        blk_ids=blk_ids,
+        page_ids=page_ids,
+        idx=idx,
+        slot_pos=slot_pos,
+        num_src=num_src,
+        num_dst=num_dst,
+        bd=bd,
+        page=page,
+        r=r,
+        src_tables=src_tables,
+        src_spans=src_spans,
+        src_rank=jnp.asarray(src_rank_np.astype(np.int32)),
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class PagedTables:
+    """Device-side pytree of the slot tables (jit argument)."""
+
+    blk_ids: jnp.ndarray  # [S] int32
+    page_ids: jnp.ndarray  # [S] int32
+    idx: jnp.ndarray  # [S, 2, r] int32
+    src_tables: tuple  # ((slots, mask), ...)
+    src_rank: jnp.ndarray  # [num_src] int32
+    # static (aux) fields
+    src_spans: tuple = ()
+    bd: int = 128
+    page: int = 128
+    r: int = 128
+    num_src: int = 0
+    num_dst: int = 0
+
+    @classmethod
+    def from_csr(cls, csr: PagedCSR) -> "PagedTables":
+        return cls(
+            blk_ids=jnp.asarray(csr.blk_ids),
+            page_ids=jnp.asarray(csr.page_ids),
+            idx=jnp.asarray(csr.idx),
+            src_tables=csr.src_tables,
+            src_rank=csr.src_rank,
+            src_spans=csr.src_spans,
+            bd=csr.bd,
+            page=csr.page,
+            r=csr.r,
+            num_src=csr.num_src,
+            num_dst=csr.num_dst,
+        )
+
+    @property
+    def num_slots(self) -> int:
+        return int(self.blk_ids.shape[0])
+
+    def tree_flatten(self):
+        children = (self.blk_ids, self.page_ids, self.idx, self.src_tables,
+                    self.src_rank)
+        aux = (self.src_spans, self.bd, self.page, self.r, self.num_src,
+               self.num_dst)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+# ----------------------------------------------------------------------
+# kernels
+# ----------------------------------------------------------------------
+def _indicator(hd: int, h: int, dtype):
+    """[HD, H] 0/1 head indicator built in-kernel (no captured constants)."""
+    d = hd // h
+    row = jax.lax.broadcasted_iota(jnp.int32, (hd, h), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hd, h), 1)
+    return ((row // d) == col).astype(dtype)
+
+
+def _indicator_t(hd: int, h: int, dtype):
+    d = hd // h
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1)
+    return (row == (col // d)).astype(dtype)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_t(a, b):
+    """Contract over rows: [R, M]^T @ [R, N] -> [M, N] in fp32."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _clean_rows(ref, block_idx, block_rows, total_rows):
+    """Zero the rows of a partial boundary block.
+
+    OOB block rows contain arbitrary padding (NaN in interpret mode); a
+    one-hot matmul over them would produce 0*NaN=NaN, so every block read
+    whose array dim is not a block multiple is masked with its static size."""
+    x = ref[:]
+    if total_rows % block_rows == 0:
+        return x
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    limit = total_rows - block_idx * block_rows
+    return jnp.where(row < limit, x, 0)
+
+
+def _fwd_kernel(
+    blk_ref, pg_ref,  # scalar prefetch [S]
+    idx_ref,  # [1, 2, r] int32
+    q_ref,  # [bd, HD]
+    kv_ref,  # [page, 2HD]
+    e_ref,  # [r, HD]
+    out_ref,  # [bd, HD] (revolving)
+    lse_ref,  # [bd, H]  (revolving)
+    acc_ref, den_ref, suml_ref, cnt_ref, shift_ref,  # scratch
+    *, hd: int, h: int, bd: int, page: int, r: int, scale: float,
+    nd: int, ns: int,
+):
+    s = pl.program_id(0)
+    n_s = pl.num_programs(0)
+    blk_here = blk_ref[s]
+    first = jnp.logical_or(s == 0, blk_ref[jnp.maximum(s - 1, 0)] != blk_here)
+    last = jnp.logical_or(
+        s == n_s - 1, blk_ref[jnp.minimum(s + 1, n_s - 1)] != blk_here
+    )
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        den_ref[:] = jnp.zeros_like(den_ref)
+        suml_ref[:] = jnp.zeros_like(suml_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        shift_ref[:] = jnp.zeros_like(shift_ref)
+
+    cols = idx_ref[0, 0, :]
+    drows = idx_ref[0, 1, :]
+    cdtype = q_ref.dtype
+    og = (
+        cols[:, None] == jax.lax.broadcasted_iota(jnp.int32, (r, page), 1)
+    ).astype(cdtype)
+    oq = (
+        drows[:, None] == jax.lax.broadcasted_iota(jnp.int32, (r, bd), 1)
+    ).astype(cdtype)
+    valid = (cols[:, None] < page)  # [r, 1]
+
+    kv_rows = _dot(og, _clean_rows(kv_ref, pg_ref[s], page, ns)).astype(
+        cdtype
+    )  # exact gather (one-hot)
+    e_rows = e_ref[:]
+    keff = kv_rows[:, :hd] + e_rows
+    veff = kv_rows[:, hd:] + e_rows
+    qrows = _dot(oq, _clean_rows(q_ref, blk_here, bd, nd)).astype(cdtype)
+
+    g_red = _indicator(hd, h, cdtype)
+    l = _dot((qrows * keff), g_red) * scale  # [r, H] fp32
+    l = jnp.where(valid, l, 0.0)
+    valid_h = jnp.broadcast_to(valid, (r, h)).astype(cdtype)
+
+    # online mean-shift softmax
+    suml_ref[:] += _dot_t(oq, l.astype(cdtype))
+    cnt_ref[:] += _dot_t(oq, valid_h)
+    s_new = suml_ref[:] / jnp.maximum(cnt_ref[:], 1.0)
+    corr = jnp.exp(shift_ref[:] - s_new)  # [bd, H] fp32
+    shift_ref[:] = s_new
+
+    srows = _dot(oq.astype(jnp.float32), s_new)  # [r, H]
+    p = jnp.where(valid, jnp.exp(l - srows), 0.0)  # [r, H] fp32
+    den_ref[:] = den_ref[:] * corr + _dot_t(oq, p.astype(cdtype))
+    g_red_t = _indicator_t(hd, h, cdtype)
+    prep = _dot(p.astype(cdtype), g_red_t).astype(cdtype)  # [r, HD]
+    corr_rep = _dot(corr, g_red_t.astype(jnp.float32))  # [bd, HD]
+    acc_ref[:] = acc_ref[:] * corr_rep + _dot_t(oq, prep * veff)
+
+    @pl.when(last)
+    def _():
+        den_rep = _dot(den_ref[:], g_red_t.astype(jnp.float32))
+        out_ref[:] = (acc_ref[:] / jnp.maximum(den_rep, 1e-30)).astype(out_ref.dtype)
+        lse_ref[:] = shift_ref[:] + jnp.log(jnp.maximum(den_ref[:], 1e-30))
+
+
+def _bwd_kernel(
+    blk_ref, pg_ref,
+    idx_ref, q_ref, kv_ref, e_ref, g_ref, lse_ref, delta_ref,
+    dq_ref,  # [bd, HD] (revolving)
+    dkv_ref,  # [r, 2HD] per slot
+    dq_acc,  # scratch [bd, HD] fp32
+    *, hd: int, h: int, bd: int, page: int, r: int, scale: float,
+    nd: int, ns: int,
+):
+    s = pl.program_id(0)
+    n_s = pl.num_programs(0)
+    blk_here = blk_ref[s]
+    first = jnp.logical_or(s == 0, blk_ref[jnp.maximum(s - 1, 0)] != blk_here)
+    last = jnp.logical_or(
+        s == n_s - 1, blk_ref[jnp.minimum(s + 1, n_s - 1)] != blk_here
+    )
+
+    @pl.when(first)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    cols = idx_ref[0, 0, :]
+    drows = idx_ref[0, 1, :]
+    cdtype = q_ref.dtype
+    og = (
+        cols[:, None] == jax.lax.broadcasted_iota(jnp.int32, (r, page), 1)
+    ).astype(cdtype)
+    oq = (
+        drows[:, None] == jax.lax.broadcasted_iota(jnp.int32, (r, bd), 1)
+    ).astype(cdtype)
+    valid = (cols[:, None] < page)
+
+    kv_rows = _dot(og, _clean_rows(kv_ref, pg_ref[s], page, ns)).astype(cdtype)
+    e_rows = e_ref[:]
+    keff = kv_rows[:, :hd] + e_rows
+    veff = kv_rows[:, hd:] + e_rows
+    qrows = _dot(oq, _clean_rows(q_ref, blk_here, bd, nd)).astype(cdtype)
+
+    g_red = _indicator(hd, h, cdtype)
+    g_red_t = _indicator_t(hd, h, cdtype)
+    l = _dot((qrows * keff), g_red) * scale  # [r, H] fp32
+    lse_rows = _dot(oq.astype(jnp.float32), _clean_rows(lse_ref, blk_here, bd, nd))
+    alpha = jnp.where(valid, jnp.exp(l - lse_rows), 0.0)  # [r, H] fp32
+    alpha_c = alpha.astype(cdtype)
+
+    grows = _dot(oq, _clean_rows(g_ref, blk_here, bd, nd)).astype(cdtype)  # [r, HD]
+    alpha_rep = _dot(alpha_c, g_red_t).astype(cdtype)
+    dveff = alpha_rep * grows  # [r, HD]
+    dalpha = _dot((grows * veff), g_red)  # [r, H] fp32
+    delta_rows = _dot(
+        oq.astype(jnp.float32), _clean_rows(delta_ref, blk_here, bd, nd)
+    )
+    dl = alpha * (dalpha - delta_rows)  # [r, H] fp32
+    dl_rep = (_dot(dl.astype(cdtype), g_red_t) * scale).astype(cdtype)
+    dq_acc[:] += _dot_t(oq, dl_rep * keff)
+    dkeff = dl_rep * qrows
+    dkv_ref[:, :hd] = dkeff.astype(dkv_ref.dtype)
+    dkv_ref[:, hd:] = dveff.astype(dkv_ref.dtype)
+
+    @pl.when(last)
+    def _():
+        dq_ref[:] = dq_acc[:].astype(dq_ref.dtype)
+
+
+# ----------------------------------------------------------------------
+# pallas_call wrappers
+# ----------------------------------------------------------------------
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int, interpret: bool):
+    nd, hd = q.shape
+    bd, page, r = tables.bd, tables.page, tables.r
+    s_tot = tables.num_slots
+    h = num_heads
+    scale = 1.0 / float(np.sqrt(hd // h))
+    kernel = functools.partial(
+        _fwd_kernel, hd=hd, h=h, bd=bd, page=page, r=r, scale=scale,
+        nd=nd, ns=kv.shape[0],
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s_tot,),
+        in_specs=[
+            pl.BlockSpec((1, 2, r), lambda s, blk, pg: (s, 0, 0)),
+            pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
+            pl.BlockSpec((page, 2 * hd), lambda s, blk, pg: (pg[s], 0)),
+            pl.BlockSpec((r, hd), lambda s, blk, pg: (s, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
+            pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bd, hd), jnp.float32),
+            pltpu.VMEM((bd, h), jnp.float32),
+            pltpu.VMEM((bd, h), jnp.float32),
+            pltpu.VMEM((bd, h), jnp.float32),
+            pltpu.VMEM((bd, h), jnp.float32),
+        ],
+    )
+    nd_pad = _cdiv(nd, bd) * bd
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nd_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((nd_pad, h), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots)
+    return out[:nd], lse[:nd]
+
+
+def _bwd_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
+              num_heads: int, interpret: bool):
+    nd, hd = q.shape
+    bd, page, r = tables.bd, tables.page, tables.r
+    s_tot = tables.num_slots
+    h = num_heads
+    scale = 1.0 / float(np.sqrt(hd // h))
+    kernel = functools.partial(
+        _bwd_kernel, hd=hd, h=h, bd=bd, page=page, r=r, scale=scale,
+        nd=nd, ns=kv.shape[0],
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s_tot,),
+        in_specs=[
+            pl.BlockSpec((1, 2, r), lambda s, blk, pg: (s, 0, 0)),
+            pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
+            pl.BlockSpec((page, 2 * hd), lambda s, blk, pg: (pg[s], 0)),
+            pl.BlockSpec((r, hd), lambda s, blk, pg: (s, 0)),
+            pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
+            pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
+            pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
+            pl.BlockSpec((r, 2 * hd), lambda s, blk, pg: (s, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((bd, hd), jnp.float32)],
+    )
+    nd_pad = _cdiv(nd, bd) * bd
+    dq, dkv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nd_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((s_tot * r, 2 * hd), q.dtype),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots, g, lse, delta)
+    return dq[:nd], dkv
+
+
+def _reduce_slots_to_src(dkv_flat, tables: PagedTables):
+    """Gather-only reduction of per-slot kv grads to source nodes (the same
+    src-range pattern as ops/padded._gt_bucketed_bwd)."""
+    two_hd = dkv_flat.shape[-1]
+    padded = jnp.concatenate(
+        [dkv_flat, jnp.zeros((1, two_hd), dkv_flat.dtype)], axis=0
+    )
+    parts = []
+    for (lo, hi, k_r), (slots, mask) in zip(tables.src_spans, tables.src_tables):
+        gathered = jnp.take(padded, slots.reshape(-1), axis=0).reshape(
+            hi - lo, k_r, two_hd
+        )
+        parts.append(jnp.sum(jnp.where(mask[..., None], gathered, 0.0), axis=1))
+    out = jnp.concatenate(parts, axis=0)
+    return jnp.take(out, tables.src_rank, axis=0)
+
+
+# ----------------------------------------------------------------------
+# public op with custom VJP
+# ----------------------------------------------------------------------
+_INTERPRET = False
+
+
+def set_interpret(flag: bool):
+    """Force interpreter mode (CPU tests / virtual-device meshes)."""
+    global _INTERPRET
+    _INTERPRET = bool(flag)
+
+
+def _host_indicator(hd, h, dtype):
+    d = hd // h
+    g = np.zeros((hd, h), dtype=np.float32)
+    g[np.arange(hd), np.arange(hd) // d] = 1.0
+    return jnp.asarray(g, dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def paged_gt_attention_flat(query, key, value, e_slots, num_heads, tables):
+    """query [Nd, HD]; key/value [Ns, HD]; e_slots [num_slots*r, HD] in slot
+    layout (PagedCSR.pad_edge_array).  Returns [Nd, HD]."""
+    out, _ = _paged_fwd_impl(query, key, value, e_slots, num_heads, tables)
+    return out
+
+
+def _paged_fwd_impl(query, key, value, e_slots, num_heads, tables):
+    kv = jnp.concatenate([key, value], axis=-1)
+    out, lse = _fwd_call(query, kv, e_slots, tables, num_heads, _INTERPRET)
+    return out, (query, kv, e_slots, out, lse, tables)
+
+
+def _paged_fwd_vjp(query, key, value, e_slots, num_heads, tables):
+    out, res = _paged_fwd_impl(query, key, value, e_slots, num_heads, tables)
+    return out, res
+
+
+def _paged_bwd(num_heads, res, g):
+    query, kv, e_slots, out, lse, tables = res
+    hd = query.shape[-1]
+    g_red = _host_indicator(hd, num_heads, jnp.float32)
+    delta = jnp.dot(
+        out.astype(jnp.float32) * g.astype(jnp.float32), g_red,
+        preferred_element_type=jnp.float32,
+    )  # [Nd, H]
+    dq, dkv = _bwd_call(
+        query, kv, e_slots, g.astype(query.dtype), lse, delta, tables,
+        num_heads, _INTERPRET,
+    )
+    dkv_src = _reduce_slots_to_src(dkv, tables)
+    d_key, d_value = dkv_src[:, :hd], dkv_src[:, hd:]
+    d_e = dkv[:, :hd] + dkv[:, hd:]
+    return dq, d_key, d_value, d_e, None
+
+
+paged_gt_attention_flat.defvjp(_paged_fwd_vjp, _paged_bwd)
+
+
+def paged_gt_attention(query, key, value, e_slots, tables: PagedTables):
+    """Head-structured wrapper: q [Nd, H, D]; k/v [Ns, H, D];
+    e_slots [num_slots*r, H, D] (slot layout)."""
+    n, h, d = query.shape
+    out = paged_gt_attention_flat(
+        query.reshape(n, h * d),
+        key.reshape(key.shape[0], h * d),
+        value.reshape(value.shape[0], h * d),
+        e_slots.reshape(e_slots.shape[0], h * d),
+        h,
+        tables,
+    )
+    return out.reshape(n, h, d)

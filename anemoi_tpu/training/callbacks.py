@@ -25,12 +25,37 @@ callback_registry = Registry("callback")
 
 
 class Callback:
+    def on_train_start(self, trainer) -> None: ...
+
     def on_step(self, trainer, step: int, metrics: Dict[str, Any]) -> None: ...
 
     def on_validation(self, trainer, step: int, val_metrics: Dict[str, Any]) -> None: ...
 
     def should_stop(self, trainer) -> bool:
         return False
+
+
+@callback_registry.register("CheckVariableOrder")
+class CheckVariableOrder(Callback):
+    """Sanity-check the dataset variable order against the order recorded in
+    the checkpoint the run was initialised from (ref callbacks/sanity.py:20).
+
+    Fine-tuning with a dataset whose variables moved silently mis-trains;
+    this raises before the first step instead."""
+
+    def on_train_start(self, trainer) -> None:
+        from anemoi_tpu.data_indices.collection import compare_variables
+
+        ckpt_indices = getattr(trainer, "ckpt_name_to_index", None)
+        for name, idx in trainer.data_indices.items():
+            data_n2i = trainer.datamodule.name_to_index.get(name)
+            if data_n2i is None:
+                continue
+            # model (interface) indices must always match the data
+            compare_variables(idx.name_to_index, data_n2i)
+            # checkpoint-recorded indices, when resuming/fine-tuning
+            if ckpt_indices and name in ckpt_indices:
+                compare_variables(ckpt_indices[name], data_n2i)
 
 
 @callback_registry.register("EarlyStopping")

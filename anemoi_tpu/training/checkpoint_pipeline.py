@@ -52,6 +52,20 @@ class LocalSource:
         path = self.path
         if os.path.isdir(path):  # inference bundle directory
             path = os.path.join(path, "params.msgpack")
+            # bundles record the variable order; surface it for the
+            # CheckVariableOrder sanity callback (ref callbacks/sanity.py:20)
+            meta_path = os.path.join(self.path, "checkpoint.json")
+            if os.path.exists(meta_path):
+                import json
+
+                with open(meta_path) as f:
+                    bundle_meta = json.load(f)
+                n2i = {
+                    ds: di.get("name_to_index")
+                    for ds, di in bundle_meta.get("data_indices", {}).items()
+                }
+                if any(n2i.values()):
+                    ctx.metadata["name_to_index"] = n2i
         with open(path, "rb") as f:
             blob = f.read()
         template = jax.device_get(ctx.params)

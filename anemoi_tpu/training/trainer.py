@@ -192,6 +192,9 @@ class AnemoiTrainer:
                 CheckpointContext(params=params)
             )
             params = jax.device_put(ctx.params)
+            # variable order recorded by the loaded checkpoint, if any --
+            # consumed by the CheckVariableOrder sanity callback
+            self.ckpt_name_to_index = ctx.metadata.get("name_to_index")
             if ctx.trainable_mask is not None:
                 frozen_mask = jax.tree_util.tree_map(
                     lambda trainable: not trainable, ctx.trainable_mask
@@ -278,6 +281,9 @@ class AnemoiTrainer:
         log_interval = int(self.config.get("diagnostics", {}).get("log_interval", 10))
         ckpt_interval = int(self.config.get("diagnostics", {}).get("checkpoint_interval", 500))
         time_limit_s = float(cfg.get("time_limit_s", 0)) or None
+
+        for cb in self.callbacks:
+            cb.on_train_start(self)
 
         t_start = time.time()
         global_step = int(self.state.step)

@@ -82,3 +82,42 @@ def test_weight_averaging_swa():
         t.state.params = {"w": jnp.asarray(v)}
         cb.on_step(t, 0, {})
     np.testing.assert_allclose(float(cb.avg_params["w"]), 1.0)  # mean of 0,1,2
+
+
+def test_compare_variables():
+    from anemoi_tpu.data_indices.collection import compare_variables
+
+    n2i = {"a": 0, "b": 1, "c": 2}
+    compare_variables(None, n2i)  # no-op
+    compare_variables(dict(n2i), n2i)  # identical
+    # pure rename in the same slot: warns, no raise
+    compare_variables({"a": 0, "x": 1, "c": 2}, n2i)
+    # same names, different order: raises
+    with pytest.raises(ValueError, match="different positions"):
+        compare_variables({"a": 1, "b": 0, "c": 2}, n2i)
+    # renamed variable in a DIFFERENT slot: raises
+    with pytest.raises(ValueError, match="variable order"):
+        compare_variables({"a": 0, "b": 1, "x": 3}, n2i)
+
+
+def test_check_variable_order_callback():
+    from anemoi_tpu.data_indices.collection import IndexCollection
+    from anemoi_tpu.training.callbacks import CheckVariableOrder
+
+    n2i = {"u": 0, "v": 1}
+
+    class _DM:
+        name_to_index = {"data": n2i}
+
+    class _Trainer:
+        data_indices = {"data": IndexCollection(n2i)}
+        datamodule = _DM()
+        ckpt_name_to_index = None
+
+    cb = CheckVariableOrder()
+    cb.on_train_start(_Trainer())  # consistent: passes
+
+    bad = _Trainer()
+    bad.ckpt_name_to_index = {"data": {"u": 1, "v": 0}}
+    with pytest.raises(ValueError):
+        cb.on_train_start(bad)
