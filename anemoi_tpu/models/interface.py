@@ -128,6 +128,24 @@ class AnemoiModelInterface:
                 dtype=jnp.float32,
             )
         rngs = {"params": rng, "noise": jax.random.fold_in(rng, 1)}
+        if getattr(self.model, "is_transport", False) or "Transport" in type(
+            self.model
+        ).__name__:
+            # transport models take the noised target + noise level too
+            y = {
+                ds: jnp.zeros(
+                    x[ds].shape[:1]
+                    + (self.model.n_step_output,)
+                    + x[ds].shape[2:4]
+                    + (idx.num_model_output_vars,),
+                    dtype=jnp.float32,
+                )
+                for ds, idx in self.data_indices.items()
+            }
+            noise_level = jnp.zeros((batch_size, 1), dtype=jnp.float32)
+            return jax.jit(self.model.init)(
+                rngs, x, y, noise_level, self.graph_inputs
+            )
         return jax.jit(self.model.init)(rngs, x, self.graph_inputs)
 
     def apply(

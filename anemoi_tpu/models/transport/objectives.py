@@ -44,16 +44,25 @@ def sample_training_sigma(key: jax.Array, shape, cfg: EDMConfig) -> jnp.ndarray:
 
 
 def edm_training_targets(
-    key: jax.Array, y: jnp.ndarray, cfg: EDMConfig
+    key: jax.Array, y: jnp.ndarray, cfg: EDMConfig, sigma_dist: dict = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Draw sigma + noise for one EDM training step.
 
     y: clean target [B, T, E, G, V]. sigma is drawn per (batch, ensemble)
-    sample (ref draws one sigma per sample).  Returns
+    sample (ref draws one sigma per sample).  ``sigma_dist`` (kwargs of
+    schedules.sample_training_sigma_dist) switches the training sigma
+    distribution away from the EDM log-normal.  Returns
     (y_noised, sigma_b [B,1,E,1,1], loss_weight same shape)."""
     b, t, e = y.shape[0], y.shape[1], y.shape[2]
     k_sigma, k_noise = jax.random.split(key)
-    sigma = sample_training_sigma(k_sigma, (b, 1, e, 1, 1), cfg).astype(y.dtype)
+    if sigma_dist:
+        from anemoi_tpu.models.transport.schedules import sample_training_sigma_dist
+
+        sigma = sample_training_sigma_dist(
+            k_sigma, (b, 1, e, 1, 1), **sigma_dist
+        ).astype(y.dtype)
+    else:
+        sigma = sample_training_sigma(k_sigma, (b, 1, e, 1, 1), cfg).astype(y.dtype)
     noise = jax.random.normal(k_noise, y.shape, dtype=y.dtype)
     y_noised = y + sigma * noise
     weight = (sigma**2 + cfg.sigma_data**2) / (sigma * cfg.sigma_data) ** 2
@@ -67,21 +76,43 @@ def edm_denoise(model_out: jnp.ndarray, y_noised: jnp.ndarray, sigma: jnp.ndarra
 
 
 def interpolant_training_targets(
-    key: jax.Array, y0: jnp.ndarray, y1: jnp.ndarray, gamma: float = 0.0
+    key: jax.Array,
+    y0: jnp.ndarray,
+    y1: jnp.ndarray,
+    gamma: float = 0.0,
+    *,
+    beta_schedule: str = "linear",
+    sigma_schedule: str = "brownian_bridge",
+    stratified: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Linear stochastic interpolant x_t = (1-t) y0 + t y1 (+ gamma*sqrt(t(1-t)) z).
+    """Stochastic interpolant x_t = alpha(t) y0 + beta(t) y1 + gamma sigma(t) z
+    with velocity target dx_t/dt (ref objectives.py:222-300 + paths.py).
 
-    Returns (x_t, t [B,1,E,1,1], velocity target dx_t/dt)."""
+    ``gamma`` scales the bridge noise (0 = deterministic interpolant).
+    Returns (x_t, t [B,1,E,1,1], velocity)."""
+    from anemoi_tpu.models.transport.paths import (
+        interpolant_alpha,
+        interpolant_alpha_dot,
+        interpolant_beta,
+        interpolant_beta_dot,
+        interpolant_sigma,
+        interpolant_sigma_dot,
+    )
+    from anemoi_tpu.models.transport.schedules import sample_training_time
+
     b, _, e = y0.shape[0], y0.shape[1], y0.shape[2]
     k_t, k_z = jax.random.split(key)
-    t = jax.random.uniform(k_t, (b, 1, e, 1, 1), dtype=y0.dtype)
-    x_t = (1.0 - t) * y0 + t * y1
-    velocity = y1 - y0
+    t = sample_training_time(k_t, (b, 1, e, 1, 1), stratified=stratified).astype(
+        y0.dtype
+    )
+    alpha = interpolant_alpha(t)
+    beta = interpolant_beta(t, beta_schedule)
+    x_t = alpha * y0 + beta * y1
+    velocity = interpolant_alpha_dot(t) * y0 + interpolant_beta_dot(t, beta_schedule) * y1
     if gamma > 0:
         z = jax.random.normal(k_z, y0.shape, dtype=y0.dtype)
-        root = jnp.sqrt(jnp.clip(t * (1 - t), 1e-8))
-        x_t = x_t + gamma * root * z
-        velocity = velocity + gamma * (1 - 2 * t) / (2 * root) * z
+        x_t = x_t + gamma * interpolant_sigma(t, schedule=sigma_schedule) * z
+        velocity = velocity + gamma * interpolant_sigma_dot(t, schedule=sigma_schedule) * z
     return x_t, t, velocity
 
 

@@ -257,6 +257,31 @@ class AnemoiTrainer:
     def _get_step_fns(self, rollout: int):
         if rollout not in self._step_fns:
             training_cfg = self.config.get("training", {})
+            if str(training_cfg.get("task", "forecaster")) == "transport":
+                from anemoi_tpu.models.transport.objectives import EDMConfig
+                from anemoi_tpu.training.transport_step import (
+                    make_transport_step_fns,
+                )
+
+                tcfg = dict(training_cfg.get("transport", {}))
+                edm_kwargs = {
+                    k: float(v) for k, v in dict(tcfg.get("edm", {})).items()
+                }
+                self._step_fns[rollout] = make_transport_step_fns(
+                    self.interface,
+                    self.losses,
+                    objective=str(tcfg.get("objective", "edm")),
+                    edm=EDMConfig(**edm_kwargs),
+                    tendency=bool(tcfg.get("tendency", False)),
+                    interpolant_gamma=float(tcfg.get("interpolant_gamma", 0.0)),
+                    source=str(tcfg.get("source", "gaussian")),
+                    sigma_dist=tcfg.get("sigma_dist"),
+                    beta_schedule=str(tcfg.get("beta_schedule", "linear")),
+                    sigma_schedule=str(
+                        tcfg.get("sigma_schedule", "brownian_bridge")
+                    ),
+                )
+                return self._step_fns[rollout]
             self._step_fns[rollout] = make_step_fns(
                 self.interface,
                 self.losses,

@@ -9,7 +9,7 @@ generation, both conditioned on the input window.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +36,19 @@ def make_transport_step_fns(
     tendency: bool = False,
     interpolant_gamma: float = 0.0,
     base_rng=None,
+    source: str = "gaussian",
+    sigma_dist: Optional[dict] = None,
+    beta_schedule: str = "linear",
+    sigma_schedule: str = "brownian_bridge",
 ) -> Tuple[Callable, Callable]:
-    """Build (train_step, eval_step) for diffusion/interpolant training."""
+    """Build (train_step, eval_step) for diffusion/interpolant training.
+
+    ``source`` selects the interpolant source distribution
+    (transport/sources.py: zero | gaussian | reference_state);
+    ``sigma_dist`` overrides the EDM training sigma distribution
+    (transport/schedules.py:sample_training_sigma_dist kwargs);
+    ``beta_schedule``/``sigma_schedule`` pick the interpolant path
+    (transport/paths.py)."""
     model = interface.model
     pre = interface.pre_processors
     indices = interface.data_indices
@@ -47,6 +58,11 @@ def make_transport_step_fns(
     dataset_names = sorted(indices.keys())
     if base_rng is None:
         base_rng = context_key("transport-noise")
+
+    def batch_pre(batch, ds):
+        return pre[ds].transform(batch[ds])[
+            :, :m, ..., jnp.asarray(ia[ds]["data_input_full"])
+        ]
 
     def targets_and_inputs(batch):
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
@@ -73,7 +89,9 @@ def make_transport_step_fns(
         if objective == "edm":
             for i, ds in enumerate(dataset_names):
                 key = jax.random.fold_in(rng, i)
-                y_noised, sigma, weight = edm_training_targets(key, y[ds], edm)
+                y_noised, sigma, weight = edm_training_targets(
+                    key, y[ds], edm, sigma_dist=sigma_dist
+                )
                 _, _, c_in, c_noise = edm_preconditioning(sigma, edm.sigma_data)
                 f_out = model.apply(
                     params,
@@ -85,12 +103,22 @@ def make_transport_step_fns(
                 d = edm_denoise(f_out[ds], y_noised, sigma, edm)
                 total = total + losses[ds](jnp.sqrt(weight) * d, jnp.sqrt(weight) * y[ds])
         elif objective == "interpolant":
+            from anemoi_tpu.models.transport.sources import SourceSpec, build_sources
+
             for i, ds in enumerate(dataset_names):
                 key = jax.random.fold_in(rng, i)
                 k_init, k_t = jax.random.split(key)
-                y0 = jax.random.normal(k_init, y[ds].shape, y[ds].dtype)
+                y0 = build_sources(
+                    source,
+                    k_init,
+                    {ds: SourceSpec.from_tensor(y[ds])},
+                    x={ds: batch_pre(batch, ds)},
+                    data_indices=indices,
+                    n_step_output=n_out,
+                )[ds]
                 x_t, t, velocity = interpolant_training_targets(
-                    k_t, y0, y[ds], interpolant_gamma
+                    k_t, y0, y[ds], interpolant_gamma,
+                    beta_schedule=beta_schedule, sigma_schedule=sigma_schedule,
                 )
                 f_out = model.apply(params, x, {ds: x_t}, t[:, 0, :, 0, 0], graph_inputs)
                 total = total + losses[ds](f_out[ds], velocity)

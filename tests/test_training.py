@@ -369,3 +369,28 @@ def test_bf16_fp32_training_agreement(tiny_graph, rng):
     # both descend
     assert fp32[-1][0] < fp32[0][0]
     assert bf16[-1][0] < bf16[0][0]
+
+
+def test_trainer_transport_task(tmp_path):
+    """training.task='transport' routes the trainer to the transport step
+    (EDM + interpolant-with-sources paths both train through the full loop)."""
+    from anemoi_tpu.training.trainer import AnemoiTrainer
+
+    for tcfg in (
+        {"objective": "edm", "sigma_dist": {"kind": "karras"}},
+        {"objective": "interpolant", "source": "gaussian",
+         "interpolant_gamma": 0.3},
+    ):
+        cfg = make_config(tmp_path)
+        cfg["model"]["name"] = "AnemoiTransportModelEncProcDec"
+        cfg["model"]["noise_embed_dim"] = 8
+        cfg["model"]["processor"]["conditional"] = True
+        cfg["model"].pop("trainable_parameters", None)
+        cfg["training"]["task"] = "transport"
+        cfg["training"]["transport"] = tcfg
+        cfg["training"]["max_epochs"] = 1
+        cfg["training"]["rollout"] = {"start": 1}
+        out = str(tmp_path / f"out_{tcfg['objective']}")
+        trainer = AnemoiTrainer(cfg, output_dir=out)
+        res = trainer.train()
+        assert np.isfinite(res["final_loss"]), res

@@ -137,3 +137,113 @@ def test_transport_training_and_sampling(tiny_graph, rng):
     sample = generate(state2.params, xw, jax.random.PRNGKey(3))
     assert sample["data"].shape == (1, 1, 1, n_grid, 4)
     assert np.isfinite(np.asarray(sample["data"])).all()
+
+
+def test_paths_match_schedules():
+    """karras_sigma_from_unit_time at the grid == the sampling schedule."""
+    from anemoi_tpu.models.transport.paths import (
+        edm_loss_weight, karras_sigma_from_unit_time, unit_time_grid,
+    )
+    from anemoi_tpu.models.transport.schedules import karras_sigma_schedule
+
+    t = np.linspace(0, 1, 8)
+    s = karras_sigma_from_unit_time(t, sigma_max=88.0, sigma_min=0.02, rho=7.0)
+    ref = karras_sigma_schedule(8, 0.02, 88.0, 7.0)[:-1]  # drop terminal 0
+    np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-5)
+    assert float(edm_loss_weight(jnp.asarray(1.0), 1.0)) == pytest.approx(2.0)
+    g = unit_time_grid(4)
+    assert g.shape == (5,) and float(g[0]) == 0.0 and float(g[-1]) == 1.0
+
+
+def test_interpolant_path_derivatives():
+    """sigma_dot is the numerical derivative of sigma along the bridge."""
+    from anemoi_tpu.models.transport import paths
+
+    t = jnp.linspace(0.05, 0.95, 19)
+    eps = 1e-4
+    for schedule in ("brownian_bridge", "quadratic_bridge"):
+        num = (
+            paths.interpolant_sigma(t + eps, schedule=schedule)
+            - paths.interpolant_sigma(t - eps, schedule=schedule)
+        ) / (2 * eps)
+        ana = paths.interpolant_sigma_dot(t, schedule=schedule)
+        np.testing.assert_allclose(np.asarray(num), np.asarray(ana), atol=1e-2)
+    for schedule in ("linear", "quadratic"):
+        num = (
+            paths.interpolant_beta(t + eps, schedule)
+            - paths.interpolant_beta(t - eps, schedule)
+        ) / (2 * eps)
+        np.testing.assert_allclose(
+            np.asarray(num), np.asarray(paths.interpolant_beta_dot(t, schedule)),
+            atol=1e-3,
+        )
+
+
+def test_training_sigma_distributions(rng):
+    from anemoi_tpu.models.transport.schedules import sample_training_sigma_dist
+
+    key = jax.random.PRNGKey(0)
+    for kind in ("lognormal", "karras", "linear", "exponential", "cosine"):
+        s = sample_training_sigma_dist(
+            key, (512,), kind=kind, sigma_min=0.02, sigma_max=88.0
+        )
+        s = np.asarray(s)
+        assert np.isfinite(s).all(), kind
+        assert (s > 0).all(), kind
+        if kind != "lognormal":
+            assert s.max() <= 88.0 + 1e-3 and s.min() >= 0.02 - 1e-6, kind
+    # stratified draw covers the range evenly
+    s = np.asarray(sample_training_sigma_dist(
+        key, (64,), kind="karras", stratified=True))
+    assert s.min() < 0.1 and s.max() > 20.0
+
+
+def test_sources(rng):
+    from anemoi_tpu.data_indices.collection import IndexCollection
+    from anemoi_tpu.models.transport.sources import (
+        SourceSpec, build_sources, sampling_source_specs,
+    )
+
+    key = jax.random.PRNGKey(1)
+    spec = {"data": SourceSpec(shape=(2, 1, 1, 10, 3))}
+    z = build_sources("zero", key, spec)["data"]
+    assert z.shape == (2, 1, 1, 10, 3) and float(jnp.abs(z).max()) == 0.0
+    g = build_sources("gaussian", key, spec)["data"]
+    assert g.shape == (2, 1, 1, 10, 3) and float(jnp.std(g)) == pytest.approx(1.0, abs=0.1)
+
+    # reference_state: prognostic-only outputs come from the latest input
+    n2i = {"a": 0, "b": 1, "f": 2}
+    idx = IndexCollection(n2i, forcing=["f"])
+    x = jnp.asarray(rng.normal(size=(2, 2, 1, 10, 3)), jnp.float32)
+    out = build_sources(
+        "reference_state", key, spec, x={"data": x},
+        data_indices={"data": idx}, n_step_output=1,
+    )["data"]
+    assert out.shape == (2, 1, 1, 10, 2)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(x[:, -1, ..., :2]))
+
+    # diagnostic output -> reference_state must refuse
+    idx_bad = IndexCollection(n2i, diagnostic=["b"])
+    with pytest.raises(ValueError, match="reference_state"):
+        build_sources(
+            "reference_state", key, spec, x={"data": x},
+            data_indices={"data": idx_bad}, n_step_output=1,
+        )
+
+    specs = sampling_source_specs(
+        {"data": x}, n_step_output=2, num_output_channels={"data": 2}
+    )
+    assert specs["data"].shape == (2, 2, 1, 10, 2)
+
+
+def test_randn_grid_sharded_consistency():
+    from anemoi_tpu.models.transport.random_fields import randn_grid_sharded
+
+    key = jax.random.PRNGKey(3)
+    full = randn_grid_sharded(key, (2, 16, 4))
+    shards = [
+        randn_grid_sharded(key, (2, 16, 4), shard_sizes=(4, 4, 4, 4), shard_index=i)
+        for i in range(4)
+    ]
+    rebuilt = jnp.concatenate(shards, axis=-2)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(rebuilt))

@@ -1,0 +1,142 @@
+"""Benchmark the fused paged Pallas GT-attention kernel against the padded
+XLA path at flagship processor scale (ico-5 multiscale mesh, 512ch/16 heads).
+
+Each path runs in its preferred node order: degree-sorted + bucketed tables
+for the padded path, space-filling-curve order for the paged kernel.
+
+Run on the TPU: python tools/bench_paged.py [fwd|grad]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def spatial_order(coords_rad: np.ndarray) -> np.ndarray:
+    from tools.band_analysis import cube_morton_order
+
+    lats = np.rad2deg(coords_rad[:, 0])
+    lons = np.rad2deg(coords_rad[:, 1])
+    return cube_morton_order(lats, lons)
+
+
+def time_fn(fn, *args, steps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / steps * 1000
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "grad"
+    level = int(os.environ.get("BENCH_MESH_LEVEL", "5"))
+    hd = int(os.environ.get("BENCH_CHANNELS", "512"))
+    h = int(os.environ.get("BENCH_HEADS", "16"))
+    dtype = jnp.bfloat16
+
+    from anemoi_tpu.graphs.create import GraphCreator
+    from anemoi_tpu.ops.padded import (
+        PaddedCSR, build_bucketed_tables, padded_gt_attention_bucketed,
+    )
+    from anemoi_tpu.ops.pallas.paged_gt import (
+        PagedTables, build_paged_csr, paged_gt_attention_flat,
+    )
+
+    recipe = {
+        "nodes": {"hidden": {"node_builder": {"name": "TriNodes", "resolution": level}}},
+        "edges": [
+            {"source_name": "hidden", "target_name": "hidden",
+             "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1}},
+        ],
+        "post_processors": [
+            {"name": "SortNodesByIncomingDegree", "nodes_name": "hidden"},
+        ],
+    }
+    g_deg = GraphCreator(recipe).create()
+    es = g_deg.edges[("hidden", "hidden")]
+    n = g_deg["hidden"].num_nodes
+    ei_deg, ptr_deg = es.edge_index, es.dst_ptr
+    e_cnt = ei_deg.shape[1]
+    print(f"mesh: {n} nodes, {e_cnt} edges", file=sys.stderr)
+
+    # paged tables in spatial order
+    recipe.pop("post_processors")
+    g_sp = GraphCreator(recipe).create()
+    order = spatial_order(g_sp["hidden"].coords)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    ei_sp0 = g_sp.edges[("hidden", "hidden")].edge_index
+    src_sp, dst_sp = rank[ei_sp0[0]], rank[ei_sp0[1]]
+    o = np.lexsort((src_sp, dst_sp))
+    ei_sp = np.stack([src_sp[o], dst_sp[o]])
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(n, hd)), dtype)
+    k = jnp.asarray(rng.normal(size=(n, hd)), dtype)
+    v = jnp.asarray(rng.normal(size=(n, hd)), dtype)
+    e_feat = rng.normal(size=(e_cnt, hd)).astype(np.float32)
+
+    # --- padded path (degree-sorted, bucketed, fused backward)
+    tables, spans, src_tables, src_spans, src_rank = build_bucketed_tables(
+        ei_deg, ptr_deg, num_src=n, sort_src_by_out_degree=True
+    )
+    e_dev = jnp.asarray(e_feat, dtype)
+
+    def padded_fwd(q, k, v, e):
+        return padded_gt_attention_bucketed(
+            q, k, v, e, h, tables, spans, src_tables, src_spans, src_rank
+        )
+
+    def padded_loss(q, k, v, e):
+        return jnp.sum(padded_fwd(q, k, v, e).astype(jnp.float32))
+
+    # --- paged kernel (spatial order)
+    import ast
+    combos = ast.literal_eval(os.environ.get(
+        "PAGED_COMBOS",
+        "((128,256,128),(128,512,256),(256,512,256),(256,1024,256),(512,512,256),(256,512,512))",
+    ))
+    for bd, page, r in combos:
+        pcsr = build_paged_csr(ei_sp, n, n, bd=bd, page=page, r=r)
+        waste = pcsr.num_flat / e_cnt
+        print(f"paged bd={bd} page={page} r={r}: slots={pcsr.num_slots} "
+              f"pad={waste:.2f}x", file=sys.stderr)
+        e_slots = jnp.asarray(pcsr.pad_edge_array(e_feat), dtype)
+        tab = PagedTables.from_csr(pcsr)
+
+        def paged_fwd(q, k, v, e_s, tab=tab):
+            return paged_gt_attention_flat(q, k, v, e_s, h, tab)
+
+        def paged_loss(q, k, v, e_s, tab=tab):
+            return jnp.sum(paged_fwd(q, k, v, e_s, tab).astype(jnp.float32))
+
+        if mode == "fwd":
+            ms = time_fn(jax.jit(paged_fwd), q, k, v, e_slots)
+        else:
+            ms = time_fn(jax.jit(jax.grad(paged_loss, argnums=(0, 1, 2, 3))),
+                         q, k, v, e_slots)
+        print(f"  paged {mode}: {ms:.3f} ms")
+
+    if mode == "fwd":
+        ms = time_fn(jax.jit(padded_fwd), q, k, v, e_dev)
+    else:
+        ms = time_fn(jax.jit(jax.grad(padded_loss, argnums=(0, 1, 2, 3))),
+                     q, k, v, e_dev)
+    print(f"padded {mode}: {ms:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
