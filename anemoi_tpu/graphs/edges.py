@@ -101,6 +101,34 @@ def mutual_knn_edges(graph: Graph, source_name: str, target_name: str, num_neare
     return rev[:, keep]
 
 
+@edge_builder_registry.register("HEALPixMultiScaleEdges")
+def healpix_multi_scale_edges(
+    graph: Graph,
+    source_name: str,
+    target_name: str,
+    scale_resolutions=None,
+    resolution: Optional[int] = None,
+) -> np.ndarray:
+    """HEALPix multi-scale mesh edges (ref: edges/builders/healpix.py:21-60).
+
+    Requires nested-scheme ``HEALPixNodes``; unions the 8-neighbour pixel
+    adjacency over ``scale_resolutions`` with coarse indices mapped to their
+    first fine descendant (nested index * 4^(res_diff))."""
+    from anemoi_tpu.graphs.generate.healpix import healpix_multiscale_edges
+
+    assert source_name == target_name, (
+        "HEALPixMultiScaleEdges connect a node set to itself."
+    )
+    num_nodes = graph[source_name].num_nodes
+    if resolution is None:
+        r = int(round(np.log(num_nodes / 12.0) / np.log(4.0)))
+        assert 12 * 4**r == num_nodes, (
+            f"Cannot infer HEALPix resolution from {num_nodes} nodes; pass resolution="
+        )
+        resolution = r
+    return healpix_multiscale_edges(resolution, scale_resolutions)
+
+
 @edge_builder_registry.register("MultiScaleEdges")
 def multi_scale_edges(
     graph: Graph,

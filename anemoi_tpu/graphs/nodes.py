@@ -110,8 +110,17 @@ def tri_nodes(resolution: int) -> np.ndarray:
 
 
 @node_builder_registry.register("HEALPixNodes")
-def healpix_nodes(resolution: int) -> np.ndarray:
-    """HEALPix nodes; resolution is log2(nside) (ref: from_healpix.py:23)."""
+def healpix_nodes(resolution: int, scheme: str = "nested") -> np.ndarray:
+    """HEALPix nodes; resolution is log2(nside) (ref: from_healpix.py:23).
+
+    ``scheme='nested'`` (default) matches the indexing HEALPixMultiScaleEdges
+    needs (coarse pixel c's first fine descendant is c*4^k); 'ring' keeps the
+    analytic ring order."""
+    if scheme == "nested":
+        from anemoi_tpu.graphs.generate.healpix import healpix_grid_nested
+
+        return healpix_grid_nested(2**resolution)
+    assert scheme == "ring", f"unknown HEALPix scheme '{scheme}'"
     return healpix_grid(2**resolution)
 
 

@@ -16,10 +16,12 @@ kernel is built from three TPU-native mechanisms instead:
 
 2. **One-hot matmul gathers** -- within a (dst-block, page) *slot* of up to
    ``r`` edges, rows are gathered from the VMEM-resident page by an
-   iota-compare one-hot [r, page] matmul: contraction width 128 is a perfect
+   iota-compare one-hot [r, page] matmul: contraction width >=128 is a perfect
    MXU tile, and 0/1 x bf16 products are exact.  The same trick broadcasts
    per-destination quantities to edge rows (``oq @ x``) and reduces edge rows
-   to destinations (``dot(oq, x, contract rows)``).
+   to destinations (``dot(oq, x, contract rows)``).  Per-head H -> H*D lane
+   broadcasts are one-hot matmuls too (exact for bf16 values and for the
+   power-of-two shift corrections).
 
 3. **Mean-shift online softmax** -- softmax needs a per-destination shift, but
    a per-destination *max* cannot be produced by matmuls.  Softmax is
@@ -27,8 +29,9 @@ kernel is built from three TPU-native mechanisms instead:
    (computable with one-hot matmuls) as the stabiliser, maintained online
    across slots with flash-attention-style accumulator corrections.  This is
    exact (not an approximation); it only requires the within-destination
-   logit spread to stay inside the fp32 exp range (~1e38), which any sane
-   attention distribution satisfies.
+   logit spread to stay inside the fp32 exp range, which any trained attention
+   distribution satisfies.  With qk-norm (bounded logits) the shift machinery
+   can be compiled out entirely (``stabilize=False``).
 
 The grid is a ragged 1-D walk over the slots of all destination blocks (no
 padding to a max page count per block): per-block accumulators live in VMEM
@@ -41,10 +44,12 @@ are added to gathered k and v in VMEM -- per-edge attention bias costs no
 scatter at all.
 
 Backward (same two-pass structure as the reference Triton kernel, re-derived
-for gather-only hardware): one kernel accumulates dq per destination block and
-writes per-slot dkv rows contiguously; the slot-space kv grads are then
-reduced to source nodes by the existing src-range gather tables
-(ops/padded.py), and d_edge is a pure slice-add.  No scatter appears anywhere.
+for gather-only hardware): the first kernel walks slots in forward order,
+accumulating dq per destination block and writing per-slot dkv rows
+contiguously (these ARE the edge-feature grads); the second kernel walks the
+same slots sorted by PAGE, reducing the slot-space kv grads into source nodes
+with transposed one-hot matmuls and revolving page outputs.  No scatter
+appears anywhere, and no XLA-side gather reduction is needed.
 """
 
 from __future__ import annotations
@@ -77,16 +82,14 @@ class PagedCSR:
     page_ids: np.ndarray  # [S] int32 src page per slot
     idx: np.ndarray  # [S, 2, r] int32: [s,0]=within-page col (pad=page),
     #                                  [s,1]=within-block dst row (pad=bd)
+    visit_slot: np.ndarray  # [S] slot ids sorted by page (backward kv walk)
+    visit_page: np.ndarray  # [S] page of each visit (non-decreasing)
     slot_pos: np.ndarray  # [E] flat slot-space position of each ORIGINAL edge
     num_src: int
     num_dst: int
     bd: int
     page: int
     r: int
-    # src-side reduction tables over the slot space (backward kv grads)
-    src_tables: tuple  # per src-range (slots, mask) jnp arrays
-    src_spans: tuple  # per src-range (lo, hi, k_out) static ints
-    src_rank: Optional[np.ndarray]  # [num_src] un-permutation of reduction rows
 
     @property
     def num_slots(self) -> int:
@@ -109,16 +112,13 @@ def build_paged_csr(
     num_src: int,
     num_dst: int,
     bd: int = 128,
-    page: int = 128,
+    page: int = 256,
     r: int = 128,
-    max_src_buckets: int = 3,
 ) -> PagedCSR:
     """Build slot tables from edges in their canonical (dst-sorted) order.
 
     Slots are the ragged list of (dst-block, src-page) pairs, each holding at
     most ``r`` edges (larger pairs repeat the page over several slots)."""
-    from anemoi_tpu.ops.padded import compute_buckets, _round_up
-
     src = np.asarray(edge_index[0], dtype=np.int64)
     dst = np.asarray(edge_index[1], dtype=np.int64)
     e = len(src)
@@ -137,7 +137,7 @@ def build_paged_csr(
     within_pair = np.arange(e) - pair_start[pair_id]
     slot_in_pair = within_pair // r
     within_slot = within_pair % r
-    # global slot ids: pairs expand to ceil(count)/r slots each
+    # global slot ids: pairs expand to ceil(count/r) slots each
     pair_counts = np.diff(np.append(pair_start, e))
     pair_slots = -(-pair_counts // r)
     pair_slot_offset = np.concatenate([[0], np.cumsum(pair_slots)])[:-1]
@@ -160,45 +160,44 @@ def build_paged_csr(
     slot_pos = np.zeros(e, dtype=np.int64)
     slot_pos[order] = slot_of_edge * r + within_slot
 
-    # src-side reduction tables over the flat slot space (same range-bucketed
-    # gather-only transpose as ops/padded.build_bucketed_tables, with the
-    # virtual out-degree sort so spatially-ordered hubs do not blow up k_out)
-    total = num_slots * r
-    out_deg = np.bincount(src, minlength=num_src)
-    src_order = np.argsort(-out_deg, kind="stable")
-    src_rank_np = np.empty(num_src, dtype=np.int64)
-    src_rank_np[src_order] = np.arange(num_src)
-    out_deg_rows = out_deg[src_order]
-    k_out = int(max(1, out_deg.max() if e else 1))
-    src_gather = np.full((num_src, k_out), total, dtype=np.int32)
-    src_mask = np.zeros((num_src, k_out), dtype=bool)
-    so = np.argsort(src, kind="stable")
-    src_sorted = src[so]
-    src_ptr = np.zeros(num_src + 1, dtype=np.int64)
-    np.cumsum(out_deg, out=src_ptr[1:])
-    within_src = np.arange(e) - src_ptr[src_sorted]
-    src_gather[src_rank_np[src_sorted], within_src] = slot_pos[so].astype(np.int32)
-    src_mask[src_rank_np[src_sorted], within_src] = True
-    src_buckets = compute_buckets(out_deg_rows, max_src_buckets, 8, 1)
-    src_tables = tuple(
-        (jnp.asarray(src_gather[lo:hi, :k]), jnp.asarray(src_mask[lo:hi, :k]))
-        for lo, hi, k in src_buckets
+    # one sentinel all-pad slot at the end: the reduction walk visits it for
+    # every source page that has NO edges, so those output pages are written
+    # with zeros instead of being left as uninitialised memory
+    n_pages = _cdiv(max(num_src, 1), page)
+    sentinel = num_slots
+    blk_ids = np.append(blk_ids, blk_ids[-1]).astype(np.int32)
+    page_ids = np.append(page_ids, page_ids[-1]).astype(np.int32)
+    idx = np.concatenate([idx, np.zeros_like(idx[:1])], axis=0)
+    idx[sentinel, 0, :] = page
+    idx[sentinel, 1, :] = bd
+    num_slots += 1
+
+    # backward kv-reduction walk: the slots sorted by page, plus one sentinel
+    # visit per empty page
+    empty_pages = np.setdiff1d(
+        np.arange(n_pages, dtype=np.int32), page_ids[:sentinel]
     )
-    src_spans = tuple((int(lo), int(hi), int(k)) for lo, hi, k in src_buckets)
+    walk_slots = np.concatenate(
+        [np.arange(sentinel, dtype=np.int32),
+         np.full(len(empty_pages), sentinel, dtype=np.int32)]
+    )
+    walk_pages = np.concatenate([page_ids[:sentinel], empty_pages])
+    vo = np.argsort(walk_pages, kind="stable")
+    visit_slot = walk_slots[vo].astype(np.int32)
+    visit_page = walk_pages[vo].astype(np.int32)
 
     return PagedCSR(
         blk_ids=blk_ids,
         page_ids=page_ids,
         idx=idx,
+        visit_slot=visit_slot,
+        visit_page=visit_page,
         slot_pos=slot_pos,
         num_src=num_src,
         num_dst=num_dst,
         bd=bd,
         page=page,
         r=r,
-        src_tables=src_tables,
-        src_spans=src_spans,
-        src_rank=jnp.asarray(src_rank_np.astype(np.int32)),
     )
 
 
@@ -210,12 +209,11 @@ class PagedTables:
     blk_ids: jnp.ndarray  # [S] int32
     page_ids: jnp.ndarray  # [S] int32
     idx: jnp.ndarray  # [S, 2, r] int32
-    src_tables: tuple  # ((slots, mask), ...)
-    src_rank: jnp.ndarray  # [num_src] int32
+    visit_slot: jnp.ndarray  # [S] int32
+    visit_page: jnp.ndarray  # [S] int32
     # static (aux) fields
-    src_spans: tuple = ()
     bd: int = 128
-    page: int = 128
+    page: int = 256
     r: int = 128
     num_src: int = 0
     num_dst: int = 0
@@ -226,9 +224,8 @@ class PagedTables:
             blk_ids=jnp.asarray(csr.blk_ids),
             page_ids=jnp.asarray(csr.page_ids),
             idx=jnp.asarray(csr.idx),
-            src_tables=csr.src_tables,
-            src_rank=csr.src_rank,
-            src_spans=csr.src_spans,
+            visit_slot=jnp.asarray(csr.visit_slot),
+            visit_page=jnp.asarray(csr.visit_page),
             bd=csr.bd,
             page=csr.page,
             r=csr.r,
@@ -241,10 +238,9 @@ class PagedTables:
         return int(self.blk_ids.shape[0])
 
     def tree_flatten(self):
-        children = (self.blk_ids, self.page_ids, self.idx, self.src_tables,
-                    self.src_rank)
-        aux = (self.src_spans, self.bd, self.page, self.r, self.num_src,
-               self.num_dst)
+        children = (self.blk_ids, self.page_ids, self.idx, self.visit_slot,
+                    self.visit_page)
+        aux = (self.bd, self.page, self.r, self.num_src, self.num_dst)
         return children, aux
 
     @classmethod
@@ -264,6 +260,11 @@ def _indicator(hd: int, h: int, dtype):
 
 
 def _indicator_t(hd: int, h: int, dtype):
+    """[H, HD] transpose indicator: one-hot matmul broadcast H -> H*D lanes.
+
+    Exact for bf16 operands (each output element is a single 1.0*x product);
+    f32 values must be power-of-two (see the shift quantisation below) to
+    survive the bf16 cast."""
     d = hd // h
     row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1)
@@ -303,11 +304,11 @@ def _fwd_kernel(
     q_ref,  # [bd, HD]
     kv_ref,  # [page, 2HD]
     e_ref,  # [r, HD]
-    out_ref,  # [bd, HD] (revolving)
-    lse_ref,  # [bd, H]  (revolving)
-    acc_ref, den_ref, suml_ref, cnt_ref, shift_ref,  # scratch
+    out_ref,  # [bd, HD] numerator, fp32 (revolving)
+    lse_ref,  # [bd, 2H] = [log-sum-exp | denominator] (revolving)
+    acc_ref, den_ref, stat_ref, shift_ref,  # scratch
     *, hd: int, h: int, bd: int, page: int, r: int, scale: float,
-    nd: int, ns: int,
+    nd: int, ns: int, stabilize: bool,
 ):
     s = pl.program_id(0)
     n_s = pl.num_programs(0)
@@ -316,14 +317,15 @@ def _fwd_kernel(
     last = jnp.logical_or(
         s == n_s - 1, blk_ref[jnp.minimum(s + 1, n_s - 1)] != blk_here
     )
+    d = hd // h
 
     @pl.when(first)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         den_ref[:] = jnp.zeros_like(den_ref)
-        suml_ref[:] = jnp.zeros_like(suml_ref)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
-        shift_ref[:] = jnp.zeros_like(shift_ref)
+        if stabilize:
+            stat_ref[:] = jnp.zeros_like(stat_ref)
+            shift_ref[:] = jnp.zeros_like(shift_ref)
 
     cols = idx_ref[0, 0, :]
     drows = idx_ref[0, 1, :]
@@ -347,28 +349,46 @@ def _fwd_kernel(
     g_red = _indicator(hd, h, cdtype)
     l = _dot((qrows * keff), g_red) * scale  # [r, H] fp32
     l = jnp.where(valid, l, 0.0)
-    valid_h = jnp.broadcast_to(valid, (r, h)).astype(cdtype)
 
-    # online mean-shift softmax
-    suml_ref[:] += _dot_t(oq, l.astype(cdtype))
-    cnt_ref[:] += _dot_t(oq, valid_h)
-    s_new = suml_ref[:] / jnp.maximum(cnt_ref[:], 1.0)
-    corr = jnp.exp(shift_ref[:] - s_new)  # [bd, H] fp32
-    shift_ref[:] = s_new
-
-    srows = _dot(oq.astype(jnp.float32), s_new)  # [r, H]
-    p = jnp.where(valid, jnp.exp(l - srows), 0.0)  # [r, H] fp32
-    den_ref[:] = den_ref[:] * corr + _dot_t(oq, p.astype(cdtype))
     g_red_t = _indicator_t(hd, h, cdtype)
-    prep = _dot(p.astype(cdtype), g_red_t).astype(cdtype)  # [r, HD]
-    corr_rep = _dot(corr, g_red_t.astype(jnp.float32))  # [bd, HD]
-    acc_ref[:] = acc_ref[:] * corr_rep + _dot_t(oq, prep * veff)
+    if stabilize:
+        # online mean-shift softmax: accumulate [sum_l | count] in ONE matmul.
+        # The shift is quantised to multiples of ln2 so the accumulator
+        # correction is an exact power of two -- representable in bf16, hence
+        # the one-hot H->HD broadcast matmul is EXACT (softmax is invariant
+        # to the choice of shift, so quantising it costs nothing).
+        valid_h = jnp.broadcast_to(valid, (r, h)).astype(cdtype)
+        stat_ref[:] += _dot_t(oq, jnp.concatenate([l.astype(cdtype), valid_h], 1))
+        s_raw = stat_ref[:, :h] / jnp.maximum(stat_ref[:, h:], 1.0)
+        ln2 = 0.6931471805599453
+        k_steps = jnp.round((s_raw - shift_ref[:]) / ln2)
+        s_new = shift_ref[:] + k_steps * ln2
+        corr = jnp.exp2(-k_steps)  # exact powers of two [bd, H] fp32
+        shift_ref[:] = s_new
+        srows = _dot(oq.astype(jnp.float32), s_new)  # [r, H]
+        p = jnp.where(valid, jnp.exp(l - srows), 0.0)  # [r, H] fp32
+        den_ref[:] = den_ref[:] * corr + _dot_t(oq, p.astype(cdtype))
+        prep = _dot(p.astype(cdtype), g_red_t).astype(cdtype)  # exact bf16
+        corr_rep = _dot(corr.astype(cdtype), g_red_t)  # exact (powers of two)
+        acc_ref[:] = acc_ref[:] * corr_rep + _dot_t(oq, prep * veff)
+    else:
+        # bounded logits (qk-norm): no shift machinery at all
+        p = jnp.where(valid, jnp.exp(l), 0.0)
+        prep = _dot(p.astype(cdtype), g_red_t).astype(cdtype)
+        den_ref[:] += _dot_t(oq, p.astype(cdtype))
+        acc_ref[:] += _dot_t(oq, prep * veff)
 
     @pl.when(last)
     def _():
-        den_rep = _dot(den_ref[:], g_red_t.astype(jnp.float32))
-        out_ref[:] = (acc_ref[:] / jnp.maximum(den_rep, 1e-30)).astype(out_ref.dtype)
-        lse_ref[:] = shift_ref[:] + jnp.log(jnp.maximum(den_ref[:], 1e-30))
+        # numerator and denominator are emitted separately; the cheap
+        # [N, H] -> [N, HD] broadcast division happens on the XLA side
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        den = jnp.maximum(den_ref[:], 1e-30)
+        lse = jnp.log(den)
+        if stabilize:
+            lse = lse + shift_ref[:]
+        lse_ref[:, :h] = lse
+        lse_ref[:, h:] = den
 
 
 def _bwd_kernel(
@@ -387,6 +407,7 @@ def _bwd_kernel(
     last = jnp.logical_or(
         s == n_s - 1, blk_ref[jnp.minimum(s + 1, n_s - 1)] != blk_here
     )
+    d = hd // h
 
     @pl.when(first)
     def _():
@@ -410,15 +431,14 @@ def _bwd_kernel(
     qrows = _dot(oq, _clean_rows(q_ref, blk_here, bd, nd)).astype(cdtype)
 
     g_red = _indicator(hd, h, cdtype)
-    g_red_t = _indicator_t(hd, h, cdtype)
     l = _dot((qrows * keff), g_red) * scale  # [r, H] fp32
     lse_rows = _dot(oq.astype(jnp.float32), _clean_rows(lse_ref, blk_here, bd, nd))
     alpha = jnp.where(valid, jnp.exp(l - lse_rows), 0.0)  # [r, H] fp32
     alpha_c = alpha.astype(cdtype)
 
+    g_red_t = _indicator_t(hd, h, cdtype)
     grows = _dot(oq, _clean_rows(g_ref, blk_here, bd, nd)).astype(cdtype)  # [r, HD]
-    alpha_rep = _dot(alpha_c, g_red_t).astype(cdtype)
-    dveff = alpha_rep * grows  # [r, HD]
+    dveff = _dot(alpha_c, g_red_t).astype(cdtype) * grows  # [r, HD]
     dalpha = _dot((grows * veff), g_red)  # [r, H] fp32
     delta_rows = _dot(
         oq.astype(jnp.float32), _clean_rows(delta_ref, blk_here, bd, nd)
@@ -435,6 +455,41 @@ def _bwd_kernel(
         dq_ref[:] = dq_acc[:].astype(dq_ref.dtype)
 
 
+def _reduce_kernel(
+    visit_slot_ref, visit_page_ref,  # scalar prefetch [S]
+    idx_ref,  # [1, 2, r] of the visited slot
+    dkv_ref,  # [r, 2HD] of the visited slot
+    out_ref,  # [page, 2HD] (revolving over pages)
+    acc_ref,  # scratch [page, 2HD] fp32
+    *, page: int, r: int,
+):
+    """Reduce per-slot kv grads into source nodes: walk slots sorted by page,
+    accumulate og^T @ dkv_rows per page, flush on page change."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    pg_here = visit_page_ref[t]
+    first = jnp.logical_or(
+        t == 0, visit_page_ref[jnp.maximum(t - 1, 0)] != pg_here
+    )
+    last = jnp.logical_or(
+        t == n_t - 1, visit_page_ref[jnp.minimum(t + 1, n_t - 1)] != pg_here
+    )
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cols = idx_ref[0, 0, :]
+    og = (
+        cols[:, None] == jax.lax.broadcasted_iota(jnp.int32, (r, page), 1)
+    ).astype(dkv_ref.dtype)
+    acc_ref[:] += _dot_t(og, dkv_ref[:])
+
+    @pl.when(last)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 # ----------------------------------------------------------------------
 # pallas_call wrappers
 # ----------------------------------------------------------------------
@@ -442,7 +497,8 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int, interpret: bool):
+def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int,
+              interpret: bool, stabilize: bool = True):
     nd, hd = q.shape
     bd, page, r = tables.bd, tables.page, tables.r
     s_tot = tables.num_slots
@@ -450,7 +506,7 @@ def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int, interpret: bo
     scale = 1.0 / float(np.sqrt(hd // h))
     kernel = functools.partial(
         _fwd_kernel, hd=hd, h=h, bd=bd, page=page, r=r, scale=scale,
-        nd=nd, ns=kv.shape[0],
+        nd=nd, ns=kv.shape[0], stabilize=stabilize,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -463,27 +519,30 @@ def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int, interpret: bo
         ],
         out_specs=(
             pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
-            pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
+            pl.BlockSpec((bd, 2 * h), lambda s, blk, pg: (blk[s], 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((bd, hd), jnp.float32),
             pltpu.VMEM((bd, h), jnp.float32),
-            pltpu.VMEM((bd, h), jnp.float32),
-            pltpu.VMEM((bd, h), jnp.float32),
+            pltpu.VMEM((bd, 2 * h), jnp.float32),
             pltpu.VMEM((bd, h), jnp.float32),
         ],
     )
     nd_pad = _cdiv(nd, bd) * bd
-    out, lse = pl.pallas_call(
+    num, lse_den = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((nd_pad, hd), q.dtype),
-            jax.ShapeDtypeStruct((nd_pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((nd_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((nd_pad, 2 * h), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots)
-    return out[:nd], lse[:nd]
+    lse = lse_den[:nd, :h]
+    den = lse_den[:nd, h:]
+    d = hd // h
+    out = (num[:nd] / jnp.repeat(den, d, axis=-1)).astype(q.dtype)
+    return out, lse
 
 
 def _bwd_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
@@ -528,21 +587,30 @@ def _bwd_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
     return dq[:nd], dkv
 
 
-def _reduce_slots_to_src(dkv_flat, tables: PagedTables):
-    """Gather-only reduction of per-slot kv grads to source nodes (the same
-    src-range pattern as ops/padded._gt_bucketed_bwd)."""
-    two_hd = dkv_flat.shape[-1]
-    padded = jnp.concatenate(
-        [dkv_flat, jnp.zeros((1, two_hd), dkv_flat.dtype)], axis=0
+def _reduce_call(dkv, tables: PagedTables, interpret: bool):
+    """[num_flat, 2HD] slot grads -> [num_src, 2HD] via the page-walk kernel."""
+    two_hd = dkv.shape[-1]
+    page, r = tables.page, tables.r
+    n_visits = int(tables.visit_slot.shape[0])
+    kernel = functools.partial(_reduce_kernel, page=page, r=r)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_visits,),
+        in_specs=[
+            pl.BlockSpec((1, 2, r), lambda t, vs, vp: (vs[t], 0, 0)),
+            pl.BlockSpec((r, two_hd), lambda t, vs, vp: (vs[t], 0)),
+        ],
+        out_specs=pl.BlockSpec((page, two_hd), lambda t, vs, vp: (vp[t], 0)),
+        scratch_shapes=[pltpu.VMEM((page, two_hd), jnp.float32)],
     )
-    parts = []
-    for (lo, hi, k_r), (slots, mask) in zip(tables.src_spans, tables.src_tables):
-        gathered = jnp.take(padded, slots.reshape(-1), axis=0).reshape(
-            hi - lo, k_r, two_hd
-        )
-        parts.append(jnp.sum(jnp.where(mask[..., None], gathered, 0.0), axis=1))
-    out = jnp.concatenate(parts, axis=0)
-    return jnp.take(out, tables.src_rank, axis=0)
+    ns_pad = _cdiv(tables.num_src, page) * page
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ns_pad, two_hd), dkv.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tables.visit_slot, tables.visit_page, tables.idx, dkv)
+    return out[: tables.num_src]
 
 
 # ----------------------------------------------------------------------
@@ -564,26 +632,33 @@ def _host_indicator(hd, h, dtype):
     return jnp.asarray(g, dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def paged_gt_attention_flat(query, key, value, e_slots, num_heads, tables):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 6))
+def paged_gt_attention_flat(query, key, value, e_slots, num_heads, tables,
+                            stabilize=True):
     """query [Nd, HD]; key/value [Ns, HD]; e_slots [num_slots*r, HD] in slot
-    layout (PagedCSR.pad_edge_array).  Returns [Nd, HD]."""
-    out, _ = _paged_fwd_impl(query, key, value, e_slots, num_heads, tables)
+    layout (PagedCSR.pad_edge_array).  Returns [Nd, HD].
+
+    ``stabilize=False`` drops the in-kernel softmax shift (exact only while
+    logits stay inside the fp32 exp range -- safe with qk-norm)."""
+    out, _ = _paged_fwd_impl(query, key, value, e_slots, num_heads, tables,
+                             stabilize)
     return out
 
 
-def _paged_fwd_impl(query, key, value, e_slots, num_heads, tables):
+def _paged_fwd_impl(query, key, value, e_slots, num_heads, tables, stabilize):
     kv = jnp.concatenate([key, value], axis=-1)
-    out, lse = _fwd_call(query, kv, e_slots, tables, num_heads, _INTERPRET)
+    out, lse = _fwd_call(query, kv, e_slots, tables, num_heads, _INTERPRET,
+                         stabilize)
     return out, (query, kv, e_slots, out, lse, tables)
 
 
-def _paged_fwd_vjp(query, key, value, e_slots, num_heads, tables):
-    out, res = _paged_fwd_impl(query, key, value, e_slots, num_heads, tables)
+def _paged_fwd_vjp(query, key, value, e_slots, num_heads, tables, stabilize):
+    out, res = _paged_fwd_impl(query, key, value, e_slots, num_heads, tables,
+                               stabilize)
     return out, res
 
 
-def _paged_bwd(num_heads, res, g):
+def _paged_bwd(num_heads, stabilize, res, g):
     query, kv, e_slots, out, lse, tables = res
     hd = query.shape[-1]
     g_red = _host_indicator(hd, num_heads, jnp.float32)
@@ -595,7 +670,7 @@ def _paged_bwd(num_heads, res, g):
         query, kv, e_slots, g.astype(query.dtype), lse, delta, tables,
         num_heads, _INTERPRET,
     )
-    dkv_src = _reduce_slots_to_src(dkv, tables)
+    dkv_src = _reduce_call(dkv, tables, _INTERPRET)
     d_key, d_value = dkv_src[:, :hd], dkv_src[:, hd:]
     d_e = dkv[:, :hd] + dkv[:, hd:]
     return dq, d_key, d_value, d_e, None
@@ -604,7 +679,8 @@ def _paged_bwd(num_heads, res, g):
 paged_gt_attention_flat.defvjp(_paged_fwd_vjp, _paged_bwd)
 
 
-def paged_gt_attention(query, key, value, e_slots, tables: PagedTables):
+def paged_gt_attention(query, key, value, e_slots, tables: PagedTables,
+                       stabilize: bool = True):
     """Head-structured wrapper: q [Nd, H, D]; k/v [Ns, H, D];
     e_slots [num_slots*r, H, D] (slot layout)."""
     n, h, d = query.shape
@@ -615,5 +691,6 @@ def paged_gt_attention(query, key, value, e_slots, tables: PagedTables):
         e_slots.reshape(e_slots.shape[0], h * d),
         h,
         tables,
+        stabilize,
     )
     return out.reshape(n, h, d)

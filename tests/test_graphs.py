@@ -165,3 +165,51 @@ def test_limited_area_tri_nodes():
     tree = BallTree(graph["data"].coords, metric="haversine")
     dist, _ = tree.query(mesh, k=1)
     assert (dist[:, 0] * 6371.0 <= 300.0 + 1e-6).all()
+
+
+def test_healpix_nested_neighbours():
+    """Nested centres match the ring set; vertex-sharing adjacency has the
+    HEALPix structure (degree 8 everywhere except the 24 gore-corner pixels)."""
+    from anemoi_tpu.graphs.generate.healpix import (
+        healpix_grid, healpix_grid_nested, healpix_neighbours,
+    )
+
+    ring = set(map(tuple, np.round(healpix_grid(4), 10)))
+    nest = set(map(tuple, np.round(healpix_grid_nested(4), 10)))
+    assert ring == nest
+    nbr = healpix_neighbours(2)
+    deg = (nbr >= 0).sum(1)
+    counts = dict(zip(*np.unique(deg, return_counts=True)))
+    assert counts == {7: 24, 8: 168}
+    for i in range(nbr.shape[0]):  # symmetry
+        for j in nbr[i][nbr[i] >= 0]:
+            assert i in nbr[j]
+
+
+def test_healpix_multiscale_edges_builder():
+    from anemoi_tpu.graphs.create import GraphCreator
+
+    recipe = {
+        "nodes": {"hidden": {"node_builder": {"name": "HEALPixNodes", "resolution": 3}}},
+        "edges": [
+            {"source_name": "hidden", "target_name": "hidden",
+             "edge_builder": {"name": "HEALPixMultiScaleEdges",
+                              "scale_resolutions": [1, 2, 3]}},
+        ],
+    }
+    g = GraphCreator(recipe).create()
+    es = g.edges[("hidden", "hidden")]
+    assert g["hidden"].num_nodes == 12 * 64
+    assert es.edge_index.max() < 12 * 64
+    # the finest level alone gives ~npix*8 directed edges; multiscale adds more
+    assert es.edge_index.shape[1] > 12 * 64 * 7
+    # coarse edges land on first-descendant pixels (multiples of 4)
+    src, dst = es.edge_index
+    fine_only = GraphCreator({
+        "nodes": recipe["nodes"],
+        "edges": [{"source_name": "hidden", "target_name": "hidden",
+                   "edge_builder": {"name": "HEALPixMultiScaleEdges",
+                                    "scale_resolutions": [3]}}],
+    }).create().edges[("hidden", "hidden")]
+    extra = es.edge_index.shape[1] - fine_only.edge_index.shape[1]
+    assert extra > 0
