@@ -200,15 +200,29 @@ def gaussian_distance_weights(
     source_name: str,
     target_name: str,
     edge_index: np.ndarray,
-    sigma_factor: float = 1.0,
+    sigma_factor: Optional[float] = None,
+    sigma: Optional[float] = None,
     norm: Optional[str] = None,
 ) -> np.ndarray:
-    """exp(-d^2 / (2 sigma^2)), sigma = sigma_factor * mean edge length
-    (ref: attributes.py:363)."""
+    """exp(-d^2 / (2 sigma^2)) (ref: attributes.py:363-375).
+
+    ``sigma`` is absolute (the reference's parameter); ``sigma_factor``
+    scales the mean edge length instead.  Default: sigma_factor=1."""
     src, dst = _edge_coords(graph, source_name, target_name, edge_index)
     d = great_circle_distance(src, dst)
-    sigma = sigma_factor * max(float(d.mean()), 1e-12)
-    w = np.exp(-0.5 * (d / sigma) ** 2)
+    if sigma is None:
+        sigma = (sigma_factor if sigma_factor is not None else 1.0) * max(
+            float(d.mean()), 1e-12
+        )
+    w = np.exp(-0.5 * (d / sigma) ** 2).astype(np.float64)
+    # the reference normalises PER TARGET NODE (norm_by_group=True,
+    # attributes.py:366): a projection matrix needs unit row sums
+    if norm == "l1":
+        dst = edge_index[1]
+        sums = np.zeros(graph[target_name].num_nodes, dtype=np.float64)
+        np.add.at(sums, dst, w)
+        w = w / np.maximum(sums[dst], 1e-30)
+        return w.astype(np.float32)[:, None]
     return normalise(w.astype(np.float32)[:, None], norm)
 
 

@@ -213,3 +213,44 @@ def test_healpix_multiscale_edges_builder():
     }).create().edges[("hidden", "hidden")]
     extra = es.edge_index.shape[1] - fine_only.edge_index.shape[1]
     assert extra > 0
+
+
+def test_projection_builders():
+    from anemoi_tpu.graphs.builders import (
+        build_node_to_node_projection_subgraph,
+        build_smoother_subgraph,
+        build_truncation_subgraph,
+        uses_fused_dataset_graph,
+    )
+    from anemoi_tpu.graphs.create import GraphCreator
+
+    g = GraphCreator({
+        "nodes": {"data": {"node_builder": {"name": "ReducedGaussianGridNodes",
+                                            "grid": "o8"}}},
+        "edges": [],
+    }).create()
+
+    # truncation: data <-> coarse grid, both directions, gaussian weights
+    sub = build_truncation_subgraph(g, "data", {"grid": "o4",
+                                                "num_nearest_neighbours": 3,
+                                                "sigma": 0.2})
+    assert ("data", "truncation") in sub.edges and ("truncation", "data") in sub.edges
+    w = sub[("data", "truncation")].attributes["gauss_weight"]
+    assert w.shape[1] == 1 and (w >= 0).all()
+    # l1 norm: weights sum to ~1 per target
+    dst = sub[("data", "truncation")].edge_index[1]
+    sums = np.zeros(sub["truncation"].num_nodes)
+    np.add.at(sums, dst, w[:, 0])
+    np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+
+    # projection to a NEW grid
+    sub2 = build_node_to_node_projection_subgraph(
+        g, "data", "coarse", {"grid": "o4", "num_nearest_neighbours": 2, "sigma": 0.3})
+    assert ("data", "coarse") in sub2.edges
+    # smoother: self loops
+    sub3 = build_smoother_subgraph(g, "data", {"num_nearest_neighbours": 4, "sigma": 0.1})
+    assert ("data", "data") in sub3.edges
+
+    assert not uses_fused_dataset_graph(g, ["data"])
+    assert uses_fused_dataset_graph(
+        {"nodes": {"era5": {}, "obs": {}}}, ["era5", "obs"])

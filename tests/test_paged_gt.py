@@ -1,0 +1,156 @@
+"""Fused paged GT-attention kernel parity (interpret mode on CPU; the same
+kernel compiles through Mosaic on TPU — tools/bench_paged.py).
+
+Mirrors the reference's Triton parity discipline
+(/root/reference/models/tests/integration/triton/test_triton_gt.py): random
+bipartite graphs, forward + backward allclose against the segment-op
+reference semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anemoi_tpu.ops.pallas import paged_gt
+from anemoi_tpu.ops.pallas.paged_gt import (
+    PALLAS_AVAILABLE,
+    PagedTables,
+    build_paged_csr,
+    paged_gt_attention_flat,
+)
+from anemoi_tpu.ops.segment import graph_transformer_attention
+
+pytestmark = pytest.mark.skipif(not PALLAS_AVAILABLE, reason="pallas unavailable")
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    paged_gt.set_interpret(True)
+    yield
+    paged_gt.set_interpret(False)
+
+
+def random_bipartite(rng, num_src, num_dst, k_mean=5, empty_dst=(), dead_src=()):
+    """Random dst-sorted bipartite edge_index with uneven degrees."""
+    srcs, dsts = [], []
+    alive = np.setdiff1d(np.arange(num_src), np.asarray(dead_src, dtype=int))
+    for dd in range(num_dst):
+        if dd in empty_dst:
+            continue
+        k = int(rng.integers(1, 2 * k_mean))
+        srcs.append(rng.choice(alive, size=min(k, len(alive)), replace=False))
+        dsts.append(np.full(len(srcs[-1]), dd))
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    o = np.lexsort((src, dst))
+    return np.stack([src[o], dst[o]]).astype(np.int64)
+
+
+def _paged(q, k, v, e, h, csr, stabilize=True):
+    e_slots = jnp.asarray(csr.pad_edge_array(np.asarray(e)))
+    tab = PagedTables.from_csr(csr)
+    return paged_gt_attention_flat(q, k, v, e_slots, h, tab, stabilize), e_slots, tab
+
+
+def _ref(q, k, v, e, h, edge_index, num_dst):
+    n, hd = q.shape
+    d = hd // h
+    out = graph_transformer_attention(
+        q.reshape(n, h, d),
+        k.reshape(k.shape[0], h, d),
+        v.reshape(v.shape[0], h, d),
+        e.reshape(e.shape[0], h, d),
+        jnp.asarray(edge_index),
+        num_dst=num_dst,
+    )
+    return out.reshape(num_dst, hd)
+
+
+@pytest.mark.parametrize("stabilize", [True, False])
+def test_paged_forward_matches_segment(rng, stabilize):
+    num_src, num_dst, h, d = 50, 37, 2, 8
+    hd = h * d
+    ei = random_bipartite(rng, num_src, num_dst, empty_dst=(7, 20))
+    e_cnt = ei.shape[1]
+    q = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(e_cnt, hd)), jnp.float32)
+
+    csr = build_paged_csr(ei, num_src, num_dst, bd=8, page=16, r=8)
+    out, _, _ = _paged(q, k, v, e, h, csr, stabilize)
+    ref = _ref(q, k, v, e, h, ei, num_dst)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # destinations with no incoming edges produce zeros in both paths
+    assert np.allclose(np.asarray(out)[7], 0.0)
+
+
+def test_paged_gradients_match_segment(rng):
+    num_src, num_dst, h, d = 40, 29, 2, 8
+    hd = h * d
+    # dead sources exercise the empty-page sentinel visits of the kv-reduce walk
+    ei = random_bipartite(rng, num_src, num_dst, dead_src=(0, 1, 2, 3, 17))
+    e_cnt = ei.shape[1]
+    q = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    e = np.asarray(rng.normal(size=(e_cnt, hd)), np.float32)
+    w = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+
+    csr = build_paged_csr(ei, num_src, num_dst, bd=8, page=8, r=8)
+    e_slots = jnp.asarray(csr.pad_edge_array(e))
+    tab = PagedTables.from_csr(csr)
+
+    def loss_paged(q, k, v, e_s):
+        return jnp.sum(paged_gt_attention_flat(q, k, v, e_s, h, tab) * w)
+
+    def loss_ref(q, k, v, e_d):
+        return jnp.sum(_ref(q, k, v, e_d, h, ei, num_dst) * w)
+
+    gp = jax.grad(loss_paged, argnums=(0, 1, 2, 3))(q, k, v, e_slots)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, jnp.asarray(e))
+    for a, b, name in zip(gp[:3], gr[:3], "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-5,
+            err_msg=f"d{name} mismatch",
+        )
+    # dead sources get exactly zero kv grads (sentinel-page writes)
+    for s in (0, 1, 2, 3, 17):
+        assert np.allclose(np.asarray(gp[1])[s], 0.0)
+        assert np.allclose(np.asarray(gp[2])[s], 0.0)
+    # edge grads ride in slot layout; map back through slot_pos
+    d_e = np.asarray(gp[3])[csr.slot_pos]
+    np.testing.assert_allclose(d_e, np.asarray(gr[3]), rtol=3e-5, atol=3e-5)
+
+
+def test_paged_multislot_pairs(rng):
+    """(dst-block, page) pairs larger than r split over several slots."""
+    num_src, num_dst, h, d = 16, 8, 2, 8
+    hd = h * d
+    # dense-ish graph so single pairs exceed r=4
+    ei = random_bipartite(rng, num_src, num_dst, k_mean=7)
+    csr = build_paged_csr(ei, num_src, num_dst, bd=8, page=16, r=4)
+    assert csr.num_slots > num_dst // 8  # multiple slots per block
+    q = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(ei.shape[1], hd)), jnp.float32)
+    out, _, _ = _paged(q, k, v, e, h, csr)
+    ref = _ref(q, k, v, e, h, ei, num_dst)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_large_logit_spread(rng):
+    """The mean-shift online softmax stays exact for spread-out logits."""
+    num_src, num_dst, h, d = 24, 16, 1, 8
+    hd = h * d
+    ei = random_bipartite(rng, num_src, num_dst, k_mean=4)
+    q = jnp.asarray(rng.normal(size=(num_dst, hd)) * 6.0, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(num_src, hd)) * 6.0, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    e = jnp.asarray(np.zeros((ei.shape[1], hd)), jnp.float32)
+    csr = build_paged_csr(ei, num_src, num_dst, bd=8, page=8, r=8)
+    out, _, _ = _paged(q, k, v, e, h, csr, stabilize=True)
+    ref = _ref(q, k, v, e, h, ei, num_dst)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

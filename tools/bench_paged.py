@@ -117,8 +117,10 @@ def main():
         e_slots = jnp.asarray(pcsr.pad_edge_array(e_feat), dtype)
         tab = PagedTables.from_csr(pcsr)
 
+        stab = os.environ.get("PAGED_STABILIZE", "1") == "1"
+
         def paged_fwd(q, k, v, e_s, tab=tab):
-            return paged_gt_attention_flat(q, k, v, e_s, h, tab)
+            return paged_gt_attention_flat(q, k, v, e_s, h, tab, stab)
 
         def paged_loss(q, k, v, e_s, tab=tab):
             return jnp.sum(paged_fwd(q, k, v, e_s, tab).astype(jnp.float32))
