@@ -142,20 +142,10 @@ def apply_post_processor(graph: Graph, config: dict) -> Graph:
     return post_processor_registry.build_from_config(config, graph=graph)
 
 
-@post_processor_registry.register("SortNodesByIncomingDegree")
-def sort_nodes_by_incoming_degree(
-    graph: Graph, nodes_name: str, edges_key: Optional[list] = None
-) -> Graph:
-    """Relabel ``nodes_name`` by DESCENDING in-degree of one of its edge sets
-    (default: the self-edges).  Pure relabeling: coordinates, attributes and
-    every touching edge set are permuted consistently.  Enables degree-bucketed
-    gather tables (ops.padded.compute_buckets) that cut the padded gather
-    volume ~2x on skewed meshes.  Apply BEFORE the dst-sort post-processor."""
-    key = tuple(edges_key) if edges_key else (nodes_name, nodes_name)
-    es = graph[key]
+def _relabel_nodes(graph: Graph, nodes_name: str, order: np.ndarray) -> Graph:
+    """Permute a node set (and every touching edge set) so that new position
+    ``i`` holds old node ``order[i]``.  Pure relabeling."""
     ns = graph[nodes_name]
-    deg = np.bincount(es.edge_index[1], minlength=ns.num_nodes)
-    order = np.argsort(-deg, kind="stable")  # old id per new position
     relabel = np.empty(ns.num_nodes, dtype=np.int64)
     relabel[order] = np.arange(ns.num_nodes)
 
@@ -175,3 +165,34 @@ def sort_nodes_by_incoming_degree(
             ei[1] = relabel[ei[1]]
         graph.edges[ekey] = EdgeSet(edge_index=ei, attributes=dict(e.attributes))
     return graph
+
+
+@post_processor_registry.register("SortNodesBySpaceFillingCurve")
+def sort_nodes_by_space_filling_curve(graph: Graph, nodes_name: str) -> Graph:
+    """Relabel ``nodes_name`` along a cube-sphere Morton curve so nearby nodes
+    get nearby indices.  This is what makes the paged Pallas GT-attention
+    kernel's (dst-block, src-page) slot tables dense (ops/pallas/paged_gt.py):
+    each destination block then draws its neighbours from a handful of source
+    pages.  TPU-specific; apply BEFORE the dst-sort post-processor."""
+    from anemoi_tpu.graphs.ordering import cube_morton_order
+
+    coords = graph[nodes_name].coords
+    order = cube_morton_order(np.rad2deg(coords[:, 0]), np.rad2deg(coords[:, 1]))
+    return _relabel_nodes(graph, nodes_name, order)
+
+
+@post_processor_registry.register("SortNodesByIncomingDegree")
+def sort_nodes_by_incoming_degree(
+    graph: Graph, nodes_name: str, edges_key: Optional[list] = None
+) -> Graph:
+    """Relabel ``nodes_name`` by DESCENDING in-degree of one of its edge sets
+    (default: the self-edges).  Pure relabeling: coordinates, attributes and
+    every touching edge set are permuted consistently.  Enables degree-bucketed
+    gather tables (ops.padded.compute_buckets) that cut the padded gather
+    volume ~2x on skewed meshes.  Apply BEFORE the dst-sort post-processor."""
+    key = tuple(edges_key) if edges_key else (nodes_name, nodes_name)
+    es = graph[key]
+    ns = graph[nodes_name]
+    deg = np.bincount(es.edge_index[1], minlength=ns.num_nodes)
+    order = np.argsort(-deg, kind="stable")  # old id per new position
+    return _relabel_nodes(graph, nodes_name, order)

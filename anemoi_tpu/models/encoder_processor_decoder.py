@@ -224,6 +224,11 @@ class AnemoiModelEncProcDec(nn.Module):
         # the dst set was degree-sorted; safe everywhere -- falls back to one
         # bucket when there is no win
         bucketed = padded and bool(self.config.get("bucketed_gathers", True))
+        # "paged" = fused paged Pallas kernel on the processor sub-graph
+        # (ops/pallas/paged_gt.py; wants SortNodesBySpaceFillingCurve node
+        # order); mapper edge sets fall back to the padded path
+        paged = self.attention_backend == "paged"
+        paged_block = tuple(self.config.get("paged_block", (128, 256, 128)))
         return {
             "node_features": {
                 name: jnp.asarray(feat, dtype=dtype)
@@ -244,7 +249,8 @@ class AnemoiModelEncProcDec(nn.Module):
                 if self.shard_strategy == "edges"
                 and int(self.config.get("num_model_shards", 1)) > 1
                 else self.graph.processor.edge_data(
-                    dtype=dtype, padded=padded, bucketed=bucketed, k_multiple=8
+                    dtype=dtype, padded=padded, bucketed=bucketed and not paged,
+                    k_multiple=8, paged=paged, paged_block=paged_block,
                 )
             ),
             "decoder": {

@@ -43,6 +43,10 @@ class EdgeData:
     halo_tables: Optional[dict] = None
     edge_perm: Optional[jnp.ndarray] = None  # [S, E_loc] global edge id (pad=E)
     edge_perm_inv: Optional[jnp.ndarray] = None  # [E] flat per-shard slot
+    # fused paged Pallas kernel (ops/pallas/paged_gt.py): slot tables built on
+    # a space-filling-curve node order; edge_attr stays canonical -- the
+    # runtime slot-layout transform is a gather pair inside the op
+    paged_tables: Optional[object] = None  # PagedTables pytree
 
     @property
     def num_edges(self) -> int:
@@ -78,7 +82,8 @@ class SubGraphArrays:
 
     def edge_data(
         self, dtype=jnp.float32, padded: bool = True, bucketed: bool = False,
-        k_multiple: int = 1,
+        k_multiple: int = 1, paged: bool = False,
+        paged_block: tuple = (128, 256, 128),
     ) -> EdgeData:
         """Device-ready EdgeData (padded tables included unless disabled;
         ``bucketed`` adds degree-bucketed tables for the GT attention path).
@@ -108,6 +113,18 @@ class SubGraphArrays:
             if len(bucket_tables) <= 1 and range_bwd_rows >= plain_bwd_rows:
                 bucket_tables = bucket_spans = src_tables = src_spans = None
                 src_rank = None
+        paged_tables = None
+        if paged:
+            from anemoi_tpu.ops.pallas.paged_gt import (
+                PagedTables, build_paged_csr,
+            )
+
+            bd, page, r = paged_block
+            csr = build_paged_csr(
+                self.edge_index, self.num_src, self.num_dst,
+                bd=bd, page=page, r=r,
+            )
+            paged_tables = PagedTables.from_csr(csr)
         return EdgeData(
             edge_attr=jnp.asarray(self.edge_attr, dtype=dtype),
             edge_index=jnp.asarray(self.edge_index),
@@ -117,6 +134,7 @@ class SubGraphArrays:
             src_range_tables=src_tables,
             src_range_spans=src_spans,
             src_range_perm=src_rank,
+            paged_tables=paged_tables,
         )
 
     def sharded_edge_data(self, n_shards: int, dtype=jnp.float32) -> EdgeData:

@@ -53,7 +53,9 @@ def _gt_attention(query, key, value, edges_proj, edge_data, num_dst, backend: st
         return jax.vmap(gt_attention_pallas, in_axes=(0, 0, 0, None, None))(
             query, key, value, edges_proj, edge_data.tables
         )
-    if backend == "padded":
+    if backend in ("padded", "paged"):
+        # "paged" without slot tables (e.g. mapper edge sets) falls back to
+        # the scatter-free padded path
         if edge_data.bucket_tables is not None:
             from anemoi_tpu.ops.padded import padded_gt_attention_bucketed_heads
 
@@ -180,6 +182,38 @@ class GraphTransformerAttention(nn.Module):
                     query, key, value, edges, edge_data.tables, h,
                     valid_len=self.valid_len,
                 )
+
+        if self.backend == "paged" and edge_data.paged_tables is not None:
+            # fused paged Pallas kernel: flat [N, HD] tensors, slot-layout
+            # edge features (gather-only both ways), static Python loop over
+            # the (small, static) batch axis
+            import os
+
+            from anemoi_tpu.ops.pallas.paged_gt import (
+                paged_gt_attention_flat,
+                to_slot_layout,
+            )
+
+            if self.qk_norm:
+                query = QKNorm(self.qk_norm_type, name="q_norm")(
+                    query.reshape(batch, n_dst, h, d)
+                ).reshape(batch, n_dst, hd)
+                key = QKNorm(self.qk_norm_type, name="k_norm")(
+                    key.reshape(batch, n_src, h, d)
+                ).reshape(batch, n_src, hd)
+            tab = edge_data.paged_tables
+            stab = os.environ.get("ANEMOI_PAGED_STABILIZE", "1") == "1"
+            e_slots = to_slot_layout(edges, tab.slot_gather, tab.edge_slot)
+            out = jnp.stack(
+                [
+                    paged_gt_attention_flat(
+                        query[b], key[b], value[b], e_slots, h, tab, stab
+                    )
+                    for b in range(batch)
+                ],
+                axis=0,
+            )
+            return out
 
         query = query.reshape(batch, n_dst, h, d)
         key = key.reshape(batch, n_src, h, d)

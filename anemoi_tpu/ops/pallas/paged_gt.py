@@ -85,6 +85,7 @@ class PagedCSR:
     visit_slot: np.ndarray  # [S] slot ids sorted by page (backward kv walk)
     visit_page: np.ndarray  # [S] page of each visit (non-decreasing)
     slot_pos: np.ndarray  # [E] flat slot-space position of each ORIGINAL edge
+    inv_slot: np.ndarray  # [num_slots*r] edge id at each slot position (pad=E)
     num_src: int
     num_dst: int
     bd: int
@@ -156,9 +157,12 @@ def build_paged_csr(
         idx[slot_of_edge, 1, within_slot] = (dst_o % bd).astype(np.int32)
     num_slots = max(num_slots, 1)
 
-    # flat slot position of each ORIGINAL edge
+    # flat slot position of each ORIGINAL edge, and its inverse (runtime
+    # slot-layout transform: both directions are pure gathers)
     slot_pos = np.zeros(e, dtype=np.int64)
     slot_pos[order] = slot_of_edge * r + within_slot
+    inv_slot = np.full(num_slots * r, e, dtype=np.int64)
+    inv_slot[slot_pos] = np.arange(e)
 
     # one sentinel all-pad slot at the end: the reduction walk visits it for
     # every source page that has NO edges, so those output pages are written
@@ -171,6 +175,7 @@ def build_paged_csr(
     idx[sentinel, 0, :] = page
     idx[sentinel, 1, :] = bd
     num_slots += 1
+    inv_slot = np.append(inv_slot, np.full(r, e, dtype=np.int64))
 
     # backward kv-reduction walk: the slots sorted by page, plus one sentinel
     # visit per empty page
@@ -193,6 +198,7 @@ def build_paged_csr(
         visit_slot=visit_slot,
         visit_page=visit_page,
         slot_pos=slot_pos,
+        inv_slot=inv_slot,
         num_src=num_src,
         num_dst=num_dst,
         bd=bd,
@@ -211,6 +217,8 @@ class PagedTables:
     idx: jnp.ndarray  # [S, 2, r] int32
     visit_slot: jnp.ndarray  # [S] int32
     visit_page: jnp.ndarray  # [S] int32
+    slot_gather: Optional[jnp.ndarray] = None  # [S*r] edge id per slot (pad=E)
+    edge_slot: Optional[jnp.ndarray] = None  # [E] slot position per edge
     # static (aux) fields
     bd: int = 128
     page: int = 256
@@ -226,6 +234,8 @@ class PagedTables:
             idx=jnp.asarray(csr.idx),
             visit_slot=jnp.asarray(csr.visit_slot),
             visit_page=jnp.asarray(csr.visit_page),
+            slot_gather=jnp.asarray(csr.inv_slot, dtype=jnp.int32),
+            edge_slot=jnp.asarray(csr.slot_pos, dtype=jnp.int32),
             bd=csr.bd,
             page=csr.page,
             r=csr.r,
@@ -239,7 +249,7 @@ class PagedTables:
 
     def tree_flatten(self):
         children = (self.blk_ids, self.page_ids, self.idx, self.visit_slot,
-                    self.visit_page)
+                    self.visit_page, self.slot_gather, self.edge_slot)
         aux = (self.bd, self.page, self.r, self.num_src, self.num_dst)
         return children, aux
 
@@ -677,6 +687,35 @@ def _paged_bwd(num_heads, stabilize, res, g):
 
 
 paged_gt_attention_flat.defvjp(_paged_fwd_vjp, _paged_bwd)
+
+
+@jax.custom_vjp
+def to_slot_layout(x, slot_gather, edge_slot):
+    """Move a per-edge array [E, ...] (canonical dst-sorted order) into the
+    kernel's slot layout [num_slots*r, ...], zero on padding positions.
+
+    Both directions are pure gathers (repo invariant: no scatters in jitted
+    programs): forward gathers through ``slot_gather`` (pad rows hit the
+    appended zero row), backward gathers the cotangent through ``edge_slot``
+    -- exact because slot positions are unique per edge and the kernel emits
+    zero cotangents on padding slots."""
+    return _slot_impl(x, slot_gather)
+
+
+def _slot_impl(x, slot_gather):
+    xp = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+    return jnp.take(xp, slot_gather, axis=0)
+
+
+def _slot_fwd(x, slot_gather, edge_slot):
+    return _slot_impl(x, slot_gather), edge_slot
+
+
+def _slot_bwd(edge_slot, g):
+    return jnp.take(g, edge_slot, axis=0), None, None
+
+
+to_slot_layout.defvjp(_slot_fwd, _slot_bwd)
 
 
 def paged_gt_attention(query, key, value, e_slots, tables: PagedTables,

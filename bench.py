@@ -39,6 +39,7 @@ def main() -> None:
     heads = int(os.environ.get("BENCH_HEADS", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     rollout = int(os.environ.get("BENCH_ROLLOUT", "1"))
+    backend = os.environ.get("BENCH_BACKEND", "padded")
 
     from __graft_entry__ import _build_interface
     from anemoi_tpu.training.losses import get_loss_function
@@ -54,6 +55,7 @@ def main() -> None:
         num_channels=channels,
         num_layers=layers,
         num_heads=heads,
+        attention_backend=backend,
     )
     build_s = time.time() - t0
     log(f"graph+iface built in {build_s:.1f}s")
@@ -134,6 +136,7 @@ def main() -> None:
             "heads": heads,
             "rollout": rollout,
             "precision": precision,
+            "backend": backend,
             "step_time_ms": round(step_time * 1000, 2),
             "params_m": round(n_params / 1e6, 2),
             "compile_s": round(compile_s, 1),

@@ -141,6 +141,75 @@ def test_paged_multislot_pairs(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_to_slot_layout_roundtrip_and_grad(rng):
+    """Runtime slot-layout transform: gather fwd, gather bwd, no scatters."""
+    from anemoi_tpu.ops.pallas.paged_gt import PagedTables, to_slot_layout
+
+    num_src, num_dst = 20, 12
+    ei = random_bipartite(rng, num_src, num_dst, k_mean=3)
+    e_cnt = ei.shape[1]
+    csr = build_paged_csr(ei, num_src, num_dst, bd=8, page=8, r=4)
+    tab = PagedTables.from_csr(csr)
+    x = jnp.asarray(rng.normal(size=(e_cnt, 5)), jnp.float32)
+
+    slots = to_slot_layout(x, tab.slot_gather, tab.edge_slot)
+    assert slots.shape == (csr.num_flat, 5)
+    np.testing.assert_allclose(
+        np.asarray(slots)[csr.slot_pos], np.asarray(x)
+    )
+    # padding rows are zero
+    pad_mask = np.ones(csr.num_flat, bool)
+    pad_mask[csr.slot_pos] = False
+    assert np.allclose(np.asarray(slots)[pad_mask], 0.0)
+
+    # grad: host scatter == custom gather backward
+    w = jnp.asarray(rng.normal(size=slots.shape), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(to_slot_layout(x, tab.slot_gather, tab.edge_slot) * w))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w)[csr.slot_pos])
+    # the VJP lowers to a gather, not a scatter
+    txt = jax.jit(
+        jax.grad(lambda x: jnp.sum(to_slot_layout(x, tab.slot_gather, tab.edge_slot) * w))
+    ).lower(x).as_text()
+    assert "scatter" not in txt
+
+
+def test_attention_module_paged_matches_padded(rng):
+    """GraphTransformerAttention with backend='paged' (slot tables in
+    EdgeData) matches the padded XLA path with identical params."""
+    from anemoi_tpu.models.graph import SubGraphArrays
+    from anemoi_tpu.models.layers.graph_blocks import GraphTransformerAttention
+
+    num_src, num_dst, h, hd = 24, 16, 2, 16
+    ei = random_bipartite(rng, num_src, num_dst, k_mean=4).astype(np.int32)
+    e_cnt = ei.shape[1]
+    dst_ptr = np.searchsorted(ei[1], np.arange(num_dst + 1)).astype(np.int32)
+    sub = SubGraphArrays(
+        edge_index=ei,
+        edge_attr=rng.normal(size=(e_cnt, 3)).astype(np.float32),
+        dst_ptr=dst_ptr,
+        num_src=num_src,
+        num_dst=num_dst,
+    )
+    ed = sub.edge_data(paged=True, paged_block=(8, 8, 8))
+    assert ed.paged_tables is not None and ed.tables is not None
+
+    x_src = jnp.asarray(rng.normal(size=(2, num_src, 8)), jnp.float32)
+    x_dst = jnp.asarray(rng.normal(size=(2, num_dst, 8)), jnp.float32)
+
+    def run(backend):
+        mod = GraphTransformerAttention(
+            num_heads=h, attn_channels=hd, out_channels=hd, backend=backend
+        )
+        params = mod.init(jax.random.PRNGKey(0), x_src, x_dst, ed)
+        return mod.apply(params, x_src, x_dst, ed)
+
+    out_paged = run("paged")
+    out_padded = run("padded")
+    np.testing.assert_allclose(
+        np.asarray(out_paged), np.asarray(out_padded), rtol=3e-5, atol=3e-5
+    )
+
+
 def test_paged_large_logit_spread(rng):
     """The mean-shift online softmax stays exact for spread-out logits."""
     num_src, num_dst, h, d = 24, 16, 1, 8
