@@ -14,7 +14,8 @@ Conventions (TPU-first):
 - sparse attention dispatches between backends:
     "segment" -- jax segment ops (reference semantics, scatter-based)
     "padded"  -- scatter-free padded-CSR gathers (TPU default)
-    "pallas"  -- fused Pallas kernel
+    "paged"   -- fused paged Pallas kernel on sub-graphs carrying slot tables
+                 (ops/pallas/paged_gt.py), padded fallback elsewhere
 """
 
 from __future__ import annotations
@@ -47,12 +48,6 @@ def _gt_attention(query, key, value, edges_proj, edge_data, num_dst, backend: st
 
     query: [B, N_dst, H, D]; key/value: [B, N_src, H, D]; edges_proj: [E, H, D].
     """
-    if backend == "pallas":
-        from anemoi_tpu.ops.pallas.gt_attention import gt_attention_pallas
-
-        return jax.vmap(gt_attention_pallas, in_axes=(0, 0, 0, None, None))(
-            query, key, value, edges_proj, edge_data.tables
-        )
     if backend in ("padded", "paged"):
         # "paged" without slot tables (e.g. mapper edge sets) falls back to
         # the scatter-free padded path

@@ -146,7 +146,7 @@ class ModelSchema(BaseModel):
     @field_validator("graph_attention_backend")
     @classmethod
     def _backend(cls, v: str) -> str:
-        assert v in ("segment", "padded", "pallas", "paged"), f"unknown graph_attention_backend '{v}'"
+        assert v in ("segment", "padded", "paged"), f"unknown graph_attention_backend '{v}'"
         return v
 
     @field_validator("shard_strategy")
