@@ -223,7 +223,23 @@ def build_model_graph(
         ds: extract_subgraph(graph, hidden_name, ds, decoder_edge_attributes)
         for ds in dataset_names
     }
-    processor = extract_subgraph(graph, hidden_name, hidden_name, processor_edge_attributes)
+    if (hidden_name, hidden_name) in graph.edges:
+        processor = extract_subgraph(
+            graph, hidden_name, hidden_name, processor_edge_attributes
+        )
+    else:
+        # encoder-decoder-only graphs (autoencoders / point-wise processors,
+        # ref graph/encoder_decoder_only.yaml + NoOpGraphProvider): empty
+        # processor sub-graph with a consistent attribute width
+        n_hidden = graph[hidden_name].num_nodes
+        n_attr = len(processor_edge_attributes or []) or 1
+        processor = SubGraphArrays(
+            edge_index=np.zeros((2, 0), dtype=np.int32),
+            edge_attr=np.zeros((0, n_attr), dtype=np.float32),
+            dst_ptr=np.zeros(n_hidden + 1, dtype=np.int32),
+            num_src=n_hidden,
+            num_dst=n_hidden,
+        )
     return ModelGraph(
         node_features=node_features,
         num_nodes=num_nodes,

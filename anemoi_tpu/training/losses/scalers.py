@@ -143,6 +143,8 @@ def create_scalers(
     """Build every configured scaler (ref scalers/scalers.py create_scalers)."""
     out: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {}
     for name, cfg in (configs or {}).items():
+        if cfg is None:  # a preset nulling out an inherited default scaler
+            continue
         out[name] = scaler_registry.build_from_config(
             dict(cfg),
             graph=graph,

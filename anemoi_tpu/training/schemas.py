@@ -259,7 +259,7 @@ class TrainingSchema(BaseModel):
     @field_validator("task")
     @classmethod
     def _task(cls, v: str) -> str:
-        assert v in ("forecaster", "autoencoder", "temporal_downscaler"), (
+        assert v in ("forecaster", "autoencoder", "temporal_downscaler", "transport"), (
             f"unknown task '{v}'"
         )
         return v

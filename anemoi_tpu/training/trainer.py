@@ -77,6 +77,14 @@ class AnemoiTrainer:
 
         model_cfg = config.get("model", {})
         training_cfg = dict(config.get("training", {}))
+        # the `task` config group (ref config/task/*.yaml) selects the
+        # time-offset algebra; training.task wins when both are set
+        task_group = dict(config.get("task", {}) or {})
+        if task_group.get("name") and "task" not in training_cfg:
+            training_cfg["task"] = str(task_group["name"])
+            config = dict(config)
+            config["training"] = training_cfg
+            self.config = config
 
         # --- device mesh (data/model/ensemble parallelism) -------------
         # ref distributed/strategy.py:88-271 DDPGroupStrategy: here one
