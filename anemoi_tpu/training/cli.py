@@ -77,6 +77,18 @@ def main(argv=None) -> int:
     p_pred.add_argument("--start-index", type=int, default=0)
     p_pred.add_argument("--output", default="forecast.npz")
 
+    p_mlf = sub.add_parser("mlflow", help="Offline-run sync and server auth")
+    mlf_sub = p_mlf.add_subparsers(dest="mlflow_command", required=True)
+    p_mlf_login = mlf_sub.add_parser("login", help="Store a tracking server URI + token")
+    p_mlf_login.add_argument("--uri", required=True)
+    p_mlf_login.add_argument("--token", default=None)
+    p_mlf_sync = mlf_sub.add_parser(
+        "sync", help="Push offline FileStore runs to a tracking server"
+    )
+    p_mlf_sync.add_argument("run_dir", help="Offline run directory (or mlruns root)")
+    p_mlf_sync.add_argument("--uri", default=None, help="Tracking server (default: saved login)")
+    p_mlf_sync.add_argument("--experiment", default=None)
+
     p_prof = sub.add_parser("profile", help="Short profiled run with speed/memory reports")
     p_prof.add_argument("config")
     p_prof.add_argument("overrides", nargs="*")
@@ -92,6 +104,50 @@ def main(argv=None) -> int:
         from anemoi_tpu.inference import run_forecast_cli
 
         return run_forecast_cli(args)
+
+    if args.command == "mlflow":
+        import json
+
+        auth_path = os.path.expanduser("~/.config/anemoi_tpu/mlflow.json")
+        if args.mlflow_command == "login":
+            os.makedirs(os.path.dirname(auth_path), exist_ok=True)
+            with open(auth_path, "w") as f:
+                json.dump({"uri": args.uri, "token": args.token}, f)
+            os.chmod(auth_path, 0o600)
+            print(f"Saved tracking server login to {auth_path}")
+            return 0
+        if args.mlflow_command == "sync":
+            from anemoi_tpu.training.mlflow_store import sync_offline_run
+
+            auth = {}
+            if os.path.exists(auth_path):
+                with open(auth_path) as f:
+                    auth = json.load(f)
+            uri = args.uri or auth.get("uri")
+            if not uri:
+                print("No tracking URI: pass --uri or run `mlflow login` first")
+                return 1
+            # accept a single run dir or an mlruns root full of runs
+            run_dirs = []
+            if os.path.exists(os.path.join(args.run_dir, "meta.yaml")) and (
+                os.path.isdir(os.path.join(args.run_dir, "metrics"))
+            ):
+                run_dirs = [args.run_dir]
+            else:
+                for exp in sorted(os.listdir(args.run_dir)):
+                    exp_dir = os.path.join(args.run_dir, exp)
+                    if not os.path.isdir(exp_dir):
+                        continue
+                    for run in sorted(os.listdir(exp_dir)):
+                        cand = os.path.join(exp_dir, run)
+                        if os.path.isdir(os.path.join(cand, "metrics")):
+                            run_dirs.append(cand)
+            for rd in run_dirs:
+                run_id = sync_offline_run(
+                    rd, uri, experiment=args.experiment, token=auth.get("token")
+                )
+                print(f"synced {rd} -> {uri} run {run_id}")
+            return 0
 
     if args.command == "config" and args.config_command == "list":
         import anemoi_tpu

@@ -88,6 +88,44 @@ class MLflowLogger(BaseLogger):
         self.mlflow.end_run()
 
 
+@logger_registry.register("mlflow_offline")
+class OfflineMLflowLogger(BaseLogger):
+    """MLflow FileStore-format offline logger -- no mlflow package needed;
+    sync later with `anemoi-tpu-training mlflow sync` (ref offline mode of
+    diagnostics/mlflow/logger.py + utils/mlflow_sync.py)."""
+
+    def __init__(self, output_dir: str, experiment: str = "anemoi-tpu",
+                 run_name: Optional[str] = None, system_metrics: bool = True,
+                 system_metrics_interval_s: float = 30.0, **_):
+        from anemoi_tpu.training.mlflow_store import (
+            OfflineMLflowRun,
+            SystemMetricsMonitor,
+        )
+
+        self.run = OfflineMLflowRun(
+            os.path.join(output_dir, "mlruns"),
+            experiment=experiment,
+            run_name=run_name,
+        )
+        self.monitor = None
+        if system_metrics:
+            self.monitor = SystemMetricsMonitor(
+                self.run.log_metrics, interval_s=system_metrics_interval_s
+            )
+            self.monitor.start()
+
+    def log_params(self, params):
+        self.run.log_params(_flatten(params))
+
+    def log_metrics(self, metrics, step):
+        self.run.log_metrics({k: float(v) for k, v in metrics.items()}, step)
+
+    def finalize(self):
+        if self.monitor is not None:
+            self.monitor.stop()
+        self.run.finalize()
+
+
 @logger_registry.register("wandb")
 class WandbLogger(BaseLogger):
     """Weights & Biases backend (ref diagnostics/logger.py get_wandb_logger)."""
@@ -141,5 +179,18 @@ def build_loggers(configs, output_dir: str):
         except RuntimeError as e:
             import logging
 
-            logging.getLogger(__name__).warning("Logger '%s' unavailable: %s", name, e)
+            if name == "mlflow":
+                # no mlflow client in the image: degrade to the FileStore
+                # offline logger, which the sync CLI can push later
+                logging.getLogger(__name__).warning(
+                    "mlflow package unavailable (%s); using the offline "
+                    "FileStore logger", e,
+                )
+                cfg.pop("tracking_uri", None)
+                cfg.pop("offline", None)
+                loggers.append(OfflineMLflowLogger(output_dir=output_dir, **cfg))
+            else:
+                logging.getLogger(__name__).warning(
+                    "Logger '%s' unavailable: %s", name, e
+                )
     return loggers
