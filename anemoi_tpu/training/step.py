@@ -299,4 +299,9 @@ def make_step_fns(
     def eval_step(state, batch):
         return _eval_step(state, batch, graph_inputs)
 
+    # expose the jitted fn + bound graph arrays for AOT precompilation
+    # (trainer._precompile_rollout overlaps the next curriculum rollout's
+    # XLA compile with training)
+    train_step.jitted = _train_step
+    train_step.bound_args = (graph_inputs,)
     return train_step, eval_step

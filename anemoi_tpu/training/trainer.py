@@ -19,6 +19,7 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from anemoi_tpu.data.datamodule import DataModule
@@ -228,6 +229,8 @@ class AnemoiTrainer:
                 LOGGER.info("Resumed from step %d", int(self.state.step))
 
         self._step_fns: Dict[int, Any] = {}  # rollout -> (train_step, eval_step)
+        self._precompiling: set = set()  # rollouts compiling in the background
+        self._precompile_threads: Dict[int, Any] = {}
         self._log_file = open(os.path.join(self.output_dir, "metrics.jsonl"), "a")
 
         from anemoi_tpu.training.callbacks import build_callbacks
@@ -262,45 +265,120 @@ class AnemoiTrainer:
         sharding = batch_sharding(self.mesh, shard_grid=shard_grid)
         return {ds: jax.device_put(v, sharding) for ds, v in batch_np.items()}
 
-    def _get_step_fns(self, rollout: int):
-        if rollout not in self._step_fns:
-            training_cfg = self.config.get("training", {})
-            if str(training_cfg.get("task", "forecaster")) == "transport":
-                from anemoi_tpu.models.transport.objectives import EDMConfig
-                from anemoi_tpu.training.transport_step import (
-                    make_transport_step_fns,
-                )
+    def _precompile_rollout(self, rollout: int, batch_template) -> None:
+        """AOT-compile the NEXT curriculum rollout's train step on a
+        background thread while the current rollout trains.
 
-                tcfg = dict(training_cfg.get("transport", {}))
-                edm_kwargs = {
-                    k: float(v) for k, v in dict(tcfg.get("edm", {})).items()
-                }
-                self._step_fns[rollout] = make_transport_step_fns(
-                    self.interface,
-                    self.losses,
-                    objective=str(tcfg.get("objective", "edm")),
-                    edm=EDMConfig(**edm_kwargs),
-                    tendency=bool(tcfg.get("tendency", False)),
-                    interpolant_gamma=float(tcfg.get("interpolant_gamma", 0.0)),
-                    source=str(tcfg.get("source", "gaussian")),
-                    sigma_dist=tcfg.get("sigma_dist"),
-                    beta_schedule=str(tcfg.get("beta_schedule", "linear")),
-                    sigma_schedule=str(
-                        tcfg.get("sigma_schedule", "brownian_bridge")
+        The rollout curriculum changes the scan length (and batch window), so
+        each value is a fresh XLA program; on the slow axon compile service
+        that stalls training for minutes at every increment (the reference
+        has no such cost -- torch re-traces cheaply).  jax's AOT path
+        (jit.lower(shapes).compile()) releases the GIL during the XLA
+        compile, so the next program is built concurrently and dropped into
+        the step cache before the curriculum reaches it."""
+        if (
+            rollout in self._step_fns
+            or rollout in self._precompiling
+            or self.mesh is not None  # sharded lowering needs committed inputs
+        ):
+            return
+        self._precompiling.add(rollout)
+        import threading
+
+        model = self.interface.model
+        window = model.n_step_input + rollout * model.n_step_output
+        batch_sds = {
+            ds: jax.ShapeDtypeStruct(
+                (arr.shape[0], window) + tuple(arr.shape[2:]), arr.dtype
+            )
+            for ds, arr in batch_template.items()
+        }
+        state_sds = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            self.state,
+        )
+
+        def work():
+            try:
+                t0 = time.time()
+                train_step, eval_step = self._build_step_fns(rollout)
+                jitted = getattr(train_step, "jitted", None)
+                if jitted is None:  # e.g. transport steps: no AOT hook yet
+                    self._step_fns[rollout] = (train_step, eval_step)
+                    return
+                bound = train_step.bound_args
+                bound_sds = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        jnp.shape(x), jnp.result_type(x)
                     ),
+                    bound,
                 )
-                return self._step_fns[rollout]
-            self._step_fns[rollout] = make_step_fns(
+                compiled = jitted.lower(state_sds, batch_sds, *bound_sds).compile()
+
+                def compiled_step(state, batch, _c=compiled, _b=bound):
+                    return _c(state, batch, *_b)
+
+                self._step_fns[rollout] = (compiled_step, eval_step)
+                LOGGER.info(
+                    "Precompiled rollout %d train step in %.1fs (background)",
+                    rollout, time.time() - t0,
+                )
+            except Exception:  # pragma: no cover - never kill training
+                LOGGER.exception("Background precompile of rollout %d failed",
+                                 rollout)
+            finally:
+                self._precompiling.discard(rollout)
+
+        t = threading.Thread(
+            target=work, name=f"precompile-rollout-{rollout}", daemon=True
+        )
+        self._precompile_threads[rollout] = t
+        t.start()
+
+    def _get_step_fns(self, rollout: int):
+        t = self._precompile_threads.pop(rollout, None)
+        if t is not None:
+            t.join()  # compile mostly overlapped already; finish the tail
+        if rollout not in self._step_fns:
+            self._step_fns[rollout] = self._build_step_fns(rollout)
+        return self._step_fns[rollout]
+
+    def _build_step_fns(self, rollout: int):
+        training_cfg = self.config.get("training", {})
+        if str(training_cfg.get("task", "forecaster")) == "transport":
+            from anemoi_tpu.models.transport.objectives import EDMConfig
+            from anemoi_tpu.training.transport_step import (
+                make_transport_step_fns,
+            )
+
+            tcfg = dict(training_cfg.get("transport", {}))
+            edm_kwargs = {
+                k: float(v) for k, v in dict(tcfg.get("edm", {})).items()
+            }
+            return make_transport_step_fns(
                 self.interface,
                 self.losses,
-                rollout=rollout,
-                remat_rollout=bool(training_cfg.get("remat_rollout", True)),
-                ensemble_size=int(training_cfg.get("ensemble_size", 1)),
-                output_masks=self.output_masks or None,
-                precision=str(training_cfg.get("precision", "fp32")),
-                task=str(training_cfg.get("task", "forecaster")),
+                objective=str(tcfg.get("objective", "edm")),
+                edm=EDMConfig(**edm_kwargs),
+                tendency=bool(tcfg.get("tendency", False)),
+                interpolant_gamma=float(tcfg.get("interpolant_gamma", 0.0)),
+                source=str(tcfg.get("source", "gaussian")),
+                sigma_dist=tcfg.get("sigma_dist"),
+                beta_schedule=str(tcfg.get("beta_schedule", "linear")),
+                sigma_schedule=str(
+                    tcfg.get("sigma_schedule", "brownian_bridge")
+                ),
             )
-        return self._step_fns[rollout]
+        return make_step_fns(
+            self.interface,
+            self.losses,
+            rollout=rollout,
+            remat_rollout=bool(training_cfg.get("remat_rollout", True)),
+            ensemble_size=int(training_cfg.get("ensemble_size", 1)),
+            output_masks=self.output_masks or None,
+            precision=str(training_cfg.get("precision", "fp32")),
+            task=str(training_cfg.get("task", "forecaster")),
+        )
 
     def _log(self, record: Dict[str, Any]) -> None:
         self._log_file.write(json.dumps(record, default=float) + "\n")
@@ -314,6 +392,7 @@ class AnemoiTrainer:
         log_interval = int(self.config.get("diagnostics", {}).get("log_interval", 10))
         ckpt_interval = int(self.config.get("diagnostics", {}).get("checkpoint_interval", 500))
         time_limit_s = float(cfg.get("time_limit_s", 0)) or None
+        precompile = bool(cfg.get("precompile_rollouts", True))
 
         for cb in self.callbacks:
             cb.on_train_start(self)
@@ -339,6 +418,14 @@ class AnemoiTrainer:
                 last_metrics = metrics
                 global_step += 1
                 n_batches += 1
+
+                if n_batches == 1 and precompile:
+                    # overlap the NEXT curriculum rollout's XLA compile with
+                    # this epoch's training (weak point of per-rollout jit:
+                    # minutes-long axon compiles at each increment)
+                    nxt = self.rollout_schedule.at_epoch(epoch + 1)
+                    if nxt != rollout:
+                        self._precompile_rollout(nxt, batch)
 
                 for cb in self.callbacks:
                     cb.on_step(self, global_step, metrics)

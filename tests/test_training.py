@@ -394,3 +394,22 @@ def test_trainer_transport_task(tmp_path):
         trainer = AnemoiTrainer(cfg, output_dir=out)
         res = trainer.train()
         assert np.isfinite(res["final_loss"]), res
+
+
+def test_rollout_precompile_overlap(tmp_path):
+    """The rollout curriculum's next XLA program is AOT-compiled on a
+    background thread and used when the curriculum advances (weak point:
+    per-rollout jit recompiles stall training on the slow TPU compiler)."""
+    from anemoi_tpu.training.trainer import AnemoiTrainer
+
+    cfg = make_config(tmp_path)
+    cfg["training"]["max_epochs"] = 2
+    cfg["training"]["rollout"] = {"start": 1, "epoch_increment": 1, "max": 2}
+    trainer = AnemoiTrainer(cfg, output_dir=cfg["output_dir"])
+    result = trainer.train()
+    assert np.isfinite(result["final_loss"])
+    # rollout 2 was compiled ahead of time: the cached train step wraps an
+    # AOT Compiled object, not a fresh jit wrapper
+    assert 2 in trainer._step_fns
+    train_step_2 = trainer._step_fns[2][0]
+    assert train_step_2.__name__ == "compiled_step", train_step_2
