@@ -130,10 +130,22 @@ class GraphTransformerAttention(nn.Module):
         batch, n_dst = x_dst.shape[0], x_dst.shape[1]
         n_src = x_src.shape[1]
 
+        use_paged = (
+            self.backend == "paged" and edge_data.paged_tables is not None
+        )
         query = nn.Dense(hd, name="lin_query")(x_dst)
         key = nn.Dense(hd, name="lin_key")(x_src)
         value = nn.Dense(hd, name="lin_value")(x_src)
         e = edge_data.edge_attr.astype(x_src.dtype)
+        if use_paged:
+            # gather the RAW (few-feature) attrs into slot layout and project
+            # AFTER: row-selection and the row-wise projection commute, the
+            # gather moves ~HD/F fewer bytes, and the backward needs no
+            # slot->edge gather at all (lin_edge grads contract in slot space)
+            from anemoi_tpu.ops.pallas.paged_gt import to_slot_layout
+
+            tab = edge_data.paged_tables
+            e = to_slot_layout(e, tab.slot_gather, tab.edge_slot)
         if self.edge_pre_mlp:
             e = MLP(
                 hidden_dim=e.shape[-1], out_features=e.shape[-1], layer_norm=False,
@@ -178,16 +190,13 @@ class GraphTransformerAttention(nn.Module):
                     valid_len=self.valid_len,
                 )
 
-        if self.backend == "paged" and edge_data.paged_tables is not None:
+        if use_paged:
             # fused paged Pallas kernel: flat [N, HD] tensors, slot-layout
-            # edge features (gather-only both ways), static Python loop over
+            # edge features (already gathered above), static Python loop over
             # the (small, static) batch axis
             import os
 
-            from anemoi_tpu.ops.pallas.paged_gt import (
-                paged_gt_attention_flat,
-                to_slot_layout,
-            )
+            from anemoi_tpu.ops.pallas.paged_gt import paged_gt_attention_flat
 
             if self.qk_norm:
                 query = QKNorm(self.qk_norm_type, name="q_norm")(
@@ -198,11 +207,10 @@ class GraphTransformerAttention(nn.Module):
                 ).reshape(batch, n_src, hd)
             tab = edge_data.paged_tables
             stab = os.environ.get("ANEMOI_PAGED_STABILIZE", "1") == "1"
-            e_slots = to_slot_layout(edges, tab.slot_gather, tab.edge_slot)
             out = jnp.stack(
                 [
                     paged_gt_attention_flat(
-                        query[b], key[b], value[b], e_slots, h, tab, stab
+                        query[b], key[b], value[b], edges, h, tab, stab
                     )
                     for b in range(batch)
                 ],

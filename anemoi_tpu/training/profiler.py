@@ -27,6 +27,7 @@ class BenchmarkProfiler:
         self.trace = trace
         self.step_times: list = []
         self.val_times: list = []
+        self.section_times: Dict[str, list] = {}
         self._t0: Optional[float] = None
 
     # -- timing hooks ---------------------------------------------------
@@ -40,7 +41,40 @@ class BenchmarkProfiler:
         (self.val_times if validation else self.step_times).append(dt)
         self._t0 = None
 
+    def section(self, name: str):
+        """Accumulate wall time for a named phase (the reference's per-hook
+        time report, diagnostics/profilers.py time_report): use as
+        ``with prof.section("dataloader"): ...``."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _timer():
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.section_times.setdefault(name, []).append(
+                    time.perf_counter() - t0
+                )
+
+        return _timer()
+
     # -- reports --------------------------------------------------------
+    def time_report(self) -> Dict[str, Any]:
+        """Per-phase aggregation: total/mean/count per named section."""
+        out: Dict[str, Any] = {}
+        for name, times in self.section_times.items():
+            arr = np.asarray(times)
+            out[name] = {
+                "total_s": float(arr.sum()),
+                "mean_s": float(arr.mean()),
+                "count": int(len(arr)),
+            }
+        total = sum(v["total_s"] for v in out.values())
+        for v in out.values():
+            v["pct"] = round(100.0 * v["total_s"] / total, 1) if total else 0.0
+        return out
+
     def speed_report(self, samples_per_step: int = 1, grid_points: int = 0) -> Dict[str, Any]:
         times = np.asarray(self.step_times[1:] or self.step_times)  # drop compile step
         if len(times) == 0:
@@ -97,6 +131,7 @@ class BenchmarkProfiler:
     def write_reports(self, extra: Optional[Dict] = None) -> str:
         reports = {
             "speed": self.speed_report(),
+            "time": self.time_report(),
             "memory": self.memory_report(),
             "system": self.system_report(),
         }
@@ -127,15 +162,21 @@ def profile_training(trainer, num_steps: int = 20, trace: bool = False) -> Dict[
     train_step, _ = trainer._get_step_fns(rollout)
     n = 0
     with prof:
-        for batch_np in trainer.datamodule.train_batches(epoch=0):
-            batch = jax.device_put(batch_np)
+        batches = iter(trainer.datamodule.train_batches(epoch=0))
+        while n < num_steps:
+            with prof.section("dataloader"):
+                try:
+                    batch_np = next(batches)
+                except StopIteration:
+                    break
+            with prof.section("transfer"):
+                batch = jax.device_put(batch_np)
             prof.start_step()
-            trainer.state, metrics = train_step(trainer.state, batch)
-            jax.block_until_ready(metrics["loss"])
+            with prof.section("train_step"):
+                trainer.state, metrics = train_step(trainer.state, batch)
+                jax.block_until_ready(metrics["loss"])
             prof.end_step()
             n += 1
-            if n >= num_steps:
-                break
     grid_points = sum(
         trainer.interface.model_graph.num_nodes[ds]
         for ds in trainer.data_indices

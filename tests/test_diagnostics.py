@@ -121,3 +121,26 @@ def test_check_variable_order_callback():
     bad.ckpt_name_to_index = {"data": {"u": 1, "v": 0}}
     with pytest.raises(ValueError):
         cb.on_train_start(bad)
+
+
+def test_profile_training_reports(tmp_path):
+    """profile_training writes speed/time/memory/system reports; the time
+    report carries per-phase sections (ref per-hook time report)."""
+    import json
+
+    from anemoi_tpu.training.profiler import profile_training
+    from anemoi_tpu.training.trainer import AnemoiTrainer
+    from tests.test_training import make_config
+
+    cfg = make_config(tmp_path)
+    cfg["training"]["max_epochs"] = 0
+    trainer = AnemoiTrainer(cfg, output_dir=cfg["output_dir"])
+    out = profile_training(trainer, num_steps=3)
+    with open(out["report"]) as f:
+        reports = json.load(f)
+    assert reports["speed"]["num_steps"] >= 1
+    for phase in ("dataloader", "transfer", "train_step"):
+        assert phase in reports["time"], reports["time"]
+        assert reports["time"][phase]["count"] >= 1
+    assert abs(sum(v["pct"] for v in reports["time"].values()) - 100.0) < 1.0
+    assert "host_vmrss_kb" in reports["memory"]

@@ -40,9 +40,10 @@ def capture(trace_dir: str) -> None:
     layers = int(os.environ.get("BENCH_LAYERS", "16"))
     heads = int(os.environ.get("BENCH_HEADS", "16"))
 
+    backend = os.environ.get("BENCH_BACKEND", "padded")
     iface, graph = _build_interface(
         grid=grid, mesh_resolution=mesh_level, num_channels=channels,
-        num_layers=layers, num_heads=heads,
+        num_layers=layers, num_heads=heads, attention_backend=backend,
     )
     idx = iface.data_indices["data"]
     n_grid = graph["data"].num_nodes
