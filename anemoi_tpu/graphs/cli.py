@@ -30,6 +30,13 @@ def main(argv=None) -> int:
     p_exp.add_argument("graph")
     p_exp.add_argument("output_dir")
 
+    p_plot = sub.add_parser(
+        "plot", help="Render node maps, edge maps, and attribute distributions"
+    )
+    p_plot.add_argument("graph")
+    p_plot.add_argument("output_dir")
+    p_plot.add_argument("--max-edges", type=int, default=3000)
+
     args = parser.parse_args(argv)
 
     if args.command == "create":
@@ -60,6 +67,35 @@ def main(argv=None) -> int:
         if args.plot:
             path = plot_graph(graph, args.plot)
             print(f"plot -> {path}")
+        return 0
+
+    if args.command == "plot":
+        import os as _os
+
+        from anemoi_tpu.graphs.graph import Graph
+        from anemoi_tpu.graphs import plotting
+
+        graph = Graph.load(args.graph)
+        _os.makedirs(args.output_dir, exist_ok=True)
+        written = []
+        for name in graph.nodes:
+            p = _os.path.join(args.output_dir, f"nodes_{name}.png")
+            plotting.plot_nodes(graph, name, out_file=p)
+            written.append(p)
+        for key in graph.edges:
+            p = _os.path.join(args.output_dir, f"edges_{key[0]}_to_{key[1]}.png")
+            plotting.plot_subgraph(graph, key, out_file=p, max_edges=args.max_edges)
+            written.append(p)
+        for fn, fname in (
+            (plotting.plot_isolated_nodes, "isolated_nodes.png"),
+            (plotting.plot_distribution_node_attributes, "node_attributes.png"),
+            (plotting.plot_distribution_edge_attributes, "edge_attributes.png"),
+        ):
+            p = _os.path.join(args.output_dir, fname)
+            fn(graph, out_file=p)
+            written.append(p)
+        for p in written:
+            print(f"plot -> {p}")
         return 0
 
     if args.command == "export_to_sparse":

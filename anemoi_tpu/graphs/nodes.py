@@ -75,6 +75,17 @@ def npz_file_nodes(npz_file: str, lat_key: str = "latitudes", lon_key: str = "lo
     return latlon_nodes(data[lat_key], data[lon_key])
 
 
+@node_builder_registry.register("TextNodes")
+def text_nodes(dataset: str, idx_lon: int = 0, idx_lat: int = 1) -> np.ndarray:
+    """Nodes from a whitespace text file of coordinates, one ROW per
+    coordinate (ref from_file.py:66 TextNodes: np.loadtxt + row indices
+    idx_lat/idx_lon select the latitude/longitude rows, degrees)."""
+    data = np.loadtxt(dataset)
+    if data.ndim == 1:
+        data = data[:, None]
+    return latlon_nodes(data[idx_lat, :], data[idx_lon, :])
+
+
 @node_builder_registry.register("AnemoiDatasetNodes")
 def dataset_nodes(dataset: str) -> np.ndarray:
     """Nodes from an anemoi_tpu dataset directory (ref: from_file.py:26)."""

@@ -39,7 +39,9 @@ def main() -> None:
     heads = int(os.environ.get("BENCH_HEADS", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     rollout = int(os.environ.get("BENCH_ROLLOUT", "1"))
-    backend = os.environ.get("BENCH_BACKEND", "padded")
+    # the fused paged Pallas kernel is the flagship path (13.1x anchor);
+    # BENCH_BACKEND=padded measures the XLA gather path
+    backend = os.environ.get("BENCH_BACKEND", "paged")
 
     from __graft_entry__ import _build_interface
     from anemoi_tpu.training.losses import get_loss_function

@@ -254,3 +254,90 @@ def test_projection_builders():
     assert not uses_fused_dataset_graph(g, ["data"])
     assert uses_fused_dataset_graph(
         {"nodes": {"era5": {}, "obs": {}}}, ["era5", "obs"])
+
+
+def test_text_nodes(tmp_path):
+    """TextNodes: whitespace file, rows = coordinate components (ref
+    from_file.py:66)."""
+    from anemoi_tpu.graphs.create import GraphCreator
+
+    lons = np.array([0.0, 90.0, 180.0, -90.0])
+    lats = np.array([10.0, 20.0, -10.0, -20.0])
+    path = tmp_path / "coords.txt"
+    np.savetxt(path, np.stack([lons, lats]))
+    g = GraphCreator({
+        "nodes": {"data": {"node_builder": {
+            "name": "TextNodes", "dataset": str(path), "idx_lon": 0, "idx_lat": 1,
+        }}},
+        "edges": [],
+    }).create()
+    got = np.rad2deg(g["data"].coords)
+    np.testing.assert_allclose(got[:, 0], lats, atol=1e-6)
+    # longitudes normalise to their canonical range
+    np.testing.assert_allclose(np.cos(np.deg2rad(got[:, 1])),
+                               np.cos(np.deg2rad(lons)), atol=1e-6)
+
+
+def test_plotting_and_cli_plot(tmp_path):
+    """The matplotlib plotting suite + `anemoi-tpu-graphs plot` write figures
+    for every node/edge set (ref graphs/plotting/)."""
+    from anemoi_tpu.graphs import plotting
+    from anemoi_tpu.graphs.cli import main as graphs_main
+    from anemoi_tpu.graphs.create import GraphCreator
+
+    g = GraphCreator({
+        "nodes": {
+            "data": {"node_builder": {"name": "ReducedGaussianGridNodes", "grid": "o8"},
+                     "attributes": {"area_weight": {"name": "SphericalAreaWeights"}}},
+            "hidden": {"node_builder": {"name": "TriNodes", "resolution": 1}},
+        },
+        "edges": [
+            {"source_name": "data", "target_name": "hidden",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": {"edge_length": {"name": "EdgeLength"}}},
+        ],
+    }).create(str(tmp_path / "g.npz"))
+
+    plotting.plot_nodes(g, "data", attribute="area_weight",
+                        out_file=str(tmp_path / "n.png"))
+    plotting.plot_subgraph(g, ("data", "hidden"), out_file=str(tmp_path / "e.png"))
+    assert (tmp_path / "n.png").stat().st_size > 1000
+
+    out = tmp_path / "plots"
+    assert graphs_main(["plot", str(tmp_path / "g.npz"), str(out)]) == 0
+    names = {p.name for p in out.iterdir()}
+    assert {"nodes_data.png", "nodes_hidden.png", "edges_data_to_hidden.png",
+            "isolated_nodes.png", "node_attributes.png",
+            "edge_attributes.png"} <= names
+
+
+def test_inspect_tools_statistics_and_export(tmp_path):
+    """edge_statistics + export_to_sparse round-trip (weak spot: untested
+    utilities)."""
+    import scipy.sparse as sp
+
+    from anemoi_tpu.graphs.create import GraphCreator
+    from anemoi_tpu.graphs.inspect_tools import edge_statistics, export_to_sparse
+
+    g = GraphCreator({
+        "nodes": {
+            "data": {"node_builder": {"name": "ReducedGaussianGridNodes", "grid": "o4"}},
+            "hidden": {"node_builder": {"name": "TriNodes", "resolution": 0}},
+        },
+        "edges": [
+            {"source_name": "data", "target_name": "hidden",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 2},
+             "attributes": {"edge_length": {"name": "EdgeLength"}}},
+        ],
+    }).create()
+    stats = edge_statistics(g)
+    key = next(iter(stats))
+    assert stats[key]["num_edges"] == g[("data", "hidden")].num_edges
+    assert stats[key]["in_degree"]["mean"] > 0
+    assert stats[key]["length_rad"]["max"] > 0
+
+    written = export_to_sparse(g, str(tmp_path / "sparse"))
+    mat = sp.load_npz(next(iter(written.values())))
+    assert mat.shape == (g["hidden"].num_nodes, g["data"].num_nodes) or mat.shape == (
+        g["data"].num_nodes, g["hidden"].num_nodes)
+    assert mat.nnz == g[("data", "hidden")].num_edges
