@@ -30,6 +30,7 @@ class ScaleTensor:
     def __init__(self, scalers: Optional[Dict[str, Tuple[Tuple[str, ...], jnp.ndarray]]] = None):
         # name -> (dims tuple, array whose shape matches those dims in order)
         self.scalers: Dict[str, Tuple[Tuple[str, ...], jnp.ndarray]] = dict(scalers or {})
+        self._frozen: set = set()
 
     def add_scaler(self, dims, array, name: str) -> "ScaleTensor":
         if isinstance(dims, str):
@@ -37,8 +38,52 @@ class ScaleTensor:
         dims = tuple(dims)
         for d in dims:
             assert d in DIMS, f"Unknown dim '{d}' (valid: {sorted(DIMS)})"
-        self.scalers[name] = (dims, jnp.asarray(array))
+        array = jnp.asarray(array)
+        assert array.ndim == len(dims), (
+            f"scaler '{name}' has {array.ndim} axes for dims {dims}"
+        )
+        if name in self.scalers:
+            # same-name add composes multiplicatively on matching dims
+            # (ref scaler_tensor.py:226-291 add_scaler semantics)
+            old_dims, old = self.scalers[name]
+            assert old_dims == dims, (
+                f"scaler '{name}' exists with dims {old_dims}, got {dims}"
+            )
+            array = old * array
+        self.scalers[name] = (dims, array)
         return self
+
+    def update_scaler(self, name: str, array, override: bool = False) -> "ScaleTensor":
+        """Replace an existing scaler's values in place -- the reference's
+        updating-scaler hook (scaler_tensor.py:340, BaseUpdatingScaler):
+        per-batch scalers (e.g. the imputer NaN mask) refresh through this.
+        Frozen scalers refuse unless ``override``."""
+        assert name in self.scalers, f"unknown scaler '{name}'"
+        if name in self._frozen and not override:
+            raise ValueError(f"scaler '{name}' is frozen (pass override=True)")
+        dims, old = self.scalers[name]
+        array = jnp.asarray(array)
+        assert array.shape == old.shape, (
+            f"updating scaler '{name}': shape {array.shape} != {old.shape}"
+        )
+        self.scalers[name] = (dims, array)
+        return self
+
+    def freeze(self, names: Optional[Sequence[str]] = None) -> "ScaleTensor":
+        """Mark scalers immutable to update_scaler (ref freeze_state :311)."""
+        self._frozen.update(names if names is not None else self.scalers)
+        return self
+
+    def validate(self, shape: Sequence[int]) -> None:
+        """Assert every scaler broadcasts against a [B,T,E,G,V]-shaped tensor
+        (ref validate_scaler :197): each bound dim must match or be 1."""
+        for name, (dims, array) in self.scalers.items():
+            for d, size in zip(dims, array.shape):
+                want = shape[DIMS[d]]
+                if size not in (1, want):
+                    raise ValueError(
+                        f"scaler '{name}' dim '{d}' has size {size}, tensor has {want}"
+                    )
 
     def subset(self, names: Sequence[str]) -> "ScaleTensor":
         return ScaleTensor({n: self.scalers[n] for n in names if n in self.scalers})
@@ -46,6 +91,28 @@ class ScaleTensor:
     def without(self, names: Sequence[str]) -> "ScaleTensor":
         drop = set(names)
         return ScaleTensor({n: s for n, s in self.scalers.items() if n not in drop})
+
+    def _dims_set(self, dimensions) -> set:
+        if isinstance(dimensions, (int, str)):
+            dimensions = [dimensions]
+        names = {d if isinstance(d, str) else None for d in dimensions}
+        idx = {d for d in dimensions if isinstance(d, int)}
+        return {n for n in DIMS if n in names or DIMS[n] in idx}
+
+    def subset_by_dim(self, dimensions) -> "ScaleTensor":
+        """Scalers touching any of the given dims (names or axis indices;
+        ref scaler_tensor.py:455)."""
+        keep = self._dims_set(dimensions)
+        return ScaleTensor(
+            {n: s for n, s in self.scalers.items() if set(s[0]) & keep}
+        )
+
+    def without_by_dim(self, dimensions) -> "ScaleTensor":
+        """Scalers touching NONE of the given dims (ref :519)."""
+        drop = self._dims_set(dimensions)
+        return ScaleTensor(
+            {n: s for n, s in self.scalers.items() if not set(s[0]) & drop}
+        )
 
     def _broadcast(self, dims: Tuple[str, ...], array: jnp.ndarray, ndim: int) -> jnp.ndarray:
         shape = [1] * ndim

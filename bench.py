@@ -58,6 +58,9 @@ def main() -> None:
         num_layers=layers,
         num_heads=heads,
         attention_backend=backend,
+        # per-layer remat trades ~10% step time for fitting bigger grids
+        # (o160/ico-6 OOMs without it); off at the default benchmark scale
+        remat_layers=os.environ.get("BENCH_REMAT", "0") == "1",
     )
     build_s = time.time() - t0
     log(f"graph+iface built in {build_s:.1f}s")

@@ -210,3 +210,48 @@ def test_logcosh_large_negative_residual():
     v = float(loss(pred, target))
     assert np.isfinite(v)
     np.testing.assert_allclose(v, 60.0 - np.log(2.0), rtol=1e-5)
+
+
+def test_scale_tensor_update_freeze_validate():
+    """Updating-scaler semantics + freezing + validation (ref
+    scaler_tensor.py:197,311,340)."""
+    import pytest as _pytest
+
+    from anemoi_tpu.training.losses.base import ScaleTensor
+
+    st = ScaleTensor()
+    st.add_scaler(("grid",), jnp.ones(5), name="area")
+    st.add_scaler(("variable",), jnp.full(3, 2.0), name="var")
+    # same-name add composes multiplicatively
+    st.add_scaler(("variable",), jnp.full(3, 0.5), name="var")
+    np.testing.assert_allclose(np.asarray(st.scalers["var"][1]), 1.0)
+
+    # update replaces values; shape guarded
+    st.update_scaler("area", jnp.arange(5.0))
+    np.testing.assert_allclose(np.asarray(st.scalers["area"][1]), np.arange(5.0))
+    with _pytest.raises(AssertionError):
+        st.update_scaler("area", jnp.ones(4))
+
+    # freezing blocks updates unless overridden
+    st.freeze(["area"])
+    with _pytest.raises(ValueError):
+        st.update_scaler("area", jnp.ones(5))
+    st.update_scaler("area", jnp.ones(5), override=True)
+
+    # validation against the canonical [B,T,E,G,V] shape
+    st.validate((2, 1, 1, 5, 3))
+    with _pytest.raises(ValueError):
+        st.validate((2, 1, 1, 7, 3))
+
+
+def test_scale_tensor_by_dim_selection():
+    from anemoi_tpu.training.losses.base import ScaleTensor
+
+    st = ScaleTensor()
+    st.add_scaler(("grid",), jnp.ones(5), name="area")
+    st.add_scaler(("variable",), jnp.ones(3), name="var")
+    st.add_scaler(("grid", "variable"), jnp.ones((5, 3)), name="gv")
+    assert set(st.subset_by_dim("grid").scalers) == {"area", "gv"}
+    assert set(st.subset_by_dim(3).scalers) == {"area", "gv"}  # axis index
+    assert set(st.without_by_dim("grid").scalers) == {"var"}
+    assert set(st.without_by_dim(["grid", "variable"]).scalers) == set()
