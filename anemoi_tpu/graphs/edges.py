@@ -129,6 +129,19 @@ def healpix_multi_scale_edges(
     return healpix_multiscale_edges(resolution, scale_resolutions)
 
 
+@edge_builder_registry.register("ICONTopologicalProcessorEdges")
+@edge_builder_registry.register("ICONTopologicalEncoderEdges")
+@edge_builder_registry.register("ICONTopologicalDecoderEdges")
+def icon_topological_edges(**_):
+    """ICON topological edges (ref edges/builders/icon.py:24-94): derived
+    from ICON grid-file topology, which needs netCDF4 (not in this image)."""
+    raise ModuleNotFoundError(
+        "ICON edge builders need netCDF4 to read ICON grid files (not "
+        "installed). Build the mesh with TriNodes + MultiScaleEdges, or "
+        "import the ICON topology as explicit edge lists."
+    )
+
+
 @edge_builder_registry.register("MultiScaleEdges")
 def multi_scale_edges(
     graph: Graph,

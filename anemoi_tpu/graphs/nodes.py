@@ -334,6 +334,18 @@ def hex_nodes(resolution: int) -> np.ndarray:
     )
 
 
+@node_builder_registry.register("ICONMultiMeshNodes")
+@node_builder_registry.register("ICONCellGridNodes")
+def icon_nodes(**_) -> np.ndarray:
+    """ICON multimesh / cell-grid nodes (ref from_icon.py:33,39). ICON
+    topology lives in netCDF grid files; netCDF4 is not in this image."""
+    raise ModuleNotFoundError(
+        "ICON node builders need netCDF4 to read ICON grid files (not "
+        "installed). Use TriNodes/HEALPixNodes meshes, or convert the ICON "
+        "grid to .npz lat/lon arrays and use NPZFileNodes."
+    )
+
+
 def apply_boolean_op(graph: Graph, nodes_name: str, op: str, attributes: list) -> np.ndarray:
     """Boolean combinations of existing masks (ref: boolean_op.py)."""
     masks = [graph[nodes_name].attributes[a].astype(bool) for a in attributes]

@@ -229,13 +229,22 @@ class AnemoiModelEncProcDec(nn.Module):
         # order); mapper edge sets fall back to the padded path
         paged = self.attention_backend == "paged"
         paged_block = tuple(self.config.get("paged_block", (128, 256, 128)))
+        # mapper edge sets run paged too (bipartite kernel); reduced-Gaussian
+        # ring order is spatially local enough that big source pages keep the
+        # slot padding ~1.5x without reordering the data grid
+        paged_mappers = paged and bool(self.config.get("paged_mappers", True))
+        mapper_block = tuple(self.config.get("paged_mapper_block", (256, 1024, 128)))
         return {
             "node_features": {
                 name: jnp.asarray(feat, dtype=dtype)
                 for name, feat in self.graph.node_features.items()
             },
             "encoder": {
-                ds: sub.edge_data(dtype=dtype, padded=padded, bucketed=bucketed)
+                ds: sub.edge_data(
+                    dtype=dtype, padded=padded,
+                    bucketed=bucketed and not paged_mappers,
+                    paged=paged_mappers, paged_block=mapper_block,
+                )
                 for ds, sub in self.graph.encoder.items()
             },
             # k_multiple=8 keeps the [n, k, HD] reshapes around the processor's
@@ -254,7 +263,11 @@ class AnemoiModelEncProcDec(nn.Module):
                 )
             ),
             "decoder": {
-                ds: sub.edge_data(dtype=dtype, padded=padded, bucketed=bucketed)
+                ds: sub.edge_data(
+                    dtype=dtype, padded=padded,
+                    bucketed=bucketed and not paged_mappers,
+                    paged=paged_mappers, paged_block=mapper_block,
+                )
                 for ds, sub in self.graph.decoder.items()
             },
         }
