@@ -227,7 +227,10 @@ class AnemoiModelEncProcDec(nn.Module):
         # "paged" = fused paged Pallas kernel on the processor sub-graph
         # (ops/pallas/paged_gt.py; wants SortNodesBySpaceFillingCurve node
         # order); mapper edge sets fall back to the padded path
-        paged = self.attention_backend == "paged"
+        # GSPMD cannot partition a pallas_call and the halo/heads strategies
+        # bring their own attention tables: the paged kernel is the
+        # single-shard-per-device fast path, padded elsewhere
+        paged = self.attention_backend == "paged" and self.shard_strategy == "none"
         paged_block = tuple(self.config.get("paged_block", (128, 256, 128)))
         # mapper edge sets run paged too (bipartite kernel); reduced-Gaussian
         # ring order is spatially local enough that big source pages keep the

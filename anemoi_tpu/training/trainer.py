@@ -412,8 +412,14 @@ class AnemoiTrainer:
 
             t_epoch = time.time()
             n_batches = 0
-            for batch_np in self.datamodule.train_batches(epoch):
-                batch = self._put_batch(batch_np)
+            from anemoi_tpu.data.prefetch import maybe_prefetch
+
+            batch_iter = maybe_prefetch(
+                self.datamodule.train_batches(epoch),
+                self._put_batch,
+                int(self.config.get("dataloader", {}).get("prefetch", 2)),
+            )
+            for batch in batch_iter:
                 self.state, metrics = train_step(self.state, batch)
                 last_metrics = metrics
                 global_step += 1

@@ -142,3 +142,37 @@ def test_datamodule_over_trajectory(tmp_path, rng):
     ref = ds.get_seq_window(int(anchors[0][0]), int(anchors[0][1]), 3)
     got = dm.make_batch(anchors[:1])["data"][0]
     np.testing.assert_array_equal(got, ref)
+
+
+def test_prefetch_to_device_order_and_close():
+    """Prefetcher preserves order, applies put_fn ahead, raises worker
+    errors, and stops its thread on early close."""
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from anemoi_tpu.data.prefetch import maybe_prefetch, prefetch_to_device
+
+    out = list(prefetch_to_device(iter(range(10)), lambda x: x * 2, size=3))
+    assert out == [2 * i for i in range(10)]
+
+    # early break stops the worker promptly
+    n_threads = threading.active_count()
+    gen = prefetch_to_device(iter(range(1000)), lambda x: x, size=2)
+    assert next(gen) == 0
+    gen.close()
+    time.sleep(0.3)
+    assert threading.active_count() <= n_threads + 1
+
+    # worker exceptions surface on the consumer side
+    def bad(x):
+        if x == 3:
+            raise RuntimeError("boom")
+        return x
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(prefetch_to_device(iter(range(10)), bad, size=2))
+
+    # size=0 disables threading
+    assert list(maybe_prefetch(iter([1, 2]), lambda x: x + 1, 0)) == [2, 3]
