@@ -92,3 +92,27 @@ def test_scan_checkpoint_passes_through_unchanged(tiny_graph):
     restored = serialization.from_state_dict(params, migrated)
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frozen_fixture_checkpoint_loads_and_predicts():
+    """A committed round-2-format inference bundle keeps loading on current
+    code -- the reference's fixture-checkpoint discipline
+    (models/tests/migrations/): format changes must ship a migration."""
+    import os
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from anemoi_tpu.training.checkpoint import load_inference_checkpoint
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "inference_ckpt_r2")
+    iface, params = load_inference_checkpoint(path)
+    n_grid = iface.model_graph.num_nodes["data"]
+    nv = iface.data_indices["data"].num_data_vars
+    rng = np.random.default_rng(0)
+    batch = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, nv)), jnp.float32)}
+    out = iface.predict_step(params, batch)
+    assert np.isfinite(np.asarray(out["data"])).all()
+    assert out["data"].shape[-2] == n_grid
