@@ -56,6 +56,11 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         from anemoi_tpu.models.graph import extract_subgraph
 
         padded = self.attention_backend != "segment"
+        # paged Pallas kernel on every hierarchy sub-graph (single-shard path;
+        # see encoder_processor_decoder.build_graph_inputs)
+        paged = self.attention_backend == "paged" and self.shard_strategy == "none"
+        pb = tuple(self.config.get("paged_block", (128, 256, 128)))
+        mb = tuple(self.config.get("paged_mapper_block", (256, 1024, 128)))
         g = self.graph
         levels = self.hidden_names
         out = {
@@ -64,11 +69,13 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
                 for name, feat in g.node_features.items()
             },
             "encoder": {
-                ds: sub.edge_data(dtype=dtype, padded=padded)
+                ds: sub.edge_data(dtype=dtype, padded=padded, paged=paged,
+                                  paged_block=mb)
                 for ds, sub in g.encoder.items()
             },
             "decoder": {
-                ds: sub.edge_data(dtype=dtype, padded=padded)
+                ds: sub.edge_data(dtype=dtype, padded=padded, paged=paged,
+                                  paged_block=mb)
                 for ds, sub in g.decoder.items()
             },
             "down": {},
@@ -80,15 +87,18 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
             if (name, name) in source:
                 out["level"][name] = extract_subgraph(
                     source, name, name, self.config["processor"].get("sub_graph_edge_attributes")
-                ).edge_data(dtype=dtype, padded=padded)
+                ).edge_data(dtype=dtype, padded=padded, paged=paged,
+                            paged_block=pb)
             if i + 1 < len(levels):
                 nxt = levels[i + 1]
                 out["down"][name] = extract_subgraph(
                     source, name, nxt, self.config["encoder"].get("sub_graph_edge_attributes")
-                ).edge_data(dtype=dtype, padded=padded)
+                ).edge_data(dtype=dtype, padded=padded, paged=paged,
+                            paged_block=mb)
                 out["up"][nxt] = extract_subgraph(
                     source, nxt, name, self.config["decoder"].get("sub_graph_edge_attributes")
-                ).edge_data(dtype=dtype, padded=padded)
+                ).edge_data(dtype=dtype, padded=padded, paged=paged,
+                            paged_block=mb)
         return out
 
     @nn.compact
