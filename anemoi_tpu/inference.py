@@ -73,9 +73,17 @@ def run_forecast_cli(args) -> int:
     cfg = load_config(args.config, search_paths=[packaged]) if args.config else None
     datasets = {}
     data_cfg = (cfg or {}).get("data", {})
+    if not data_cfg.get("datasets"):
+        # inference checkpoints are self-contained: fall back to the data
+        # config recorded in the bundle (ref: pickled AnemoiModelInterface
+        # carries its config, diagnostics/callbacks/checkpoint.py:161-211)
+        data_cfg = (iface.config or {}).get("data", {})
     for name, ds_cfg in data_cfg.get("datasets", {}).items():
         datasets[name] = open_dataset(ds_cfg)
-    assert datasets, "predict needs a config with data.datasets for initial conditions"
+    assert datasets, (
+        "predict needs data.datasets for initial conditions -- pass --config "
+        "or use a checkpoint whose bundled config defines them"
+    )
 
     m = iface.model.n_step_input
     n_out = iface.model.n_step_output

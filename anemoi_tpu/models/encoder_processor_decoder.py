@@ -236,7 +236,13 @@ class AnemoiModelEncProcDec(nn.Module):
         # ring order is spatially local enough that big source pages keep the
         # slot padding ~1.5x without reordering the data grid
         paged_mappers = paged and bool(self.config.get("paged_mappers", True))
-        mapper_block = tuple(self.config.get("paged_mapper_block", (256, 1024, 128)))
+        # the kv-reduce kernel holds a [page, 2*HD] fp32 accumulator in VMEM:
+        # halve the source page above 512 channels to stay inside the 16 MB
+        # scoped limit (measured: page=1024 at 1024ch overflows by 1 MB)
+        default_page = 1024 if self.num_channels <= 512 else 512
+        mapper_block = tuple(
+            self.config.get("paged_mapper_block", (256, default_page, 128))
+        )
         return {
             "node_features": {
                 name: jnp.asarray(feat, dtype=dtype)

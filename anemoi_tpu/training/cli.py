@@ -72,7 +72,7 @@ def main(argv=None) -> int:
 
     p_pred = sub.add_parser("predict", help="Autoregressive forecast from an inference checkpoint")
     p_pred.add_argument("checkpoint", help="Inference checkpoint directory")
-    p_pred.add_argument("--config", required=True, help="Config with data.datasets for initial conditions")
+    p_pred.add_argument("--config", default=None, help="Config with data.datasets for initial conditions (default: the checkpoint's bundled config)")
     p_pred.add_argument("--steps", type=int, default=4)
     p_pred.add_argument("--start-index", type=int, default=0)
     p_pred.add_argument("--output", default="forecast.npz")
