@@ -214,6 +214,16 @@ class AnemoiTrainer:
             LOGGER.info("Checkpoint pipeline: %s", ctx.metadata)
 
         self.state = TrainState.create(params, self.tx)
+        if self.mesh is not None and bool(
+            (training_cfg.get("optimizer") or {}).get("zero", False)
+        ):
+            # ZeRO-1 equivalent: optimizer state sharded over the data axis
+            # (ref optimization/optimizer/zero.yaml); GSPMD inserts the
+            # gathers, per-device moment footprint drops ~1/data
+            from anemoi_tpu.parallel.mesh import shard_opt_state
+
+            self.state = shard_opt_state(self.mesh, self.state)
+            LOGGER.info("ZeRO-style optimizer-state sharding over 'data'")
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
         LOGGER.info("Model has %.2fM parameters", n_params / 1e6)
         self.num_params = n_params

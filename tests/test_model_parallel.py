@@ -239,3 +239,39 @@ def test_transformer_heads_parity():
     iface = _build_interface(shard_strategy="heads", n_shards=4, processor="transformer")
     got = _run(iface, params, batch, mesh=_mesh(4))
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
+
+
+def test_zero_optimizer_state_sharding(tmp_path):
+    """training.optimizer.zero shards optimizer moments over the data axis
+    (ZeRO-1 equivalent of the reference's zero.yaml): per-device footprint
+    drops, the step still trains, and the state stays sharded after it."""
+    import jax
+    import numpy as np
+
+    from anemoi_tpu.training.trainer import AnemoiTrainer
+    from tests.test_training import make_config
+
+    cfg = make_config(tmp_path)
+    cfg["hardware"] = {"num_devices": 4, "num_devices_per_model": 1}
+    cfg["training"]["optimizer"] = {"name": "adamw", "zero": True}
+    cfg["training"]["max_epochs"] = 1
+    cfg["training"]["max_steps"] = 2
+    trainer = AnemoiTrainer(cfg, output_dir=cfg["output_dir"])
+
+    def sharded_leaves(tree):
+        return [
+            x for x in jax.tree_util.tree_leaves(tree)
+            if hasattr(x, "sharding") and x.ndim >= 1 and x.shape[0] % 4 == 0
+            and not x.sharding.is_fully_replicated
+        ]
+
+    before = sharded_leaves(trainer.state.opt_state)
+    assert before, "no optimizer-state leaf was sharded"
+    # sharded leaf holds 1/4 per device
+    leaf = before[0]
+    shard_rows = leaf.addressable_shards[0].data.shape[0]
+    assert shard_rows == leaf.shape[0] // 4
+
+    result = trainer.train()
+    assert np.isfinite(result["final_loss"])
+    assert sharded_leaves(trainer.state.opt_state), "sharding lost after step"
