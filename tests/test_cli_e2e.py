@@ -114,3 +114,35 @@ def test_cli_config_generate(cli_run, tmp_path, capsys):
     assert rc == 0
     dumped = capsys.readouterr().out
     assert "AnemoiModelEncProcDec" in dumped or "num_channels" in dumped
+
+
+def test_cli_profile_pushes_to_benchmark_store(cli_run, capsys):
+    """`profile --benchmark-store` pushes commit-keyed results and compares
+    against the latest stored ancestor (ref benchmark_server.py:194-216) --
+    the regression-tracking discipline running in CI."""
+    from anemoi_tpu.training.benchmark_store import BenchmarkStore
+    from anemoi_tpu.training.cli import main
+
+    import subprocess
+
+    _, tmp, cfg_path, overrides = cli_run
+    store_dir = str(tmp / "bench_store")
+    # seed the PARENT commit so HEAD has an ancestor with stored results
+    parent = subprocess.run(
+        ["git", "rev-parse", "HEAD^"], capture_output=True, text=True
+    ).stdout.strip()
+    BenchmarkStore(store_dir).push({"avg_time_per_batch_s": 0.5}, commit=parent)
+
+    rc = main(
+        ["profile", str(cfg_path)] + overrides
+        + ["--steps", "2", "--benchmark-store", store_dir,
+           "--output-dir", str(tmp / "prof")]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "benchmark store: commit=" in out
+    store = BenchmarkStore(store_dir)
+    cmp = store.compare({"avg_time_per_batch_s": 1.0})
+    assert cmp["avg_time_per_batch_s"]["baseline"] == 0.5
+    assert cmp["avg_time_per_batch_s"]["ratio"] == 2.0
+    assert cmp["avg_time_per_batch_s"]["baseline_commit"] == parent
