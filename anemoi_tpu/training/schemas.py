@@ -133,6 +133,19 @@ class ModelSchema(BaseModel):
     graph_attention_backend: str = "padded"
     shard_strategy: str = "none"
     num_model_shards: int = Field(default=1, ge=1)
+    bucketed_gathers: bool = True
+    paged_mappers: bool = True
+    paged_block: Optional[List[int]] = None
+    paged_mapper_block: Optional[List[int]] = None
+
+    @field_validator("paged_block", "paged_mapper_block")
+    @classmethod
+    def _paged_block(cls, v):
+        if v is not None:
+            assert len(v) == 3 and all(int(x) > 0 for x in v), (
+                "paged block must be [block_dst, page, r] positive ints"
+            )
+        return v
     encoder: EncoderConfig = EncoderConfig()
     processor: ProcessorConfig = ProcessorConfig()
     decoder: DecoderConfig = DecoderConfig()
@@ -227,6 +240,7 @@ class OptimizerSchema(BaseModel):
     b1: float = Field(default=0.9, gt=0, lt=1)
     b2: float = Field(default=0.95, gt=0, lt=1)
     weight_decay: float = Field(default=0.0, ge=0)
+    zero: bool = False  # ZeRO-1-style optimizer-state sharding over 'data' 
 
     @field_validator("name")
     @classmethod
@@ -249,6 +263,18 @@ class TrainingSchema(BaseModel):
     task: str = "forecaster"
     ensemble_size: int = Field(default=1, ge=1)
     validation_rollout: int = Field(default=0, ge=0)
+    precompile_rollouts: bool = True
+    remat_rollout: bool = True
+    transport: Optional[Dict[str, Any]] = None
+
+    @field_validator("transport")
+    @classmethod
+    def _transport(cls, v):
+        if v and "objective" in v:
+            assert v["objective"] in ("edm", "interpolant"), (
+                f"unknown transport objective '{v['objective']}'"
+            )
+        return v
 
     @field_validator("precision")
     @classmethod
@@ -316,6 +342,7 @@ class DataloaderSchema(BaseModel):
     batch_size: int = Field(default=1, ge=1)
     validation_fraction: float = Field(default=0.15, ge=0.0, lt=1.0)
     shard_grid: bool = True
+    prefetch: int = Field(default=2, ge=0)  # device-staged batches ahead
 
 
 class DiagnosticsSchema(BaseModel):

@@ -408,6 +408,7 @@ class AnemoiTrainer:
             cb.on_train_start(self)
 
         t_start = time.time()
+        t_last_log = t_start
         global_step = int(self.state.step)
         last_metrics = None  # device values; materialised lazily (no per-step sync)
         last_loss = float("nan")
@@ -448,6 +449,8 @@ class AnemoiTrainer:
                 if global_step % log_interval == 0:
                     loss = float(metrics["loss"])
                     last_loss = loss
+                    now = time.time()
+                    interval_steps = log_interval if global_step > log_interval else n_batches
                     rec = {
                         "step": global_step,
                         "epoch": epoch,
@@ -455,8 +458,15 @@ class AnemoiTrainer:
                         "loss": loss,
                         "grad_norm": float(metrics["grad_norm"]),
                         "lr": float(self.lr_schedule(global_step)),
-                        "elapsed_s": time.time() - t_start,
+                        "elapsed_s": now - t_start,
+                        # throughput since the last log line (the reference's
+                        # progress-bar it/s and per-sample rates)
+                        "steps_per_s": interval_steps / max(now - t_last_log, 1e-9),
+                        "samples_per_s": interval_steps
+                        * self.datamodule.batch_size
+                        / max(now - t_last_log, 1e-9),
                     }
+                    t_last_log = now
                     self._log(rec)
                     for lg in self.loggers:
                         lg.log_metrics({k: v for k, v in rec.items()
