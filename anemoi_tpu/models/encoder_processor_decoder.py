@@ -262,7 +262,11 @@ class AnemoiModelEncProcDec(nn.Module):
             # once and prefer exact-k's smaller gather volume
             "processor": (
                 self.graph.processor.sharded_edge_data(
-                    int(self.config.get("num_model_shards", 1)), dtype=dtype
+                    int(self.config.get("num_model_shards", 1)), dtype=dtype,
+                    # the paged kernel runs per shard INSIDE the halo
+                    # shard_map (parallel/halo.py shard_paged_tables)
+                    paged=self.attention_backend == "paged",
+                    paged_block=paged_block,
                 )
                 if self.shard_strategy == "edges"
                 and int(self.config.get("num_model_shards", 1)) > 1

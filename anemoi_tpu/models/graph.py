@@ -43,6 +43,9 @@ class EdgeData:
     halo_tables: Optional[dict] = None
     edge_perm: Optional[jnp.ndarray] = None  # [S, E_loc] global edge id (pad=E)
     edge_perm_inv: Optional[jnp.ndarray] = None  # [E] flat per-shard slot
+    # paged kernel inside the halo shard_map: (bd, page, r) static meta for
+    # the pg_* tables carried in halo_tables
+    halo_paged_meta: Optional[tuple] = struct.field(pytree_node=False, default=None)
     # fused paged Pallas kernel (ops/pallas/paged_gt.py): slot tables built on
     # a space-filling-curve node order; edge_attr stays canonical -- the
     # runtime slot-layout transform is a gather pair inside the op
@@ -137,7 +140,10 @@ class SubGraphArrays:
             paged_tables=paged_tables,
         )
 
-    def sharded_edge_data(self, n_shards: int, dtype=jnp.float32) -> EdgeData:
+    def sharded_edge_data(
+        self, n_shards: int, dtype=jnp.float32, paged: bool = False,
+        paged_block: tuple = (128, 256, 128),
+    ) -> EdgeData:
         """EdgeData for the model-parallel "edges" (halo-exchange) strategy:
         partition this homogeneous sub-graph across ``n_shards`` contiguous
         node shards, build the stacked per-shard attention + halo send/recv
@@ -157,7 +163,17 @@ class SubGraphArrays:
             n_shards,
             halo=True,
         )
-        tables = shard_tables(sg, sg.n_local + n_shards * sg.h_pair)
+        num_src_ext = sg.n_local + n_shards * sg.h_pair
+        tables = dict(shard_tables(sg, num_src_ext))
+        halo_paged_meta = None
+        if paged:
+            from anemoi_tpu.parallel.halo import shard_paged_tables
+
+            bd, page, r = paged_block
+            pg_tables, halo_paged_meta = shard_paged_tables(
+                sg, num_src_ext, bd=bd, page=page, r=r
+            )
+            tables.update(pg_tables)
         S, e_loc = sg.edge_attr_perm.shape
         inv = np.zeros(self.num_edges, dtype=np.int32)
         flat_slots = np.arange(S * e_loc, dtype=np.int32).reshape(S, e_loc)
@@ -165,9 +181,10 @@ class SubGraphArrays:
         return EdgeData(
             edge_attr=jnp.asarray(self.edge_attr, dtype=dtype),
             edge_index=jnp.asarray(self.edge_index),
-            halo_tables=dict(tables),
+            halo_tables=tables,
             edge_perm=jnp.asarray(sg.edge_attr_perm),
             edge_perm_inv=jnp.asarray(inv),
+            halo_paged_meta=halo_paged_meta,
         )
 
 

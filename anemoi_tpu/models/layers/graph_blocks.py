@@ -168,7 +168,8 @@ class GraphTransformerAttention(nn.Module):
                     key.reshape(batch, n_src, h, d)
                 ).reshape(batch, n_src, hd)
             return halo_gt_attention(
-                query, key, value, edges, edge_data.halo_tables, h
+                query, key, value, edges, edge_data.halo_tables, h,
+                paged_meta=edge_data.halo_paged_meta,
             )
 
         if self.shard_strategy == "heads":

@@ -183,23 +183,30 @@ def halo_gt_attention(
     tables: dict,  # stacked shard tables (leading [S] axis on every array)
     num_heads: int,
     axis_name: str = "model",
+    paged_meta: Optional[tuple] = None,  # (bd, page, r) when pg_* tables exist
 ) -> jnp.ndarray:
     """The model-facing halo ("edges" shard-strategy) graph attention.
 
     GSPMD entry point: wraps a partial-manual `jax.shard_map` over
     ``axis_name`` (other mesh axes -- data/ensemble -- stay automatic), calls
-    the batched halo exchange + padded attention per shard.  This is the
-    TPU-native equivalent of the reference's edges-strategy processor forward
+    the batched halo exchange per shard followed by either the padded XLA
+    attention or -- when per-shard paged slot tables are present -- the fused
+    paged Pallas kernel over the [local | halo] source space (the multi-chip
+    fast path).  This is the TPU-native equivalent of the reference's
+    edges-strategy processor forward
     (/root/reference/models/src/anemoi/models/layers/block.py:1148-1183)."""
+    import os
+
     from jax.sharding import PartitionSpec as P
 
     node_spec = P(None, axis_name, None)
     shard_spec = P(axis_name)
     table_specs = {k: shard_spec for k in tables}
+    use_paged = paged_meta is not None and "pg_blk_ids" in tables
+    stabilize = os.environ.get("ANEMOI_PAGED_STABILIZE", "1") == "1"
 
     def kernel(q, k, v, e, tbl):
         tbl = {kk: a[0] for kk, a in tbl.items()}  # strip the [1] shard axis
-        pt = _tables_to_padded({kk: tbl[kk] for kk in _HALO_TABLE_KEYS})
         send_tbl = {
             kk: tbl[kk]
             for kk in ("send_idx", "send_mask", "send_transpose_idx",
@@ -208,6 +215,37 @@ def halo_gt_attention(
         k_ext = halo_exchange_b(k, send_tbl, axis_name)
         v_ext = halo_exchange_b(v, send_tbl, axis_name)
         e0 = None if e is None else e[0]
+
+        if use_paged:
+            from anemoi_tpu.ops.pallas.paged_gt import (
+                PagedTables,
+                paged_gt_attention_flat as paged_flat,
+                to_slot_layout,
+            )
+
+            bd, pg, r = paged_meta
+            tab = PagedTables(
+                blk_ids=tbl["pg_blk_ids"],
+                page_ids=tbl["pg_page_ids"],
+                idx=tbl["pg_idx"],
+                visit_slot=tbl["pg_visit_slot"],
+                visit_page=tbl["pg_visit_page"],
+                slot_gather=tbl["pg_slot_gather"],
+                edge_slot=tbl["pg_edge_slot"],
+                bd=bd, page=pg, r=r,
+                num_src=k_ext.shape[1], num_dst=q.shape[1],
+            )
+            e_slots = to_slot_layout(e0, tab.slot_gather, tab.edge_slot)
+            return jnp.stack(
+                [
+                    paged_flat(q[b], k_ext[b], v_ext[b], e_slots, num_heads,
+                               tab, stabilize)
+                    for b in range(q.shape[0])
+                ],
+                axis=0,
+            )
+
+        pt = _tables_to_padded({kk: tbl[kk] for kk in _HALO_TABLE_KEYS})
 
         def one(q1, k1, v1):
             return padded_gt_attention_flat(q1, k1, v1, e0, num_heads, pt)
@@ -325,3 +363,67 @@ def shard_tables(sharded_graph, num_src_ext: int):
     ):
         stacked[key] = jnp.asarray(np.stack(stacked[key]))
     return stacked
+
+
+def shard_paged_tables(
+    sharded_graph, num_src_ext: int, bd: int = 128, page: int = 256, r: int = 128
+):
+    """Per-shard paged-kernel slot tables for the halo strategy, stacked with
+    a leading shard axis (ragged per-shard slot counts padded with sentinel
+    slots that accumulate zeros).
+
+    Each shard's attention runs the fused paged Pallas kernel over its
+    [local | halo] extended source space -- the multi-chip fast path pairing
+    ops/pallas/paged_gt.py with the halo all_to_all.  Returns (tables_dict,
+    static_meta) where meta = (bd, page, r) rides outside the pytree."""
+    import numpy as np
+
+    from anemoi_tpu.ops.pallas.paged_gt import build_paged_csr
+
+    sg = sharded_graph
+    e_loc = sg.edge_attr_perm.shape[1]
+    csrs = []
+    for s in range(sg.n_shards):
+        mask = sg.mask[s]
+        dst, within = np.nonzero(mask)
+        eids = sg.edge_slots[s][dst, within]  # per-shard edge row per CSR slot
+        src = sg.src_slots[s][dst, within]
+        ei = np.stack([src, dst]).astype(np.int64)
+        csr = build_paged_csr(ei, num_src_ext, sg.n_local, bd=bd, page=page, r=r)
+        csrs.append((csr, eids))
+
+    s_max = max(c.num_slots for c, _ in csrs)
+    v_max = max(len(c.visit_slot) for c, _ in csrs)
+    f_max = s_max * r
+    out = {k: [] for k in (
+        "pg_blk_ids", "pg_page_ids", "pg_idx", "pg_visit_slot", "pg_visit_page",
+        "pg_slot_gather", "pg_edge_slot",
+    )}
+    for csr, eids in csrs:
+        ns = csr.num_slots
+        pad_s = s_max - ns
+        blk = np.concatenate([csr.blk_ids, np.repeat(csr.blk_ids[-1], pad_s)])
+        pg = np.concatenate([csr.page_ids, np.repeat(csr.page_ids[-1], pad_s)])
+        idx = np.concatenate(
+            [csr.idx, np.broadcast_to(csr.idx[-1:], (pad_s,) + csr.idx.shape[1:])]
+        )
+        # pad visits with repeats of the sentinel slot on the last page
+        pad_v = v_max - len(csr.visit_slot)
+        vs = np.concatenate([csr.visit_slot, np.repeat(ns - 1, pad_v)])
+        vp = np.concatenate([csr.visit_page, np.repeat(csr.visit_page[-1], pad_v)])
+        # slot -> per-shard edge row (pad positions hit the appended zero row)
+        slot_gather = np.full(f_max, e_loc, np.int32)
+        slot_gather[csr.slot_pos] = eids.astype(np.int32)
+        # per-shard edge row -> slot position; rows with no edge point at a
+        # sentinel-slot position whose cotangent is exactly zero
+        edge_slot = np.full(e_loc, csr.num_flat - 1, np.int32)
+        edge_slot[eids] = csr.slot_pos.astype(np.int32)
+        out["pg_blk_ids"].append(blk.astype(np.int32))
+        out["pg_page_ids"].append(pg.astype(np.int32))
+        out["pg_idx"].append(idx.astype(np.int32))
+        out["pg_visit_slot"].append(vs.astype(np.int32))
+        out["pg_visit_page"].append(vp.astype(np.int32))
+        out["pg_slot_gather"].append(slot_gather)
+        out["pg_edge_slot"].append(edge_slot)
+    tables = {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+    return tables, (bd, page, r)

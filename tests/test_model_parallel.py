@@ -74,7 +74,8 @@ def _graph():
     return _GRAPH
 
 
-def _build_interface(shard_strategy="none", n_shards=1, processor="gt"):
+def _build_interface(shard_strategy="none", n_shards=1, processor="gt",
+                     backend="padded", paged_block=None):
     graph = _graph()
     indices = {
         "data": IndexCollection(
@@ -104,7 +105,8 @@ def _build_interface(shard_strategy="none", n_shards=1, processor="gt"):
             "num_channels": 16,
             "n_step_input": 2,
             "n_step_output": 1,
-            "graph_attention_backend": "padded",
+            "graph_attention_backend": backend,
+            **({"paged_block": list(paged_block)} if paged_block else {}),
             "shard_strategy": shard_strategy,
             "num_model_shards": n_shards,
             "encoder": {"name": "GraphTransformerForwardMapper", **gt},
@@ -165,6 +167,25 @@ def test_gt_shard_strategy_parity(reference_run, strategy):
     _, params, batch, ref_losses = reference_run
     iface = _build_interface(shard_strategy=strategy, n_shards=4)
     got = _run(iface, params, batch, mesh=_mesh(4))
+    np.testing.assert_allclose(got, ref_losses, rtol=5e-5, atol=1e-6)
+
+
+def test_gt_edges_paged_kernel_parity(reference_run):
+    """The paged Pallas kernel INSIDE the halo shard_map trains the full step
+    with losses matching the single-device padded run (interpret mode)."""
+    from anemoi_tpu.ops.pallas import paged_gt
+
+    _, params, batch, ref_losses = reference_run
+    iface = _build_interface(
+        shard_strategy="edges", n_shards=4, backend="paged",
+        paged_block=(16, 32, 16),
+    )
+    assert iface.graph_inputs["processor"].halo_paged_meta == (16, 32, 16)
+    paged_gt.set_interpret(True)
+    try:
+        got = _run(iface, params, batch, mesh=_mesh(4))
+    finally:
+        paged_gt.set_interpret(False)
     np.testing.assert_allclose(got, ref_losses, rtol=5e-5, atol=1e-6)
 
 
