@@ -184,4 +184,10 @@ def profile_training(trainer, num_steps: int = 20, trace: bool = False) -> Dict[
     report_path = prof.write_reports(
         {"config": {"rollout": rollout, "steps": n, "grid_points": grid_points}}
     )
-    return {"report": report_path, **prof.speed_report(grid_points=grid_points)}
+    result = {"report": report_path, **prof.speed_report(grid_points=grid_points)}
+    # dataloader throughput, tracked like the reference's dataloader benchmark
+    # (benchmark_server.py:717-748)
+    dl = prof.time_report().get("dataloader")
+    if dl and dl["total_s"] > 0:
+        result["dataloader_batches_per_s"] = dl["count"] / dl["total_s"]
+    return result

@@ -70,6 +70,12 @@ TINY_PER_EXPERIMENT = {
     "transport_edm_diffusion_tendency": _SMALL_DATA + _SMALL_MESH,
     "transport_stochastic_interpolant": _SMALL_DATA + _SMALL_MESH,
     "transport_stochastic_interpolant_tendency": _SMALL_DATA + _SMALL_MESH,
+    "transformer": _SMALL_DATA + _SMALL_MESH + [
+        "model.processor.num_layers=1",
+        "model.processor.window_size=16",
+        "model.processor.num_heads=2",
+        "model.num_channels=16",
+    ],
     "multi": [
         "data.datasets.era.nodes.grid=o8",
         "data.datasets.era.num_times=16",
@@ -97,7 +103,7 @@ def test_experiment_presets_discovered():
     for required in (
         "lam", "stretched", "ensemble_crps", "hierarchical", "autoencoder",
         "hierarchical_autoencoder", "temporal_downscaler", "multi",
-        "point_wise", "transport_edm_diffusion",
+        "point_wise", "transformer", "transport_edm_diffusion",
         "transport_edm_diffusion_tendency", "transport_stochastic_interpolant",
         "transport_stochastic_interpolant_tendency",
     ):
