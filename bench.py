@@ -120,6 +120,22 @@ def main() -> None:
     jax.block_until_ready(metrics["loss"])
     step_time = (time.time() - t0) / steps
 
+    # inference (forward-only predict) timing: the serving path
+    infer_ms = None
+    try:
+        predict = jax.jit(iface.predict_step)
+        x_in = {"data": batch["data"][:, : iface.model.n_step_input]}
+        out = predict(state.params, x_in)
+        jax.block_until_ready(out["data"])
+        t0 = time.time()
+        for _ in range(steps):
+            out = predict(state.params, x_in)
+        jax.block_until_ready(out["data"])
+        infer_ms = (time.time() - t0) / steps * 1000
+        log(f"inference step: {infer_ms:.1f} ms")
+    except Exception as e:  # never fail the bench on the extra metric
+        log(f"inference timing skipped: {e}")
+
     gps = n_grid * rollout / step_time  # grid-points advanced per second per chip
     baseline = 15007.6  # round-1 anchor (BENCH_BASELINE.json); ref publishes no absolute numbers
     try:
@@ -148,6 +164,7 @@ def main() -> None:
             "build_s": round(build_s, 1),
             "init_s": round(init_s, 1),
             "device": str(jax.devices()[0]),
+            "infer_ms": None if infer_ms is None else round(infer_ms, 2),
             "loss": float(metrics["loss"]),
         },
     }
