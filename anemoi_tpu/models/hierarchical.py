@@ -60,7 +60,10 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         # see encoder_processor_decoder.build_graph_inputs)
         paged = self.attention_backend == "paged" and self.shard_strategy == "none"
         pb = tuple(self.config.get("paged_block", (128, 256, 128)))
-        mb = tuple(self.config.get("paged_mapper_block", (256, 1024, 128)))
+        default_page = 1024 if self.num_channels <= 512 else 512
+        mb = tuple(
+            self.config.get("paged_mapper_block", (256, default_page, 128))
+        )
         g = self.graph
         levels = self.hidden_names
         out = {

@@ -107,9 +107,11 @@ class OfflineMLflowRun:
                 f"run_id: {self.run_id}\n"
                 f"run_name: {self.run_name}\n"
                 f"run_uuid: {self.run_id}\n"
+                f"experiment_name: {self.experiment}\n"
                 f"source_type: 4\n"
                 f"start_time: {self._start}\n"
-                f"status: {2 if end_time is None else 3}\n"
+                # MLflow RunStatus enum: RUNNING=1, FINISHED=3
+                f"status: {1 if end_time is None else 3}\n"
                 f"user_id: {os.environ.get('USER', 'anemoi')}\n"
             )
 
@@ -204,8 +206,11 @@ class MLflowRestClient:
             out = self._call("experiments/create", {"name": name})
             return out["experiment_id"]
         except urllib.error.HTTPError:
+            from urllib.parse import quote
+
             out = self._call(
-                f"experiments/get-by-name?experiment_name={name}", {}, method="GET"
+                f"experiments/get-by-name?experiment_name={quote(name)}",
+                {}, method="GET",
             )
             return out["experiment"]["experiment_id"]
 
@@ -224,16 +229,20 @@ class MLflowRestClient:
 
     def log_batch(self, run_id: str, metrics: List[Dict[str, Any]],
                   params: Dict[str, str]) -> None:
-        # the REST contract caps a batch at 1000 metrics / 100 params
+        # the REST contract caps a batch at 1000 metrics / 100 params:
+        # paginate BOTH so nothing is silently dropped
         param_items = [{"key": k, "value": str(v)[:500]} for k, v in params.items()]
-        first = True
-        for i in range(0, max(len(metrics), 1), 1000):
-            payload: Dict[str, Any] = {
-                "run_id": run_id, "metrics": metrics[i : i + 1000]
-            }
-            if first:
-                payload["params"] = param_items[:100]
-                first = False
+        n_batches = max(
+            -(-len(metrics) // 1000), -(-len(param_items) // 100), 1
+        )
+        for i in range(n_batches):
+            payload: Dict[str, Any] = {"run_id": run_id}
+            m = metrics[i * 1000 : (i + 1) * 1000]
+            p = param_items[i * 100 : (i + 1) * 100]
+            if m:
+                payload["metrics"] = m
+            if p:
+                payload["params"] = p
             self._call("runs/log-batch", payload)
 
     def terminate_run(self, run_id: str, end_time: Optional[int]) -> None:

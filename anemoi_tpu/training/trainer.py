@@ -409,6 +409,7 @@ class AnemoiTrainer:
 
         t_start = time.time()
         t_last_log = t_start
+        steps_since_log = 0
         global_step = int(self.state.step)
         last_metrics = None  # device values; materialised lazily (no per-step sync)
         last_loss = float("nan")
@@ -446,11 +447,13 @@ class AnemoiTrainer:
 
                 for cb in self.callbacks:
                     cb.on_step(self, global_step, metrics)
+                steps_since_log += 1
                 if global_step % log_interval == 0:
                     loss = float(metrics["loss"])
                     last_loss = loss
                     now = time.time()
-                    interval_steps = log_interval if global_step > log_interval else n_batches
+                    interval_steps = steps_since_log
+                    steps_since_log = 0
                     rec = {
                         "step": global_step,
                         "epoch": epoch,

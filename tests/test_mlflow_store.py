@@ -100,9 +100,7 @@ def stub_server():
 
 def test_sync_offline_run(tmp_path, stub_server):
     run = make_run(tmp_path)
-    run_id = sync_offline_run(
-        run.run_dir, stub_server, experiment="exp", token="sekrit"
-    )
+    run_id = sync_offline_run(run.run_dir, stub_server, token="sekrit")
     assert run_id == "serverrun"
     paths = [p for p, _, _ in _StubMLflow.calls]
     assert any(p.endswith("experiments/create") for p in paths)
@@ -117,6 +115,24 @@ def test_sync_offline_run(tmp_path, stub_server):
     assert {p["key"] for p in batch["params"]} == {
         "model.num_channels", "training.lr.rate"
     }
+    # the experiment routes by the name RECORDED in the run (no --experiment)
+    create = next(pl for p, pl, _ in _StubMLflow.calls
+                  if p.endswith("experiments/create"))
+    assert create["name"] == "exp"
+
+
+def test_sync_paginates_params_beyond_rest_cap(tmp_path, stub_server):
+    """>100 params must paginate across log-batch calls, not drop (REST caps
+    a batch at 100 params / 1000 metrics)."""
+    run = OfflineMLflowRun(str(tmp_path / "mlruns"), experiment="big")
+    run.log_params({f"cfg.k{i}": i for i in range(250)})
+    run.log_metric("loss", 1.0, 0)
+    run.finalize()
+    sync_offline_run(run.run_dir, stub_server)
+    batches = [pl for path, pl, _ in _StubMLflow.calls if path.endswith("log-batch")]
+    keys = {p["key"] for pl in batches for p in pl.get("params", [])}
+    assert len(keys) == 250
+    assert all(len(pl.get("params", [])) <= 100 for pl in batches)
 
 
 def test_system_metrics_sample_and_monitor():
