@@ -59,6 +59,17 @@ class AnemoiTrainer:
         self.output_dir = output_dir or config.get("output_dir", "runs/default")
         os.makedirs(self.output_dir, exist_ok=True)
 
+        # the reference wires Lightning's detect_anomaly from
+        # diagnostics.debug.anomaly_detection (train/train.py:722); the jax
+        # equivalent aborts with a traceback at the first NaN-producing op
+        if bool(
+            (config.get("diagnostics", {}).get("debug") or {}).get(
+                "anomaly_detection", False
+            )
+        ):
+            jax.config.update("jax_debug_nans", True)
+            LOGGER.info("Anomaly detection on: jax_debug_nans enabled")
+
         # --- graph ----------------------------------------------------
         graph_cfg = dict(config.get("graph", {}))
         save_path = graph_cfg.get("save_path")

@@ -144,3 +144,21 @@ def test_profile_training_reports(tmp_path):
         assert reports["time"][phase]["count"] >= 1
     assert abs(sum(v["pct"] for v in reports["time"].values()) - 100.0) < 1.0
     assert "host_vmrss_kb" in reports["memory"]
+
+
+def test_anomaly_detection_flag(tmp_path):
+    """diagnostics.debug.anomaly_detection flips jax_debug_nans (the
+    reference's Lightning detect_anomaly wiring, train/train.py:722)."""
+    import jax
+
+    from anemoi_tpu.training.trainer import AnemoiTrainer
+    from tests.test_training import make_config
+
+    cfg = make_config(tmp_path)
+    cfg["diagnostics"]["debug"] = {"anomaly_detection": True}
+    cfg["training"]["max_epochs"] = 0
+    try:
+        AnemoiTrainer(cfg, output_dir=cfg["output_dir"])
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
