@@ -56,6 +56,67 @@ def make_forecast_fn(interface, steps: int):
     return forecast
 
 
+def make_transport_forecast_fn(
+    interface,
+    steps: int,
+    objective: str = "edm",
+    sampler: str = "edm_heun",
+    num_steps: int = 20,
+    tendency: bool = False,
+):
+    """Autoregressive GENERATIVE forecast from a transport (diffusion /
+    stochastic-interpolant) checkpoint: per rollout step, sample the next
+    state conditioned on the current window, advance, repeat (the serving
+    path of the reference's transport models + transport_samplers.py).
+
+    Returns fn(params, batch, key) -> physical {ds: [B, steps*n_out, ...]}.
+    """
+    from anemoi_tpu.training.transport_step import make_sampler
+
+    model = interface.model
+    pre = interface.pre_processors
+    indices = interface.data_indices
+    m = model.n_step_input
+    n_out = model.n_step_output
+    ia = {ds: _index_arrays(idx) for ds, idx in indices.items()}
+    dataset_names = sorted(indices.keys())
+    generate = make_sampler(
+        interface, objective=objective, sampler=sampler, num_steps=num_steps
+    )
+
+    def forecast(params, batch, key):
+        batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
+        x = {
+            ds: batch_norm[ds][:, :m, ..., jnp.asarray(ia[ds]["data_input_full"])]
+            for ds in dataset_names
+        }
+        # tendency models sample increments on the LAST observed state
+        prev = {
+            ds: batch_norm[ds][
+                :, m - 1 : m - 1 + n_out, ...,
+                jnp.asarray(ia[ds]["model_out_in_data"]),
+            ]
+            for ds in dataset_names
+        }
+        outputs = {ds: [] for ds in dataset_names}
+        for step in range(steps):
+            y = generate(params, x, jax.random.fold_in(key, step))
+            if tendency:
+                y = {ds: prev[ds] + y[ds] for ds in dataset_names}
+            prev = y
+            t0 = m + step * n_out
+            for ds in dataset_names:
+                outputs[ds].append(pre[ds].inverse_transform(y[ds]))
+            if step + 1 < steps:
+                x = {
+                    ds: advance_input(x[ds], y[ds], batch_norm[ds], t0, ia[ds])
+                    for ds in dataset_names
+                }
+        return {ds: jnp.concatenate(v, axis=1) for ds, v in outputs.items()}
+
+    return forecast
+
+
 def run_forecast_cli(args) -> int:
     """`anemoi-tpu-training predict` implementation."""
     import os
@@ -67,7 +128,28 @@ def run_forecast_cli(args) -> int:
 
     iface, params = load_inference_checkpoint(args.checkpoint)
     steps = args.steps
-    forecast = make_forecast_fn(iface, steps)
+    model_name = str((iface.config or {}).get("model", {}).get("name", ""))
+    is_transport = model_name.startswith("AnemoiTransport")
+    if is_transport:
+        tcfg = dict(
+            (iface.config or {}).get("training", {}).get("transport", {}) or {}
+        )
+        forecast_t = make_transport_forecast_fn(
+            iface,
+            steps,
+            objective=str(tcfg.get("objective", "edm")),
+            sampler=str(tcfg.get("sampler", "edm_heun"
+                                 if tcfg.get("objective", "edm") == "edm"
+                                 else "vf_heun")),
+            num_steps=int(tcfg.get("sampling_steps", 20)),
+            tendency=bool(tcfg.get("tendency", False)),
+        )
+        key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
+
+        def forecast(params, batch):
+            return forecast_t(params, batch, key)
+    else:
+        forecast = make_forecast_fn(iface, steps)
 
     packaged = os.path.join(os.path.dirname(anemoi_tpu.__file__), "config")
     cfg = load_config(args.config, search_paths=[packaged]) if args.config else None

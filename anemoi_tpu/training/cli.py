@@ -76,6 +76,8 @@ def main(argv=None) -> int:
     p_pred.add_argument("--steps", type=int, default=4)
     p_pred.add_argument("--start-index", type=int, default=0)
     p_pred.add_argument("--output", default="forecast.npz")
+    p_pred.add_argument("--seed", type=int, default=0,
+                        help="RNG seed for generative (transport) forecasts")
 
     p_mlf = sub.add_parser("mlflow", help="Offline-run sync and server auth")
     mlf_sub = p_mlf.add_subparsers(dest="mlflow_command", required=True)

@@ -247,3 +247,36 @@ def test_randn_grid_sharded_consistency():
     ]
     rebuilt = jnp.concatenate(shards, axis=-2)
     np.testing.assert_array_equal(np.asarray(full), np.asarray(rebuilt))
+
+
+def test_transport_forecast_cli(tmp_path):
+    """End-to-end generative forecast: train a tiny transport model through
+    the trainer, save the inference bundle, and run `predict` (the sampler
+    loop drives the serving path, not the deterministic forward)."""
+    from anemoi_tpu.training.cli import main
+    from anemoi_tpu.training.trainer import AnemoiTrainer
+    from tests.test_training import make_config
+
+    cfg = make_config(tmp_path)
+    cfg["model"]["name"] = "AnemoiTransportModelEncProcDec"
+    cfg["model"]["noise_embed_dim"] = 8
+    cfg["model"]["processor"]["conditional"] = True
+    cfg["model"].pop("trainable_parameters", None)
+    cfg["training"]["task"] = "transport"
+    cfg["training"]["transport"] = {"objective": "edm", "sampling_steps": 3}
+    cfg["training"]["max_epochs"] = 1
+    cfg["training"]["max_steps"] = 2
+    cfg["training"]["rollout"] = {"start": 1}
+    trainer = AnemoiTrainer(cfg, output_dir=cfg["output_dir"])
+    trainer.train()
+
+    out = tmp_path / "gen_forecast.npz"
+    rc = main([
+        "predict", str(tmp_path / "run" / "inference"),
+        "--steps", "2", "--output", str(out), "--seed", "7",
+    ])
+    assert rc == 0
+    fc = np.load(out)
+    fields = [fc[k] for k in fc.files if k.endswith("|forecast")]
+    assert fields and all(np.isfinite(a).all() for a in fields)
+    assert fields[0].shape[1] == 2  # two sampled rollout steps
