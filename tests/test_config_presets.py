@@ -66,6 +66,9 @@ TINY_PER_EXPERIMENT = {
     "autoencoder": _SMALL_DATA + _SMALL_MESH,
     "point_wise": _SMALL_DATA + _SMALL_MESH,
     "temporal_downscaler": _SMALL_DATA + _SMALL_MESH,
+    "temporal_downscaler_ensemble": _SMALL_DATA + _SMALL_MESH + [
+        "training.ensemble_size=2",
+    ],
     "transport_edm_diffusion": _SMALL_DATA + _SMALL_MESH,
     "transport_edm_diffusion_tendency": _SMALL_DATA + _SMALL_MESH,
     "transport_stochastic_interpolant": _SMALL_DATA + _SMALL_MESH,
@@ -102,7 +105,8 @@ def test_experiment_presets_discovered():
     # autoencoder/downscaler/multi experiment presets; so do we
     for required in (
         "lam", "stretched", "ensemble_crps", "hierarchical", "autoencoder",
-        "hierarchical_autoencoder", "temporal_downscaler", "multi",
+        "hierarchical_autoencoder", "temporal_downscaler",
+        "temporal_downscaler_ensemble", "multi",
         "point_wise", "transformer", "transport_edm_diffusion",
         "transport_edm_diffusion_tendency", "transport_stochastic_interpolant",
         "transport_stochastic_interpolant_tendency",
