@@ -406,6 +406,7 @@ def _bwd_kernel(
     idx_ref, q_ref, kv_ref, e_ref, g_ref, lse_ref, delta_ref,
     dq_ref,  # [bd, HD] (revolving)
     dkv_ref,  # [r, 2HD] per slot
+    de_ref,  # [r, HD] per slot: the edge-feature grads
     dq_acc,  # scratch [bd, HD] fp32
     *, hd: int, h: int, bd: int, page: int, r: int, scale: float,
     nd: int, ns: int,
@@ -459,6 +460,9 @@ def _bwd_kernel(
     dkeff = dl_rep * qrows
     dkv_ref[:, :hd] = dkeff.astype(dkv_ref.dtype)
     dkv_ref[:, hd:] = dveff.astype(dkv_ref.dtype)
+    # edge grads fused here: d_e = d_keff + d_veff (both add e_rows), so the
+    # XLA side never re-reads the [num_flat, 2HD] dkv buffer to form them
+    de_ref[:] = (dkeff + dveff).astype(de_ref.dtype)
 
     @pl.when(last)
     def _():
@@ -581,20 +585,22 @@ def _bwd_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
         out_specs=(
             pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
             pl.BlockSpec((r, 2 * hd), lambda s, blk, pg: (s, 0)),
+            pl.BlockSpec((r, hd), lambda s, blk, pg: (s, 0)),
         ),
         scratch_shapes=[pltpu.VMEM((bd, hd), jnp.float32)],
     )
     nd_pad = _cdiv(nd, bd) * bd
-    dq, dkv = pl.pallas_call(
+    dq, dkv, de = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nd_pad, hd), q.dtype),
             jax.ShapeDtypeStruct((s_tot * r, 2 * hd), q.dtype),
+            jax.ShapeDtypeStruct((s_tot * r, hd), q.dtype),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots, g, lse, delta)
-    return dq[:nd], dkv
+    return dq[:nd], dkv, de
 
 
 def _reduce_call(dkv, tables: PagedTables, interpret: bool):
@@ -676,13 +682,12 @@ def _paged_bwd(num_heads, stabilize, res, g):
         out.astype(jnp.float32) * g.astype(jnp.float32), g_red,
         preferred_element_type=jnp.float32,
     )  # [Nd, H]
-    dq, dkv = _bwd_call(
+    dq, dkv, d_e = _bwd_call(
         query, kv, e_slots, g.astype(query.dtype), lse, delta, tables,
         num_heads, _INTERPRET,
     )
     dkv_src = _reduce_call(dkv, tables, _INTERPRET)
     d_key, d_value = dkv_src[:, :hd], dkv_src[:, hd:]
-    d_e = dkv[:, :hd] + dkv[:, hd:]
     return dq, d_key, d_value, d_e, None
 
 
