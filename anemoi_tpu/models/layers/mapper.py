@@ -56,6 +56,12 @@ class GraphTransformerForwardMapper(nn.Module):
     edge_pre_mlp: bool = False
     mlp_implementation: str = "mlp"
     backend: str = "segment"
+    # remat the mapper block: drops the [num_flat, HD] projected edge slots
+    # and gathered residuals from HBM (the dominant mapper memory at big
+    # grids); with remat_policy="save_attention" the backward re-runs only
+    # the cheap projections, never the attention kernel
+    gradient_checkpointing: bool = False
+    remat_policy: Optional[str] = "save_attention"
 
     @nn.compact
     def __call__(
@@ -71,7 +77,12 @@ class GraphTransformerForwardMapper(nn.Module):
                 edge_data.edge_attr
             )
         )
-        (x_src, x_dst), _ = GraphTransformerMapperBlock(
+        block_cls = GraphTransformerMapperBlock
+        if self.gradient_checkpointing:
+            from anemoi_tpu.models.layers.remat import remat as _remat
+
+            block_cls = _remat(block_cls, self.remat_policy)
+        (x_src, x_dst), _ = block_cls(
             num_heads=self.num_heads,
             hidden_dim=compute_mlp_hidden_dim(self.hidden_dim, self.mlp_hidden_ratio),
             out_channels=self.hidden_dim,
@@ -102,6 +113,9 @@ class GraphTransformerBackwardMapper(nn.Module):
     initialise_data_extractor_zero: bool = False
     mlp_implementation: str = "mlp"
     backend: str = "segment"
+    # see GraphTransformerForwardMapper.gradient_checkpointing
+    gradient_checkpointing: bool = False
+    remat_policy: Optional[str] = "save_attention"
 
     @nn.compact
     def __call__(
@@ -117,7 +131,12 @@ class GraphTransformerBackwardMapper(nn.Module):
                 edge_data.edge_attr
             )
         )
-        (_, x_dst), _ = GraphTransformerMapperBlock(
+        block_cls = GraphTransformerMapperBlock
+        if self.gradient_checkpointing:
+            from anemoi_tpu.models.layers.remat import remat as _remat
+
+            block_cls = _remat(block_cls, self.remat_policy)
+        (_, x_dst), _ = block_cls(
             num_heads=self.num_heads,
             hidden_dim=compute_mlp_hidden_dim(self.hidden_dim, self.mlp_hidden_ratio),
             out_channels=self.hidden_dim,

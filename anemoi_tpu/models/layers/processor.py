@@ -25,6 +25,12 @@ from anemoi_tpu.models.layers.graph_blocks import (
 from anemoi_tpu.models.layers.mapper import TrainableEdgeFeatures
 from anemoi_tpu.models.layers.mlp import compute_mlp_hidden_dim
 
+from anemoi_tpu.models.layers.remat import (  # noqa: F401  (re-exported)
+    ATTN_SAVE_NAMES as _ATTN_SAVE_NAMES,
+    remat as _remat,
+    resolve_remat_policy,
+)
+
 
 class GraphTransformerProcessor(nn.Module):
     """Stack of graph-transformer blocks over the hidden mesh.
@@ -45,6 +51,10 @@ class GraphTransformerProcessor(nn.Module):
     mlp_implementation: str = "mlp"
     conditional: bool = False
     gradient_checkpointing: bool = True
+    # full | save_attention | dots (see resolve_remat_policy); the default
+    # keeps the attention kernels' out/lse (measured: o160 896->680 ms,
+    # n320 1207->1046 ms vs full remat) at ~out+lse per layer extra HBM
+    remat_policy: Optional[str] = "save_attention"
     scan_layers: bool = True
     backend: str = "segment"
     shard_strategy: str = "none"  # none | gspmd | edges (halo) | heads (Ulysses)
@@ -110,7 +120,7 @@ class GraphTransformerProcessor(nn.Module):
         if self.scan_layers:
             body_cls = _GTScanBody
             if self.gradient_checkpointing:
-                body_cls = nn.remat(body_cls, static_argnums=(), prevent_cse=False)
+                body_cls = _remat(body_cls, self.remat_policy)
             scanned = nn.scan(
                 body_cls,
                 variable_axes={"params": 0},
@@ -122,7 +132,7 @@ class GraphTransformerProcessor(nn.Module):
             return x[:, :n_orig] if x.shape[1] != n_orig else x
         block_cls = GraphTransformerProcessorBlock
         if self.gradient_checkpointing:
-            block_cls = nn.remat(block_cls, static_argnums=(), prevent_cse=False)
+            block_cls = _remat(block_cls, self.remat_policy)
         for i in range(self.num_layers):
             x, edge_data = block_cls(**block_kwargs, name=f"blocks_{i}")(
                 x, edge_data, cond
@@ -154,6 +164,10 @@ class GNNProcessor(nn.Module):
     edge_trainable_size: int = 0
     mlp_implementation: str = "mlp"
     gradient_checkpointing: bool = True
+    # full | save_attention | dots (see resolve_remat_policy); the default
+    # keeps the attention kernels' out/lse (measured: o160 896->680 ms,
+    # n320 1207->1046 ms vs full remat) at ~out+lse per layer extra HBM
+    remat_policy: Optional[str] = "save_attention"
     scan_layers: bool = True
     backend: str = "padded"
 
@@ -176,7 +190,7 @@ class GNNProcessor(nn.Module):
         )
         block_cls = GraphConvProcessorBlock
         if self.gradient_checkpointing:
-            block_cls = nn.remat(block_cls, static_argnums=(), prevent_cse=False)
+            block_cls = _remat(block_cls, self.remat_policy)
         # layer 0 embeds the raw edge attributes
         x, edge_attr = block_cls(
             **block_kwargs, edge_dim=edge_attr.shape[-1], name="blocks_0"
@@ -185,7 +199,7 @@ class GNNProcessor(nn.Module):
             if self.scan_layers:
                 body_cls = _GNNScanBody
                 if self.gradient_checkpointing:
-                    body_cls = nn.remat(body_cls, static_argnums=(), prevent_cse=False)
+                    body_cls = _remat(body_cls, self.remat_policy)
                 scanned = nn.scan(
                     body_cls,
                     variable_axes={"params": 0},
@@ -295,6 +309,10 @@ class TransformerProcessor(nn.Module):
     mlp_implementation: str = "mlp"
     conditional: bool = False
     gradient_checkpointing: bool = True
+    # full | save_attention | dots (see resolve_remat_policy); the default
+    # keeps the attention kernels' out/lse (measured: o160 896->680 ms,
+    # n320 1207->1046 ms vs full remat) at ~out+lse per layer extra HBM
+    remat_policy: Optional[str] = "save_attention"
     scan_layers: bool = True
     attention_impl: str = "xla"  # "pallas" = fused flash banded kernel
     shard_strategy: str = "none"  # "heads": Ulysses over the 'model' axis
@@ -330,7 +348,7 @@ class TransformerProcessor(nn.Module):
         if self.scan_layers:
             body_cls = _TransformerScanBody
             if self.gradient_checkpointing:
-                body_cls = nn.remat(body_cls, static_argnums=(), prevent_cse=False)
+                body_cls = _remat(body_cls, self.remat_policy)
             scanned = nn.scan(
                 body_cls,
                 variable_axes={"params": 0},
@@ -342,7 +360,7 @@ class TransformerProcessor(nn.Module):
             return x[:, :n_orig] if x.shape[1] != n_orig else x
         block_cls = TransformerProcessorBlock
         if self.gradient_checkpointing:
-            block_cls = nn.remat(block_cls, static_argnums=(), prevent_cse=False)
+            block_cls = _remat(block_cls, self.remat_policy)
         for i in range(self.num_layers):
             x, _ = block_cls(**block_kwargs, name=f"blocks_{i}")(x, edge_data, cond)
         return x[:, :n_orig] if x.shape[1] != n_orig else x

@@ -61,6 +61,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 try:  # keep importable where pallas is unavailable
     from jax.experimental import pallas as pl
@@ -390,15 +391,17 @@ def _fwd_kernel(
 
     @pl.when(last)
     def _():
-        # numerator and denominator are emitted separately; the cheap
-        # [N, H] -> [N, HD] broadcast division happens on the XLA side
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        # finalize in-kernel: broadcast the [bd, H] denominator to [bd, HD]
+        # with one one-hot matmul and divide, so the kernel emits the final
+        # (bf16) output directly -- no fp32 numerator round-trip through HBM
+        # and no XLA-side division pass over [N, HD]
         den = jnp.maximum(den_ref[:], 1e-30)
+        den_b = _dot(den, _indicator_t(hd, h, jnp.float32))  # [bd, HD] fp32
+        out_ref[:] = (acc_ref[:] / den_b).astype(out_ref.dtype)
         lse = jnp.log(den)
         if stabilize:
             lse = lse + shift_ref[:]
-        lse_ref[:, :h] = lse
-        lse_ref[:, h:] = den
+        lse_ref[:] = lse
 
 
 def _bwd_kernel(
@@ -533,7 +536,7 @@ def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int,
         ],
         out_specs=(
             pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
-            pl.BlockSpec((bd, 2 * h), lambda s, blk, pg: (blk[s], 0)),
+            pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((bd, hd), jnp.float32),
@@ -543,20 +546,16 @@ def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int,
         ],
     )
     nd_pad = _cdiv(nd, bd) * bd
-    num, lse_den = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((nd_pad, hd), jnp.float32),
-            jax.ShapeDtypeStruct((nd_pad, 2 * h), jnp.float32),
+            jax.ShapeDtypeStruct((nd_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((nd_pad, h), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots)
-    lse = lse_den[:nd, :h]
-    den = lse_den[:nd, h:]
-    d = hd // h
-    out = (num[:nd] / jnp.repeat(den, d, axis=-1)).astype(q.dtype)
-    return out, lse
+    return out[:nd], lse[:nd]
 
 
 def _bwd_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
@@ -665,6 +664,13 @@ def _paged_fwd_impl(query, key, value, e_slots, num_heads, tables, stabilize):
     kv = jnp.concatenate([key, value], axis=-1)
     out, lse = _fwd_call(query, kv, e_slots, tables, num_heads, _INTERPRET,
                          stabilize)
+    # checkpoint_name tags make the kernel outputs policy-addressable: under
+    # nn.remat(policy=save_only_these_names("paged_attn_out", "paged_attn_lse"))
+    # the backward pass reuses out/lse instead of re-running the forward
+    # kernel (the custom_vjp is inlined inside the remat region, so names on
+    # its residuals are visible to the policy).  Identity outside remat.
+    out = checkpoint_name(out, "paged_attn_out")
+    lse = checkpoint_name(lse, "paged_attn_lse")
     return out, (query, kv, e_slots, out, lse, tables)
 
 

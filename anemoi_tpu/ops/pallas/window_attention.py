@@ -378,6 +378,13 @@ def _fw_fwd(q, k, v, w, softcap, valid_len, num_heads, alibi_slopes, interpret):
     out, lse = _flash_window_forward(
         q, k, v, w, softcap, valid_len, num_heads, alibi_slopes, interpret
     )
+    # policy-addressable names: with nn.remat(policy=save_only_these_names(
+    # "flash_attn_out", "flash_attn_lse")) the backward reuses out/lse
+    # instead of re-running the forward kernel (identity outside remat)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "flash_attn_out")
+    lse = checkpoint_name(lse, "flash_attn_lse")
     return out, (q, k, v, out, lse)
 
 

@@ -99,8 +99,20 @@ class ProcessorConfig(ComponentConfig):
     qk_norm: bool = False
     mlp_implementation: str = "mlp"
     gradient_checkpointing: bool = True
+    # remat selectivity: full (save nothing) | save_attention (keep the
+    # Pallas kernels' out/lse so backward never re-runs the forward kernel)
+    # | dots (save matmul outputs, recompute elementwise only)
+    remat_policy: Optional[str] = "save_attention"
     scan_layers: bool = True
     trainable_size: int = Field(default=0, ge=0)
+
+    @field_validator("remat_policy")
+    @classmethod
+    def _remat_policy(cls, v: Optional[str]) -> Optional[str]:
+        assert v in (None, "full", "save_attention", "dots"), (
+            f"unknown remat_policy '{v}'"
+        )
+        return v
 
     _name = field_validator("name")(_check_registry("processor"))
 
@@ -265,6 +277,9 @@ class TrainingSchema(BaseModel):
     validation_rollout: int = Field(default=0, ge=0)
     precompile_rollouts: bool = True
     remat_rollout: bool = True
+    # rollout-checkpoint remat selectivity (full | save_attention | dots):
+    # save_attention keeps the Pallas kernels' out/lse across rollout steps
+    remat_policy: Optional[str] = None
     transport: Optional[Dict[str, Any]] = None
 
     @field_validator("transport")

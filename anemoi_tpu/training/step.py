@@ -110,6 +110,7 @@ def make_step_fns(
     losses: Dict[str, Callable],
     rollout: int,
     remat_rollout: bool = True,
+    remat_policy: Optional[str] = None,
     ensemble_size: int = 1,
     base_rng: jnp.ndarray = None,
     output_masks: Optional[Dict[str, "object"]] = None,
@@ -238,7 +239,15 @@ def make_step_fns(
         # already bounds activation memory
         effective_remat = remat_rollout and rollout > 1 and task == "forecaster"
         if effective_remat:
-            forward = jax.checkpoint(forward)
+            # remat_policy="save_attention" keeps every Pallas attention
+            # kernel's out/lse (mappers + all processor layers) so the
+            # rollout backward replays only matmuls/norms, never the kernels
+            # (see models/layers/processor.py resolve_remat_policy)
+            from anemoi_tpu.models.layers.processor import resolve_remat_policy
+
+            forward = jax.checkpoint(
+                forward, policy=resolve_remat_policy(remat_policy)
+            )
 
         total = 0.0
         metrics_out: Dict[str, jnp.ndarray] = {}

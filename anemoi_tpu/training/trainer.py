@@ -395,6 +395,7 @@ class AnemoiTrainer:
             self.losses,
             rollout=rollout,
             remat_rollout=bool(training_cfg.get("remat_rollout", True)),
+            remat_policy=training_cfg.get("remat_policy"),
             ensemble_size=int(training_cfg.get("ensemble_size", 1)),
             output_masks=self.output_masks or None,
             precision=str(training_cfg.get("precision", "fp32")),

@@ -23,6 +23,10 @@ def log(msg):
 import numpy as np
 
 
+def _parse_block(v):
+    return tuple(int(x) for x in v.split(",")) if v else None
+
+
 def main() -> None:
     # persistent compile cache: the axon/TPU toolchain compiles large graphs
     # slowly; cache across bench runs (harmless elsewhere)
@@ -61,6 +65,16 @@ def main() -> None:
         # per-layer remat trades ~10% step time for fitting bigger grids
         # (o160/ico-6 OOMs without it); off at the default benchmark scale
         remat_layers=os.environ.get("BENCH_REMAT", "0") == "1",
+        # BENCH_REMAT_MAPPERS=1: remat the mapper blocks too (drops the big
+        # [num_flat, HD] edge-slot residuals from HBM at n320-class grids)
+        remat_mappers=os.environ.get("BENCH_REMAT_MAPPERS", "0") == "1",
+        # BENCH_REMAT_POLICY: full | save_attention | dots (processor.py);
+        # save_attention (default) keeps the kernel out/lse so the backward
+        # never re-runs the forward Pallas kernel (o160 896->680 ms)
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "save_attention"),
+        # "bd,page,r" triples for the paged kernel tables (docs/design.md §6)
+        paged_block=_parse_block(os.environ.get("BENCH_PAGED_BLOCK")),
+        paged_mapper_block=_parse_block(os.environ.get("BENCH_PAGED_MAPPER_BLOCK")),
     )
     build_s = time.time() - t0
     log(f"graph+iface built in {build_s:.1f}s")

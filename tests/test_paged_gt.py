@@ -223,3 +223,132 @@ def test_paged_large_logit_spread(rng):
     out, _, _ = _paged(q, k, v, e, h, csr, stabilize=True)
     ref = _ref(q, k, v, e, h, ei, num_dst)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_remat_policy_skips_forward_kernel_recompute(rng):
+    """`save_attention` remat policy: grads match full remat AND the forward
+    kernel is not re-run inside the backward (its out/lse are saved through
+    the checkpoint_name tags in _paged_fwd_impl)."""
+    from anemoi_tpu.models.layers.processor import resolve_remat_policy
+
+    num_src, num_dst, h, d = 24, 24, 2, 8
+    hd = h * d
+    ei = random_bipartite(rng, num_src, num_dst)
+    csr = build_paged_csr(ei, num_src, num_dst, bd=8, page=8, r=8)
+    tab = PagedTables.from_csr(csr)
+    q = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    e_s = jnp.asarray(csr.pad_edge_array(rng.normal(size=(ei.shape[1], hd)).astype(np.float32)))
+    w = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+
+    def block(q, k, v, e_s):
+        return jnp.tanh(paged_gt_attention_flat(q, k, v, e_s, h, tab))
+
+    def mkloss(fn):
+        return lambda q, k, v, e_s: jnp.sum(fn(q, k, v, e_s) * w)
+
+    full = jax.checkpoint(block)
+    sel = jax.checkpoint(block, policy=resolve_remat_policy("save_attention"))
+    g_full = jax.grad(mkloss(full), argnums=(0, 1, 2, 3))(q, k, v, e_s)
+    g_sel = jax.grad(mkloss(sel), argnums=(0, 1, 2, 3))(q, k, v, e_s)
+    g_ref = jax.grad(mkloss(block), argnums=(0, 1, 2, 3))(q, k, v, e_s)
+    for a, b, c in zip(g_full, g_sel, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c), rtol=1e-6, atol=1e-6)
+
+    # the forward kernel appears once less under the selective policy
+    def count_pallas(jx):
+        n = 0
+        for eq in jx.eqns:
+            if eq.primitive.name == "pallas_call":
+                n += 1
+            for v_ in eq.params.values():
+                inner = getattr(v_, "jaxpr", None)
+                if hasattr(v_, "eqns"):
+                    n += count_pallas(v_)
+                elif inner is not None and hasattr(inner, "eqns"):
+                    n += count_pallas(inner)
+        return n
+
+    n_full = count_pallas(jax.make_jaxpr(jax.grad(mkloss(full)))(q, k, v, e_s).jaxpr)
+    n_sel = count_pallas(jax.make_jaxpr(jax.grad(mkloss(sel)))(q, k, v, e_s).jaxpr)
+    assert n_sel == n_full - 1, (n_sel, n_full)
+
+
+@pytest.mark.parametrize("policy", ["full", "save_attention", "dots"])
+def test_processor_remat_policy_grads_match(rng, policy):
+    """GraphTransformerProcessor: per-layer remat with any policy produces the
+    same grads as no checkpointing (paged backend, scan stack)."""
+    from anemoi_tpu.models.graph import SubGraphArrays
+    from anemoi_tpu.models.layers.processor import GraphTransformerProcessor
+
+    num_nodes, h, c = 32, 2, 16
+    ei = random_bipartite(rng, num_nodes, num_nodes, k_mean=4).astype(np.int32)
+    dst_ptr = np.searchsorted(ei[1], np.arange(num_nodes + 1)).astype(np.int32)
+    sub = SubGraphArrays(
+        edge_index=ei,
+        edge_attr=rng.normal(size=(ei.shape[1], 3)).astype(np.float32),
+        dst_ptr=dst_ptr,
+        num_src=num_nodes,
+        num_dst=num_nodes,
+    )
+    ed = sub.edge_data(paged=True, paged_block=(8, 8, 8))
+    x = jnp.asarray(rng.normal(size=(1, num_nodes, c)), jnp.float32)
+
+    def grads(ckpt, pol):
+        mod = GraphTransformerProcessor(
+            num_layers=2, num_channels=c, num_heads=h, backend="paged",
+            gradient_checkpointing=ckpt, remat_policy=pol,
+        )
+        params = mod.init(jax.random.PRNGKey(0), x, ed)
+        loss = lambda p: jnp.sum(mod.apply(p, x, ed) ** 2)
+        return jax.grad(loss)(params)
+
+    g_ref = grads(False, None)
+    g_pol = grads(True, policy)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        ),
+        g_ref, g_pol,
+    )
+
+
+def test_mapper_remat_grads_match(rng):
+    """GraphTransformer mappers with gradient_checkpointing (save_attention)
+    produce the same grads as the unchecked mapper (paged backend)."""
+    from anemoi_tpu.models.graph import SubGraphArrays
+    from anemoi_tpu.models.layers.mapper import GraphTransformerForwardMapper
+
+    num_src, num_dst, h, c = 24, 16, 2, 16
+    ei = random_bipartite(rng, num_src, num_dst, k_mean=4).astype(np.int32)
+    dst_ptr = np.searchsorted(ei[1], np.arange(num_dst + 1)).astype(np.int32)
+    sub = SubGraphArrays(
+        edge_index=ei,
+        edge_attr=rng.normal(size=(ei.shape[1], 3)).astype(np.float32),
+        dst_ptr=dst_ptr,
+        num_src=num_src,
+        num_dst=num_dst,
+    )
+    ed = sub.edge_data(paged=True, paged_block=(8, 8, 8))
+    x = (
+        jnp.asarray(rng.normal(size=(1, num_src, 5)), jnp.float32),
+        jnp.asarray(rng.normal(size=(1, num_dst, 4)), jnp.float32),
+    )
+
+    def grads(ckpt):
+        mod = GraphTransformerForwardMapper(
+            hidden_dim=c, num_heads=h, backend="paged",
+            gradient_checkpointing=ckpt,
+        )
+        params = mod.init(jax.random.PRNGKey(0), x, ed)
+        loss = lambda p: jnp.sum(mod.apply(p, x, ed)[1] ** 2)
+        return jax.grad(loss)(params)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        ),
+        grads(False), grads(True),
+    )

@@ -413,3 +413,48 @@ def test_rollout_precompile_overlap(tmp_path):
     assert 2 in trainer._step_fns
     train_step_2 = trainer._step_fns[2][0]
     assert train_step_2.__name__ == "compiled_step", train_step_2
+
+
+def test_rollout_remat_policy_grads_match(tiny_graph, rng):
+    """Rollout-2 train step: the rollout checkpoint with remat_policy
+    "save_attention" produces grads identical to unchecked and fully-rematted
+    variants (step.py wraps `forward` in jax.checkpoint with the policy)."""
+    import optax
+
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from anemoi_tpu.training.losses import get_loss_function
+    from anemoi_tpu.training.optimizers import build_optimizer
+    from anemoi_tpu.training.step import TrainState, make_step_fns
+    from tests.test_models import make_indices, make_statistics, model_config
+
+    cfg = model_config(processor="GraphTransformerProcessor")
+    iface = AnemoiModelInterface(
+        config={"model": cfg, "data": {"processors": []}},
+        graph=tiny_graph,
+        data_indices={"data": make_indices()},
+        statistics={"data": make_statistics()},
+    )
+    params = iface.init_params(jax.random.PRNGKey(0))
+    losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": []}, {})}
+    tx = build_optimizer({}, schedule=optax.constant_schedule(1e-3))
+    n_grid = tiny_graph["data"].num_nodes
+    batch = {"data": jnp.asarray(rng.normal(size=(1, 4, 1, n_grid, 6)), dtype=jnp.float32)}
+
+    def run(remat, policy):
+        step, _ = make_step_fns(
+            iface, losses, rollout=2, remat_rollout=remat, remat_policy=policy
+        )
+        state = TrainState.create(params, tx)
+        state2, metrics = step(state, batch)
+        return metrics["loss"], state2.params
+
+    loss_ref, p_ref = run(False, None)
+    for policy in (None, "save_attention"):
+        loss_pol, p_pol = run(True, policy)
+        np.testing.assert_allclose(float(loss_pol), float(loss_ref), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+            ),
+            p_ref, p_pol,
+        )

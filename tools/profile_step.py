@@ -40,10 +40,15 @@ def capture(trace_dir: str) -> None:
     layers = int(os.environ.get("BENCH_LAYERS", "16"))
     heads = int(os.environ.get("BENCH_HEADS", "16"))
 
-    backend = os.environ.get("BENCH_BACKEND", "padded")
+    # same env contract as bench.py: paged is the flagship path, and
+    # BENCH_REMAT/BENCH_REMAT_POLICY pick the per-layer remat mode (a profile
+    # that silently drops these measures a different program than the bench)
+    backend = os.environ.get("BENCH_BACKEND", "paged")
     iface, graph = _build_interface(
         grid=grid, mesh_resolution=mesh_level, num_channels=channels,
         num_layers=layers, num_heads=heads, attention_backend=backend,
+        remat_layers=os.environ.get("BENCH_REMAT", "0") == "1",
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "save_attention"),
     )
     idx = iface.data_indices["data"]
     n_grid = graph["data"].num_nodes
