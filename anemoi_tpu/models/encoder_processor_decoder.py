@@ -231,7 +231,7 @@ class AnemoiModelEncProcDec(nn.Module):
         # bring their own attention tables: the paged kernel is the
         # single-shard-per-device fast path, padded elsewhere
         paged = self.attention_backend == "paged" and self.shard_strategy == "none"
-        paged_block = tuple(self.config.get("paged_block", (128, 256, 128)))
+        paged_block = tuple(self.config.get("paged_block", (256, 256, 128)))
         # mapper edge sets run paged too (bipartite kernel); reduced-Gaussian
         # ring order is spatially local enough that big source pages keep the
         # slot padding ~1.5x without reordering the data grid

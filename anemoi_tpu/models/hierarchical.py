@@ -59,7 +59,7 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         # paged Pallas kernel on every hierarchy sub-graph (single-shard path;
         # see encoder_processor_decoder.build_graph_inputs)
         paged = self.attention_backend == "paged" and self.shard_strategy == "none"
-        pb = tuple(self.config.get("paged_block", (128, 256, 128)))
+        pb = tuple(self.config.get("paged_block", (256, 256, 128)))
         default_page = 1024 if self.num_channels <= 512 else 512
         mb = tuple(
             self.config.get("paged_mapper_block", (256, default_page, 128))

@@ -111,7 +111,8 @@ def main() -> None:
 
     precision = os.environ.get("BENCH_DTYPE", "bf16")
     train_step, _ = make_step_fns(
-        iface, losses, rollout=rollout, remat_rollout=True, precision=precision
+        iface, losses, rollout=rollout, remat_rollout=True, precision=precision,
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "save_attention"),
     )
 
     rng = np.random.default_rng(0)
