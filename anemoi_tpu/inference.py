@@ -31,7 +31,7 @@ def make_forecast_fn(interface, steps: int):
     n_out = model.n_step_output
     ia = {ds: _index_arrays(idx) for ds, idx in indices.items()}
     dataset_names = sorted(indices.keys())
-    graph_inputs = interface.graph_inputs
+    graph_inputs = interface.inference_graph_inputs
 
     @jax.jit
     def forecast(params, batch):

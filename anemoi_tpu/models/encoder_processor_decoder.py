@@ -212,7 +212,7 @@ class AnemoiModelEncProcDec(nn.Module):
     def output_dim(self, ds: str) -> int:
         return self.n_step_output * self.data_indices[ds].num_model_output_vars
 
-    def build_graph_inputs(self, dtype=jnp.float32) -> Dict:
+    def build_graph_inputs(self, dtype=jnp.float32, inference: bool = False) -> Dict:
         """Device-side graph arrays passed to __call__ as ARGUMENTS.
 
         Critical for compile time: closed-over arrays get inlined as HLO
@@ -243,17 +243,46 @@ class AnemoiModelEncProcDec(nn.Module):
         mapper_block = tuple(
             self.config.get("paged_mapper_block", (256, default_page, 128))
         )
+        # fused backward: the kv-grad reduction recomputes attention per
+        # page-sorted visit instead of reading a dkv buffer written by pass 1
+        # -- removes the [num_flat, 2HD] HBM transient (the n320 decoder
+        # memory ceiling; docs/design.md §6)
+        fused_bwd = bool(self.config.get("paged_fused_bwd", False))
+        _mfb = self.config.get("paged_mapper_fused_bwd")  # None = inherit
+        mapper_fused_bwd = fused_bwd if _mfb is None else bool(_mfb)
+        # auto heuristic (big grids): when neither mapper knob is explicit
+        # and the estimated two-pass backward transient (num_flat x 3HD bf16,
+        # padding ~1.7x) would exceed ~2 GB, switch that edge set to the
+        # fused backward at small source pages -- measured at n320: train
+        # 993 -> 941 ms, inference 476 -> 398 ms; no effect at o96 scale
+        _mapper_auto = (
+            "paged_mapper_block" not in self.config and _mfb is None
+        )
+
+        def _mapper_kwargs(sub):
+            blk, fused = mapper_block, mapper_fused_bwd
+            if inference and _mapper_auto:
+                # serving: no backward exists, so small source pages always
+                # win (fewer one-hot gather FLOPs; measured o160 317 -> 287,
+                # n320 476 -> 398 ms)
+                blk, fused = (256, 256, 128), False
+            elif _mapper_auto:
+                est = sub.edge_index.shape[1] * 1.7 * 3 * self.num_channels * 2
+                if est > 2e9:
+                    blk, fused = (256, 256, 128), True
+            return dict(
+                dtype=dtype, padded=padded,
+                bucketed=bucketed and not paged_mappers,
+                paged=paged_mappers, paged_block=blk, paged_fused_bwd=fused,
+            )
+
         return {
             "node_features": {
                 name: jnp.asarray(feat, dtype=dtype)
                 for name, feat in self.graph.node_features.items()
             },
             "encoder": {
-                ds: sub.edge_data(
-                    dtype=dtype, padded=padded,
-                    bucketed=bucketed and not paged_mappers,
-                    paged=paged_mappers, paged_block=mapper_block,
-                )
+                ds: sub.edge_data(**_mapper_kwargs(sub))
                 for ds, sub in self.graph.encoder.items()
             },
             # k_multiple=8 keeps the [n, k, HD] reshapes around the processor's
@@ -273,14 +302,11 @@ class AnemoiModelEncProcDec(nn.Module):
                 else self.graph.processor.edge_data(
                     dtype=dtype, padded=padded, bucketed=bucketed and not paged,
                     k_multiple=8, paged=paged, paged_block=paged_block,
+                    paged_fused_bwd=fused_bwd,
                 )
             ),
             "decoder": {
-                ds: sub.edge_data(
-                    dtype=dtype, padded=padded,
-                    bucketed=bucketed and not paged_mappers,
-                    paged=paged_mappers, paged_block=mapper_block,
-                )
+                ds: sub.edge_data(**_mapper_kwargs(sub))
                 for ds, sub in self.graph.decoder.items()
             },
         }

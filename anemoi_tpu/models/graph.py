@@ -86,7 +86,7 @@ class SubGraphArrays:
     def edge_data(
         self, dtype=jnp.float32, padded: bool = True, bucketed: bool = False,
         k_multiple: int = 1, paged: bool = False,
-        paged_block: tuple = (128, 256, 128),
+        paged_block: tuple = (256, 256, 128), paged_fused_bwd: bool = False,
     ) -> EdgeData:
         """Device-ready EdgeData (padded tables included unless disabled;
         ``bucketed`` adds degree-bucketed tables for the GT attention path).
@@ -127,7 +127,7 @@ class SubGraphArrays:
                 self.edge_index, self.num_src, self.num_dst,
                 bd=bd, page=page, r=r,
             )
-            paged_tables = PagedTables.from_csr(csr)
+            paged_tables = PagedTables.from_csr(csr, fused_bwd=paged_fused_bwd)
         return EdgeData(
             edge_attr=jnp.asarray(self.edge_attr, dtype=dtype),
             edge_index=jnp.asarray(self.edge_index),
@@ -142,7 +142,7 @@ class SubGraphArrays:
 
     def sharded_edge_data(
         self, n_shards: int, dtype=jnp.float32, paged: bool = False,
-        paged_block: tuple = (128, 256, 128),
+        paged_block: tuple = (256, 256, 128),
     ) -> EdgeData:
         """EdgeData for the model-parallel "edges" (halo-exchange) strategy:
         partition this homogeneous sub-graph across ``n_shards`` contiguous

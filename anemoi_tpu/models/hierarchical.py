@@ -51,7 +51,7 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
     def level_process(self) -> bool:
         return bool(self.config.get("level_process", True))
 
-    def build_graph_inputs(self, dtype=jnp.float32) -> Dict:
+    def build_graph_inputs(self, dtype=jnp.float32, inference: bool = False) -> Dict:
         """All hierarchy sub-graphs as device arrays."""
         from anemoi_tpu.models.graph import extract_subgraph
 
@@ -61,9 +61,14 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         paged = self.attention_backend == "paged" and self.shard_strategy == "none"
         pb = tuple(self.config.get("paged_block", (256, 256, 128)))
         default_page = 1024 if self.num_channels <= 512 else 512
+        if inference and "paged_mapper_block" not in self.config:
+            default_page = 256  # forward-only: small pages always win
         mb = tuple(
             self.config.get("paged_mapper_block", (256, default_page, 128))
         )
+        fb = bool(self.config.get("paged_fused_bwd", False))
+        _mfb = self.config.get("paged_mapper_fused_bwd")  # None = inherit
+        mfb = fb if _mfb is None else bool(_mfb)
         g = self.graph
         levels = self.hidden_names
         out = {
@@ -73,12 +78,12 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
             },
             "encoder": {
                 ds: sub.edge_data(dtype=dtype, padded=padded, paged=paged,
-                                  paged_block=mb)
+                                  paged_block=mb, paged_fused_bwd=mfb)
                 for ds, sub in g.encoder.items()
             },
             "decoder": {
                 ds: sub.edge_data(dtype=dtype, padded=padded, paged=paged,
-                                  paged_block=mb)
+                                  paged_block=mb, paged_fused_bwd=mfb)
                 for ds, sub in g.decoder.items()
             },
             "down": {},
@@ -91,17 +96,17 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
                 out["level"][name] = extract_subgraph(
                     source, name, name, self.config["processor"].get("sub_graph_edge_attributes")
                 ).edge_data(dtype=dtype, padded=padded, paged=paged,
-                            paged_block=pb)
+                            paged_block=pb, paged_fused_bwd=fb)
             if i + 1 < len(levels):
                 nxt = levels[i + 1]
                 out["down"][name] = extract_subgraph(
                     source, name, nxt, self.config["encoder"].get("sub_graph_edge_attributes")
                 ).edge_data(dtype=dtype, padded=padded, paged=paged,
-                            paged_block=mb)
+                            paged_block=mb, paged_fused_bwd=mfb)
                 out["up"][nxt] = extract_subgraph(
                     source, nxt, name, self.config["decoder"].get("sub_graph_edge_attributes")
                 ).edge_data(dtype=dtype, padded=padded, paged=paged,
-                            paged_block=mb)
+                            paged_block=mb, paged_fused_bwd=mfb)
         return out
 
     @nn.compact

@@ -226,9 +226,14 @@ class PagedTables:
     r: int = 128
     num_src: int = 0
     num_dst: int = 0
+    # fused backward: the kv-grad reduction recomputes attention per
+    # page-sorted visit instead of reading a [num_slots*r, 2HD] dkv buffer
+    # written by the first pass -- trades one recompute for the dominant
+    # HBM transient (unlocks small mapper pages at n320-class grids)
+    fused_bwd: bool = False
 
     @classmethod
-    def from_csr(cls, csr: PagedCSR) -> "PagedTables":
+    def from_csr(cls, csr: PagedCSR, fused_bwd: bool = False) -> "PagedTables":
         return cls(
             blk_ids=jnp.asarray(csr.blk_ids),
             page_ids=jnp.asarray(csr.page_ids),
@@ -242,6 +247,7 @@ class PagedTables:
             r=csr.r,
             num_src=csr.num_src,
             num_dst=csr.num_dst,
+            fused_bwd=fused_bwd,
         )
 
     @property
@@ -251,7 +257,8 @@ class PagedTables:
     def tree_flatten(self):
         children = (self.blk_ids, self.page_ids, self.idx, self.visit_slot,
                     self.visit_page, self.slot_gather, self.edge_slot)
-        aux = (self.bd, self.page, self.r, self.num_src, self.num_dst)
+        aux = (self.bd, self.page, self.r, self.num_src, self.num_dst,
+               self.fused_bwd)
         return children, aux
 
     @classmethod
@@ -407,13 +414,17 @@ def _fwd_kernel(
 def _bwd_kernel(
     blk_ref, pg_ref,
     idx_ref, q_ref, kv_ref, e_ref, g_ref, lse_ref, delta_ref,
-    dq_ref,  # [bd, HD] (revolving)
-    dkv_ref,  # [r, 2HD] per slot
-    de_ref,  # [r, HD] per slot: the edge-feature grads
-    dq_acc,  # scratch [bd, HD] fp32
-    *, hd: int, h: int, bd: int, page: int, r: int, scale: float,
-    nd: int, ns: int,
+    *refs,  # dq_ref [bd, HD] revolving; (dkv_ref [r, 2HD] per slot unless
+    #         fused backward); de_ref [r, HD] per slot = edge-feature grads;
+    #         dq_acc scratch [bd, HD] fp32
+    hd: int, h: int, bd: int, page: int, r: int, scale: float,
+    nd: int, ns: int, emit_dkv: bool = True,
 ):
+    if emit_dkv:
+        dq_ref, dkv_ref, de_ref, dq_acc = refs
+    else:
+        dq_ref, de_ref, dq_acc = refs
+        dkv_ref = None
     s = pl.program_id(0)
     n_s = pl.num_programs(0)
     blk_here = blk_ref[s]
@@ -461,8 +472,9 @@ def _bwd_kernel(
     dl_rep = (_dot(dl.astype(cdtype), g_red_t) * scale).astype(cdtype)
     dq_acc[:] += _dot_t(oq, dl_rep * keff)
     dkeff = dl_rep * qrows
-    dkv_ref[:, :hd] = dkeff.astype(dkv_ref.dtype)
-    dkv_ref[:, hd:] = dveff.astype(dkv_ref.dtype)
+    if emit_dkv:
+        dkv_ref[:, :hd] = dkeff.astype(dkv_ref.dtype)
+        dkv_ref[:, hd:] = dveff.astype(dkv_ref.dtype)
     # edge grads fused here: d_e = d_keff + d_veff (both add e_rows), so the
     # XLA side never re-reads the [num_flat, 2HD] dkv buffer to form them
     de_ref[:] = (dkeff + dveff).astype(de_ref.dtype)
@@ -501,6 +513,78 @@ def _reduce_kernel(
         cols[:, None] == jax.lax.broadcasted_iota(jnp.int32, (r, page), 1)
     ).astype(dkv_ref.dtype)
     acc_ref[:] += _dot_t(og, dkv_ref[:])
+
+    @pl.when(last)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _fused_reduce_kernel(
+    vs_ref, vp_ref, vb_ref,  # scalar prefetch [T]: slot, page, dst block
+    idx_ref,  # [1, 2, r] of the visited slot
+    q_ref,  # [bd, HD] (dst block of the visited slot)
+    kv_ref,  # [page, 2HD] (revolving: each page DMA'd once)
+    e_ref,  # [r, HD] of the visited slot
+    g_ref, lse_ref, delta_ref,  # [bd, HD], [bd, H], [bd, H]
+    out_ref,  # [page, 2HD] (revolving over pages)
+    acc_ref,  # scratch [page, 2HD] fp32
+    *, hd: int, h: int, bd: int, page: int, r: int, scale: float,
+    nd: int, ns: int,
+):
+    """Fused kv-grad reduction: walk slots sorted by page, RECOMPUTE the
+    per-slot kv grads from the resident kv page (the same alpha/dl math as
+    the first backward pass) and accumulate them into source nodes -- the
+    [num_slots*r, 2HD] dkv buffer never exists in HBM.  Within a page the
+    visit order preserves dst-block order (stable sort), so the q/g/lse/delta
+    block DMAs stream monotonically per page segment."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    pg_here = vp_ref[t]
+    first = jnp.logical_or(t == 0, vp_ref[jnp.maximum(t - 1, 0)] != pg_here)
+    last = jnp.logical_or(
+        t == n_t - 1, vp_ref[jnp.minimum(t + 1, n_t - 1)] != pg_here
+    )
+    blk_here = vb_ref[t]
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cols = idx_ref[0, 0, :]
+    drows = idx_ref[0, 1, :]
+    cdtype = q_ref.dtype
+    og = (
+        cols[:, None] == jax.lax.broadcasted_iota(jnp.int32, (r, page), 1)
+    ).astype(cdtype)
+    oq = (
+        drows[:, None] == jax.lax.broadcasted_iota(jnp.int32, (r, bd), 1)
+    ).astype(cdtype)
+    valid = (cols[:, None] < page)
+
+    kv_rows = _dot(og, _clean_rows(kv_ref, pg_here, page, ns)).astype(cdtype)
+    e_rows = e_ref[:]
+    keff = kv_rows[:, :hd] + e_rows
+    veff = kv_rows[:, hd:] + e_rows
+    qrows = _dot(oq, _clean_rows(q_ref, blk_here, bd, nd)).astype(cdtype)
+
+    g_red = _indicator(hd, h, cdtype)
+    l = _dot((qrows * keff), g_red) * scale  # [r, H] fp32
+    lse_rows = _dot(oq.astype(jnp.float32), _clean_rows(lse_ref, blk_here, bd, nd))
+    alpha = jnp.where(valid, jnp.exp(l - lse_rows), 0.0)  # [r, H] fp32
+    alpha_c = alpha.astype(cdtype)
+
+    g_red_t = _indicator_t(hd, h, cdtype)
+    grows = _dot(oq, _clean_rows(g_ref, blk_here, bd, nd)).astype(cdtype)
+    dveff = _dot(alpha_c, g_red_t).astype(cdtype) * grows  # [r, HD]
+    dalpha = _dot((grows * veff), g_red)  # [r, H] fp32
+    delta_rows = _dot(
+        oq.astype(jnp.float32), _clean_rows(delta_ref, blk_here, bd, nd)
+    )
+    dl = alpha * (dalpha - delta_rows)  # [r, H] fp32
+    dl_rep = (_dot(dl.astype(cdtype), g_red_t) * scale).astype(cdtype)
+    dkeff = dl_rep * qrows
+    acc_ref[:, :hd] += _dot_t(og, dkeff)
+    acc_ref[:, hd:] += _dot_t(og, dveff)
 
     @pl.when(last)
     def _():
@@ -559,7 +643,7 @@ def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int,
 
 
 def _bwd_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
-              num_heads: int, interpret: bool):
+              num_heads: int, interpret: bool, emit_dkv: bool = True):
     nd, hd = q.shape
     bd, page, r = tables.bd, tables.page, tables.r
     s_tot = tables.num_slots
@@ -567,8 +651,21 @@ def _bwd_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
     scale = 1.0 / float(np.sqrt(hd // h))
     kernel = functools.partial(
         _bwd_kernel, hd=hd, h=h, bd=bd, page=page, r=r, scale=scale,
-        nd=nd, ns=kv.shape[0],
+        nd=nd, ns=kv.shape[0], emit_dkv=emit_dkv,
     )
+    out_specs = [
+        pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
+        pl.BlockSpec((r, 2 * hd), lambda s, blk, pg: (s, 0)),
+        pl.BlockSpec((r, hd), lambda s, blk, pg: (s, 0)),
+    ]
+    nd_pad = _cdiv(nd, bd) * bd
+    out_shape = [
+        jax.ShapeDtypeStruct((nd_pad, hd), q.dtype),
+        jax.ShapeDtypeStruct((s_tot * r, 2 * hd), q.dtype),
+        jax.ShapeDtypeStruct((s_tot * r, hd), q.dtype),
+    ]
+    if not emit_dkv:
+        del out_specs[1], out_shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s_tot,),
@@ -581,25 +678,20 @@ def _bwd_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
             pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
             pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
-            pl.BlockSpec((r, 2 * hd), lambda s, blk, pg: (s, 0)),
-            pl.BlockSpec((r, hd), lambda s, blk, pg: (s, 0)),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.VMEM((bd, hd), jnp.float32)],
     )
-    nd_pad = _cdiv(nd, bd) * bd
-    dq, dkv, de = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nd_pad, hd), q.dtype),
-            jax.ShapeDtypeStruct((s_tot * r, 2 * hd), q.dtype),
-            jax.ShapeDtypeStruct((s_tot * r, hd), q.dtype),
-        ),
+        out_shape=tuple(out_shape),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots, g, lse, delta)
-    return dq[:nd], dkv, de
+    if emit_dkv:
+        dq, dkv, de = outs
+        return dq[:nd], dkv, de
+    dq, de = outs
+    return dq[:nd], None, de
 
 
 def _reduce_call(dkv, tables: PagedTables, interpret: bool):
@@ -625,6 +717,45 @@ def _reduce_call(dkv, tables: PagedTables, interpret: bool):
         grid_spec=grid_spec,
         interpret=interpret,
     )(tables.visit_slot, tables.visit_page, tables.idx, dkv)
+    return out[: tables.num_src]
+
+
+def _fused_reduce_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
+                       num_heads: int, interpret: bool):
+    """[num_src, 2HD] kv grads via the recompute-and-reduce page walk."""
+    nd, hd = q.shape
+    bd, page, r = tables.bd, tables.page, tables.r
+    h = num_heads
+    scale = 1.0 / float(np.sqrt(hd // h))
+    n_visits = int(tables.visit_slot.shape[0])
+    visit_blk = jnp.take(tables.blk_ids, tables.visit_slot)
+    kernel = functools.partial(
+        _fused_reduce_kernel, hd=hd, h=h, bd=bd, page=page, r=r, scale=scale,
+        nd=nd, ns=kv.shape[0],
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_visits,),
+        in_specs=[
+            pl.BlockSpec((1, 2, r), lambda t, vs, vp, vb: (vs[t], 0, 0)),
+            pl.BlockSpec((bd, hd), lambda t, vs, vp, vb: (vb[t], 0)),
+            pl.BlockSpec((page, 2 * hd), lambda t, vs, vp, vb: (vp[t], 0)),
+            pl.BlockSpec((r, hd), lambda t, vs, vp, vb: (vs[t], 0)),
+            pl.BlockSpec((bd, hd), lambda t, vs, vp, vb: (vb[t], 0)),
+            pl.BlockSpec((bd, h), lambda t, vs, vp, vb: (vb[t], 0)),
+            pl.BlockSpec((bd, h), lambda t, vs, vp, vb: (vb[t], 0)),
+        ],
+        out_specs=pl.BlockSpec((page, 2 * hd), lambda t, vs, vp, vb: (vp[t], 0)),
+        scratch_shapes=[pltpu.VMEM((page, 2 * hd), jnp.float32)],
+    )
+    ns_pad = _cdiv(tables.num_src, page) * page
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ns_pad, 2 * hd), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tables.visit_slot, tables.visit_page, visit_blk,
+      tables.idx, q, kv, e_slots, g, lse, delta)
     return out[: tables.num_src]
 
 
@@ -688,11 +819,17 @@ def _paged_bwd(num_heads, stabilize, res, g):
         out.astype(jnp.float32) * g.astype(jnp.float32), g_red,
         preferred_element_type=jnp.float32,
     )  # [Nd, H]
+    gq = g.astype(query.dtype)
     dq, dkv, d_e = _bwd_call(
-        query, kv, e_slots, g.astype(query.dtype), lse, delta, tables,
-        num_heads, _INTERPRET,
+        query, kv, e_slots, gq, lse, delta, tables,
+        num_heads, _INTERPRET, emit_dkv=not tables.fused_bwd,
     )
-    dkv_src = _reduce_call(dkv, tables, _INTERPRET)
+    if tables.fused_bwd:
+        dkv_src = _fused_reduce_call(
+            query, kv, e_slots, gq, lse, delta, tables, num_heads, _INTERPRET
+        )
+    else:
+        dkv_src = _reduce_call(dkv, tables, _INTERPRET)
     d_key, d_value = dkv_src[:, :hd], dkv_src[:, hd:]
     return dq, d_key, d_value, d_e, None
 

@@ -149,6 +149,11 @@ class ModelSchema(BaseModel):
     paged_mappers: bool = True
     paged_block: Optional[List[int]] = None
     paged_mapper_block: Optional[List[int]] = None
+    # fused backward: kv-grad reduction recomputes attention per page visit
+    # (drops the [num_flat, 2HD] dkv HBM transient); mapper knob defaults to
+    # the model-wide one when unset
+    paged_fused_bwd: bool = False
+    paged_mapper_fused_bwd: Optional[bool] = None
 
     @field_validator("paged_block", "paged_mapper_block")
     @classmethod

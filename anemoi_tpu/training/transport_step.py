@@ -164,7 +164,7 @@ def make_sampler(
     model = interface.model
     indices = interface.data_indices
     dataset_names = sorted(indices.keys())
-    graph_inputs = interface.graph_inputs
+    graph_inputs = interface.inference_graph_inputs
     n_out = model.n_step_output
 
     if objective == "edm":

@@ -75,6 +75,11 @@ def main() -> None:
         # "bd,page,r" triples for the paged kernel tables (docs/design.md §6)
         paged_block=_parse_block(os.environ.get("BENCH_PAGED_BLOCK")),
         paged_mapper_block=_parse_block(os.environ.get("BENCH_PAGED_MAPPER_BLOCK")),
+        # fused backward (recompute-and-reduce kv grads; no [num_flat, 2HD]
+        # dkv transient) -- a memory lever for n320-class mapper edge sets
+        paged_fused_bwd=(os.environ.get("BENCH_PAGED_FUSED") == "1") or None,
+        paged_mapper_fused_bwd=(os.environ.get("BENCH_PAGED_MAPPER_FUSED") == "1")
+        or None,
     )
     build_s = time.time() - t0
     log(f"graph+iface built in {build_s:.1f}s")

@@ -124,6 +124,70 @@ def test_paged_gradients_match_segment(rng):
     np.testing.assert_allclose(d_e, np.asarray(gr[3]), rtol=3e-5, atol=3e-5)
 
 
+def test_paged_fused_bwd_matches_segment(rng):
+    """fused_bwd tables: the kv-grad reduction recomputes attention per
+    page-sorted visit (no [num_slots*r, 2HD] dkv buffer) -- grads must match
+    the segment reference exactly like the two-pass backward does."""
+    num_src, num_dst, h, d = 40, 29, 2, 8
+    hd = h * d
+    ei = random_bipartite(rng, num_src, num_dst, dead_src=(0, 1, 2, 3, 17))
+    e_cnt = ei.shape[1]
+    q = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    e = np.asarray(rng.normal(size=(e_cnt, hd)), np.float32)
+    w = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+
+    csr = build_paged_csr(ei, num_src, num_dst, bd=8, page=8, r=8)
+    e_slots = jnp.asarray(csr.pad_edge_array(e))
+    tab = PagedTables.from_csr(csr, fused_bwd=True)
+
+    def loss_paged(q, k, v, e_s):
+        return jnp.sum(paged_gt_attention_flat(q, k, v, e_s, h, tab) * w)
+
+    def loss_ref(q, k, v, e_d):
+        return jnp.sum(_ref(q, k, v, e_d, h, ei, num_dst) * w)
+
+    gp = jax.grad(loss_paged, argnums=(0, 1, 2, 3))(q, k, v, e_slots)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, jnp.asarray(e))
+    for a, b, name in zip(gp[:3], gr[:3], "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-5,
+            err_msg=f"d{name} mismatch (fused_bwd)",
+        )
+    for s in (0, 1, 2, 3, 17):  # dead sources: sentinel-page zero writes
+        assert np.allclose(np.asarray(gp[1])[s], 0.0)
+        assert np.allclose(np.asarray(gp[2])[s], 0.0)
+    d_e = np.asarray(gp[3])[csr.slot_pos]
+    np.testing.assert_allclose(d_e, np.asarray(gr[3]), rtol=3e-5, atol=3e-5)
+
+
+def test_paged_fused_bwd_multislot(rng):
+    """fused_bwd with multi-slot (dst-block, page) pairs and partial blocks."""
+    num_src, num_dst, h, d = 16, 8, 2, 8
+    hd = h * d
+    ei = random_bipartite(rng, num_src, num_dst, k_mean=7)
+    csr = build_paged_csr(ei, num_src, num_dst, bd=8, page=16, r=4)
+    q = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    e = np.asarray(rng.normal(size=(ei.shape[1], hd)), np.float32)
+    e_slots = jnp.asarray(csr.pad_edge_array(e))
+    w = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+
+    def loss(tab):
+        def f(q, k, v, e_s):
+            return jnp.sum(paged_gt_attention_flat(q, k, v, e_s, h, tab) * w)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, e_slots)
+
+    g_two = loss(PagedTables.from_csr(csr))
+    g_fused = loss(PagedTables.from_csr(csr, fused_bwd=True))
+    for a, b in zip(g_fused, g_two):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_paged_multislot_pairs(rng):
     """(dst-block, page) pairs larger than r split over several slots."""
     num_src, num_dst, h, d = 16, 8, 2, 8

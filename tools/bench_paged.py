@@ -115,7 +115,8 @@ def main():
         print(f"paged bd={bd} page={page} r={r}: slots={pcsr.num_slots} "
               f"pad={waste:.2f}x", file=sys.stderr)
         e_slots = jnp.asarray(pcsr.pad_edge_array(e_feat), dtype)
-        tab = PagedTables.from_csr(pcsr)
+        fused = os.environ.get("PAGED_FUSED", "0") == "1"
+        tab = PagedTables.from_csr(pcsr, fused_bwd=fused)
 
         stab = os.environ.get("PAGED_STABILIZE", "1") == "1"
 
