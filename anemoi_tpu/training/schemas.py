@@ -277,6 +277,10 @@ class TrainingSchema(BaseModel):
     loss: Optional[Dict[str, Any]] = None
     scalers: Optional[Dict[str, Any]] = None
     precision: str = "fp32"
+    # keep the decoder output head (extractor + its norm) in fp32 under bf16
+    # compute: the prognostic increment/residual/boundings then run fp32
+    # (long-horizon rollout numerics; no effect when precision is fp32)
+    fp32_head: bool = False
     task: str = "forecaster"
     ensemble_size: int = Field(default=1, ge=1)
     validation_rollout: int = Field(default=0, ge=0)

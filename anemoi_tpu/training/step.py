@@ -115,6 +115,7 @@ def make_step_fns(
     base_rng: jnp.ndarray = None,
     output_masks: Optional[Dict[str, "object"]] = None,
     precision: str = "fp32",
+    fp32_head: bool = False,
     task: str = "forecaster",
 ) -> Tuple[Callable, Callable]:
     """Build jitted (train_step, eval_step) closures.
@@ -149,12 +150,30 @@ def make_step_fns(
 
     def _cast_params(params):
         """Mixed precision: bf16 compute copies of the fp32 master weights
-        (the reference's '16-mixed'; grads flow back to fp32 via the cast)."""
+        (the reference's '16-mixed'; grads flow back to fp32 via the cast).
+
+        fp32_head keeps the decoder output head ('extractor' /
+        'node_data_extractor' and its norm) in fp32: the head's matmul then
+        promotes its bf16 inputs, so the prognostic increment, residual add
+        and boundings all run in fp32 -- the long-horizon-rollout numerics
+        experiment from docs/design.md §7 as a config switch."""
         if compute_dtype is None:
             return params
-        return jax.tree_util.tree_map(
-            lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p, params
-        )
+
+        if not fp32_head:
+            return jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p,
+                params,
+            )
+
+        def cast(path, p):
+            if p.dtype != jnp.float32:
+                return p
+            if any("extractor" in str(getattr(k, "key", k)) for k in path):
+                return p
+            return p.astype(compute_dtype)
+
+        return jax.tree_util.tree_map_with_path(cast, params)
 
     # per-group validation metric indices (ref train/methods/base.py:1002-1100:
     # `<metric>/<dataset>/<group>/<step>` in post-processed space)

@@ -399,6 +399,7 @@ class AnemoiTrainer:
             ensemble_size=int(training_cfg.get("ensemble_size", 1)),
             output_masks=self.output_masks or None,
             precision=str(training_cfg.get("precision", "fp32")),
+            fp32_head=bool(training_cfg.get("fp32_head", False)),
             task=str(training_cfg.get("task", "forecaster")),
         )
 

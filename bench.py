@@ -118,6 +118,7 @@ def main() -> None:
     train_step, _ = make_step_fns(
         iface, losses, rollout=rollout, remat_rollout=True, precision=precision,
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "save_attention"),
+        fp32_head=os.environ.get("BENCH_FP32_HEAD", "0") == "1",
     )
 
     rng = np.random.default_rng(0)

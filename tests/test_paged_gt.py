@@ -237,6 +237,49 @@ def test_to_slot_layout_roundtrip_and_grad(rng):
     assert "scatter" not in txt
 
 
+def test_attention_module_fused_bwd_grads_match(rng):
+    """Model-level fused backward: GraphTransformerAttention grads with
+    fused_bwd slot tables match the two-pass tables (the auto-heuristic path
+    of encoder_processor_decoder.build_graph_inputs)."""
+    from anemoi_tpu.models.graph import SubGraphArrays
+    from anemoi_tpu.models.layers.graph_blocks import GraphTransformerAttention
+
+    num_src, num_dst, h, hd = 24, 16, 2, 16
+    ei = random_bipartite(rng, num_src, num_dst, k_mean=4).astype(np.int32)
+    e_cnt = ei.shape[1]
+    dst_ptr = np.searchsorted(ei[1], np.arange(num_dst + 1)).astype(np.int32)
+    sub = SubGraphArrays(
+        edge_index=ei,
+        edge_attr=rng.normal(size=(e_cnt, 3)).astype(np.float32),
+        dst_ptr=dst_ptr,
+        num_src=num_src,
+        num_dst=num_dst,
+    )
+    x_src = jnp.asarray(rng.normal(size=(2, num_src, 8)), jnp.float32)
+    x_dst = jnp.asarray(rng.normal(size=(2, num_dst, 8)), jnp.float32)
+    mod = GraphTransformerAttention(
+        num_heads=h, attn_channels=hd, out_channels=hd, backend="paged"
+    )
+
+    def grads(fused):
+        ed = sub.edge_data(paged=True, paged_block=(8, 8, 8),
+                           paged_fused_bwd=fused)
+        params = mod.init(jax.random.PRNGKey(0), x_src, x_dst, ed)
+
+        def loss(p, xs, xd):
+            return jnp.sum(mod.apply(p, xs, xd, ed) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(params, x_src, x_dst)
+
+    g_two = grads(False)
+    g_fused = grads(True)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_two)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_attention_module_paged_matches_padded(rng):
     """GraphTransformerAttention with backend='paged' (slot tables in
     EdgeData) matches the padded XLA path with identical params."""

@@ -359,6 +359,19 @@ def test_bf16_fp32_training_agreement(tiny_graph, rng):
             out.append((float(m["loss"]), float(m["grad_norm"])))
         return out
 
+    def run(precision, **kw):  # noqa: F811 -- shadow with kwargs support
+        tx = build_optimizer({"lr": {"rate": 2e-3, "warmup": 1, "iterations": 100}})
+        state = TrainState.create(params, tx)
+        step, _ = make_step_fns(
+            iface, losses, rollout=1, remat_rollout=False, precision=precision,
+            **kw,
+        )
+        out = []
+        for _ in range(6):
+            state, m = step(state, batch)
+            out.append((float(m["loss"]), float(m["grad_norm"])))
+        return out
+
     fp32 = run("fp32")
     bf16 = run("bf16")
     for (l32, g32), (l16, g16) in zip(fp32, bf16):
@@ -369,6 +382,16 @@ def test_bf16_fp32_training_agreement(tiny_graph, rng):
     # both descend
     assert fp32[-1][0] < fp32[0][0]
     assert bf16[-1][0] < bf16[0][0]
+
+    # fp32_head: decoder head (extractor/norm) stays fp32 under bf16 compute
+    # -- the trajectory must track fp32 at least as closely as plain bf16 and
+    # differ from it (the switch actually changes the computation)
+    head = run("bf16", fp32_head=True)
+    for (l32, _), (lh, gh) in zip(fp32, head):
+        assert np.isfinite(lh) and np.isfinite(gh)
+        assert abs(lh - l32) / max(abs(l32), 1e-6) < 2e-2
+    assert any(abs(lh - l16) > 0 for (lh, _), (l16, _) in zip(head, bf16))
+    assert head[-1][0] < head[0][0]
 
 
 def test_trainer_transport_task(tmp_path):
