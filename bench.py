@@ -100,7 +100,9 @@ def main() -> None:
         graph=graph,
         data_indices=idx,
     )
-    losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": ["area"]}, scalers)}
+    ens = int(os.environ.get("BENCH_ENSEMBLE", "1"))
+    loss_name = "WeightedMSELoss" if ens <= 1 else "KernelCRPS"
+    losses = {"data": get_loss_function({"name": loss_name, "scalers": ["area"]}, scalers)}
     tx = build_optimizer(
         {"lr": {"rate": 1e-4, "warmup": 10, "iterations": 1000},
          "gradient_clip": {"val": 32.0, "algorithm": "value"}}
@@ -119,6 +121,8 @@ def main() -> None:
         iface, losses, rollout=rollout, remat_rollout=True, precision=precision,
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "save_attention"),
         fp32_head=os.environ.get("BENCH_FP32_HEAD", "0") == "1",
+        # BENCH_ENSEMBLE=k: k-member CRPS training step (EnsembleTraining)
+        ensemble_size=int(os.environ.get("BENCH_ENSEMBLE", "1")),
     )
 
     rng = np.random.default_rng(0)

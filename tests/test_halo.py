@@ -268,3 +268,27 @@ def test_halo_paged_kernel_matches_unsharded(setup):
     d_ea[flat_ids[maskp]] = got_e[maskp.reshape(-1)]
     np.testing.assert_allclose(d_ea, np.asarray(ref_grads[3]), atol=5e-5,
                                err_msg="d_edge")
+
+
+def test_partition_scales_to_n320_class_graphs():
+    """The vectorised partitioner handles BASELINE.md's north-star scale
+    (~550k nodes, ~5M edges, 16 shards) in seconds -- the round-1 review
+    flagged the dict-loop version as minutes-to-hours here (VERDICT item 6;
+    ref equivalent: cached HaloInfo build, models distributed/halo.py)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    n, e = 550_000, 5_000_000
+    dst = np.sort(rng.integers(0, n, e))
+    src = np.clip(dst + rng.integers(-1000, 1000, e), 0, n - 1)
+    ei = np.stack([src, dst]).astype(np.int64)
+    dst_ptr = np.searchsorted(dst, np.arange(n + 1)).astype(np.int64)
+    t0 = time.time()
+    sg = partition_graph(ei, dst_ptr, n, 16, halo=True)
+    elapsed = time.time() - t0
+    assert elapsed < 30.0, f"partitioning took {elapsed:.1f}s"  # ~3s measured
+    # every edge lands in exactly one shard slot
+    mask = np.asarray(sg.edge_pad_mask)
+    perm = np.asarray(sg.edge_attr_perm)
+    ids = perm[mask]
+    assert ids.size == e and np.unique(ids).size == e
