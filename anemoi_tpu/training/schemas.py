@@ -154,6 +154,17 @@ class ModelSchema(BaseModel):
     # the model-wide one when unset
     paged_fused_bwd: bool = False
     paged_mapper_fused_bwd: Optional[bool] = None
+    # serving precision (predict_step / forecast CLI / transport sampler):
+    # bf16 model forward with fp32 pre/post-processing (ref serves 16-mixed)
+    inference_precision: str = "bf16"
+
+    @field_validator("inference_precision")
+    @classmethod
+    def _inference_precision(cls, v):
+        assert v in ("fp32", "bf16", "bfloat16", "16-mixed"), (
+            f"unknown inference_precision '{v}'"
+        )
+        return v
 
     @field_validator("paged_block", "paged_mapper_block")
     @classmethod

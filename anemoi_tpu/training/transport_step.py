@@ -175,8 +175,14 @@ def make_sampler(
         times = jnp.asarray(unit_time_schedule(num_steps))
     sample_fn = SAMPLERS[sampler]
 
+    # bf16 serving: the model forward runs in the inference compute dtype,
+    # while the sampler integration (sigma math, Heun/DPM updates) stays fp32
+    dt = interface.inference_compute_dtype
+
     @jax.jit
     def generate(params, x, key):
+        p = interface.cast_inference_params(params)
+        xc = {ds: (v.astype(dt) if dt is not None else v) for ds, v in x.items()}
         out = {}
         for i, ds in enumerate(dataset_names):
             idx = indices[ds]
@@ -191,18 +197,22 @@ def make_sampler(
                 def denoise_fn(y, sigma, ds=ds):
                     sig = jnp.broadcast_to(sigma, (b, 1, e, 1, 1)).astype(y.dtype)
                     _, _, c_in, c_noise = edm_preconditioning(sig, edm.sigma_data)
+                    xt = c_in * y
                     f = model.apply(
-                        params, x, {ds: c_in * y}, c_noise[:, 0, :, 0, 0], graph_inputs
+                        p, xc,
+                        {ds: xt.astype(dt) if dt is not None else xt},
+                        c_noise[:, 0, :, 0, 0], graph_inputs,
                     )
-                    return edm_denoise(f[ds], y, sig, edm)
+                    return edm_denoise(f[ds].astype(jnp.float32), y, sig, edm)
 
                 y0 = jax.random.normal(k, shape) * sigmas[0]
                 out[ds] = sample_fn(denoise_fn, y0, sigmas)
             else:
                 def velocity_fn(xt, t, ds=ds):
                     tb = jnp.broadcast_to(t, (b, e)).astype(xt.dtype)
-                    f = model.apply(params, x, {ds: xt}, tb, graph_inputs)
-                    return f[ds]
+                    xt_c = xt.astype(dt) if dt is not None else xt
+                    f = model.apply(p, xc, {ds: xt_c}, tb, graph_inputs)
+                    return f[ds].astype(jnp.float32)
 
                 x0 = jax.random.normal(k, shape)
                 out[ds] = sample_fn(velocity_fn, x0, times)

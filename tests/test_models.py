@@ -134,6 +134,16 @@ def test_predict_step_denormalises(tiny_graph, rng):
     out = iface.predict_step(params, batch)
     assert out["data"].shape == (1, 1, 1, n_grid, 4)
     assert np.isfinite(np.asarray(out["data"])).all()
+    # serving defaults to bf16 compute (model.inference_precision) with fp32
+    # pre/post-processing: output is fp32 and tracks an fp32 forward within
+    # bf16 tolerance
+    assert out["data"].dtype == jnp.float32
+    iface32 = build_interface(tiny_graph)
+    iface32.config.setdefault("model", {})["inference_precision"] = "fp32"
+    out32 = iface32.predict_step(params, batch)
+    scale = np.maximum(np.abs(np.asarray(out32["data"])), 1.0)
+    rel = np.abs(np.asarray(out["data"]) - np.asarray(out32["data"])) / scale
+    assert rel.max() < 0.05, rel.max()
 
 
 def test_jit_forward(tiny_graph, rng):

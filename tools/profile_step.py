@@ -71,6 +71,23 @@ def capture(trace_dir: str) -> None:
         size=(1, iface.model.n_step_input + 1, 1, n_grid, idx.num_data_vars)
     ).astype(np.float32))}
 
+    if os.environ.get("PROFILE_INFERENCE", "0") == "1":
+        # serving path: jitted interface.predict_step on inference tables
+        predict = jax.jit(iface.predict_step)
+        x_in = {"data": batch["data"][:, : iface.model.n_step_input]}
+        out = predict(state.params, x_in)
+        jax.block_until_ready(out["data"])
+        t0 = time.time()
+        for _ in range(3):
+            out = predict(state.params, x_in)
+        jax.block_until_ready(out["data"])
+        print(f"inference step {(time.time()-t0)/3*1000:.1f} ms", file=sys.stderr)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out = predict(state.params, x_in)
+            jax.block_until_ready(out["data"])
+        return
+
     # warm up (compile)
     state, metrics = train_step(state, batch)
     jax.block_until_ready(metrics["loss"])
