@@ -80,6 +80,9 @@ def main() -> None:
         paged_fused_bwd=(os.environ.get("BENCH_PAGED_FUSED") == "1") or None,
         paged_mapper_fused_bwd=(os.environ.get("BENCH_PAGED_MAPPER_FUSED") == "1")
         or None,
+        # BENCH_MODEL=hierarchical: two-level V-cycle (BENCH_LAYERS = layers
+        # PER level processor; the preset default is 2)
+        model=os.environ.get("BENCH_MODEL", "encprocdec"),
     )
     build_s = time.time() - t0
     log(f"graph+iface built in {build_s:.1f}s")
