@@ -36,7 +36,8 @@ def make_forecast_fn(interface, steps: int):
     dt = interface.inference_compute_dtype  # bf16 serving (fp32 pre/post)
 
     @jax.jit
-    def forecast(params, batch):
+    def _forecast(params, batch, graph_inputs):
+        # tables enter as jit ARGUMENTS (constants compile ~13x slower)
         p = interface.cast_inference_params(params)
         batch_norm = {ds: pre[ds].transform(batch[ds]) for ds in dataset_names}
         x = {
@@ -59,6 +60,9 @@ def make_forecast_fn(interface, steps: int):
                     for ds in dataset_names
                 }
         return {ds: jnp.concatenate(v, axis=1) for ds, v in outputs.items()}
+
+    def forecast(params, batch):
+        return _forecast(params, batch, graph_inputs)
 
     return forecast
 

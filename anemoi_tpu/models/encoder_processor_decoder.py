@@ -212,13 +212,21 @@ class AnemoiModelEncProcDec(nn.Module):
     def output_dim(self, ds: str) -> int:
         return self.n_step_output * self.data_indices[ds].num_model_output_vars
 
-    def build_graph_inputs(self, dtype=jnp.float32, inference: bool = False) -> Dict:
+    def build_graph_inputs(self, dtype=jnp.float32, inference: bool = False,
+                           base: Optional[Dict] = None) -> Dict:
         """Device-side graph arrays passed to __call__ as ARGUMENTS.
 
         Critical for compile time: closed-over arrays get inlined as HLO
         constants, which the TPU toolchain compiles ~13x slower than the same
         program with the arrays as entry parameters (measured: 395s vs 29s for
-        one attention grad)."""
+        one attention grad).
+
+        ``base``: a previously built (training) table set to share arrays
+        with -- node_features and the processor are always identical at
+        inference, and mapper entries are reused whenever their block sizes
+        match (the fused_bwd flag is static aux, flipped without copying), so
+        the serving tables cost no extra HBM unless a mapper really changes
+        page size."""
         padded = self.attention_backend != "segment"
         # degree-bucketed gather tables (~2x less padded gather volume) where
         # the dst set was degree-sorted; safe everywhere -- falls back to one
@@ -276,13 +284,38 @@ class AnemoiModelEncProcDec(nn.Module):
                 paged=paged_mappers, paged_block=blk, paged_fused_bwd=fused,
             )
 
+        def _mapper_entry(sub, kw, base_ed):
+            """Reuse a base EdgeData when only the (static) fused_bwd flag
+            differs; rebuild only when the block sizes actually change."""
+            if base_ed is None:
+                return sub.edge_data(**kw)
+            t = getattr(base_ed, "paged_tables", None)
+            if not kw["paged"]:
+                return base_ed  # padded tables never differ train vs serve
+            if t is not None and (t.bd, t.page, t.r) == tuple(kw["paged_block"]):
+                if bool(t.fused_bwd) == bool(kw["paged_fused_bwd"]):
+                    return base_ed
+                import dataclasses
+
+                return base_ed.replace(
+                    paged_tables=dataclasses.replace(
+                        t, fused_bwd=bool(kw["paged_fused_bwd"])
+                    )
+                )
+            return sub.edge_data(**kw)
+
+        def _base(group, ds):
+            return (base or {}).get(group, {}).get(ds)
+
         return {
-            "node_features": {
-                name: jnp.asarray(feat, dtype=dtype)
-                for name, feat in self.graph.node_features.items()
-            },
+            "node_features": (
+                base["node_features"] if base is not None else {
+                    name: jnp.asarray(feat, dtype=dtype)
+                    for name, feat in self.graph.node_features.items()
+                }
+            ),
             "encoder": {
-                ds: sub.edge_data(**_mapper_kwargs(sub))
+                ds: _mapper_entry(sub, _mapper_kwargs(sub), _base("encoder", ds))
                 for ds, sub in self.graph.encoder.items()
             },
             # k_multiple=8 keeps the [n, k, HD] reshapes around the processor's
@@ -290,23 +323,26 @@ class AnemoiModelEncProcDec(nn.Module):
             # 16 layers x fwd+bwd per step there, while encoder/decoder run
             # once and prefer exact-k's smaller gather volume
             "processor": (
-                self.graph.processor.sharded_edge_data(
-                    int(self.config.get("num_model_shards", 1)), dtype=dtype,
-                    # the paged kernel runs per shard INSIDE the halo
-                    # shard_map (parallel/halo.py shard_paged_tables)
-                    paged=self.attention_backend == "paged",
-                    paged_block=paged_block,
-                )
-                if self.shard_strategy == "edges"
-                and int(self.config.get("num_model_shards", 1)) > 1
-                else self.graph.processor.edge_data(
-                    dtype=dtype, padded=padded, bucketed=bucketed and not paged,
-                    k_multiple=8, paged=paged, paged_block=paged_block,
-                    paged_fused_bwd=fused_bwd,
+                base["processor"] if base is not None else (
+                    self.graph.processor.sharded_edge_data(
+                        int(self.config.get("num_model_shards", 1)), dtype=dtype,
+                        # the paged kernel runs per shard INSIDE the halo
+                        # shard_map (parallel/halo.py shard_paged_tables)
+                        paged=self.attention_backend == "paged",
+                        paged_block=paged_block,
+                    )
+                    if self.shard_strategy == "edges"
+                    and int(self.config.get("num_model_shards", 1)) > 1
+                    else self.graph.processor.edge_data(
+                        dtype=dtype, padded=padded,
+                        bucketed=bucketed and not paged,
+                        k_multiple=8, paged=paged, paged_block=paged_block,
+                        paged_fused_bwd=fused_bwd,
+                    )
                 )
             ),
             "decoder": {
-                ds: sub.edge_data(**_mapper_kwargs(sub))
+                ds: _mapper_entry(sub, _mapper_kwargs(sub), _base("decoder", ds))
                 for ds, sub in self.graph.decoder.items()
             },
         }

@@ -51,8 +51,14 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
     def level_process(self) -> bool:
         return bool(self.config.get("level_process", True))
 
-    def build_graph_inputs(self, dtype=jnp.float32, inference: bool = False) -> Dict:
-        """All hierarchy sub-graphs as device arrays."""
+    def build_graph_inputs(self, dtype=jnp.float32, inference: bool = False,
+                           base: Optional[Dict] = None) -> Dict:
+        """All hierarchy sub-graphs as device arrays.
+
+        ``base``: training tables to share with at inference -- node features
+        and per-level processor tables are always identical; mapper-class
+        groups (encoder/decoder/down/up) are reused unless the serving page
+        size differs (see encoder_processor_decoder.build_graph_inputs)."""
         from anemoi_tpu.models.graph import extract_subgraph
 
         padded = self.attention_backend != "segment"
@@ -71,19 +77,41 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         mfb = fb if _mfb is None else bool(_mfb)
         g = self.graph
         levels = self.hidden_names
+
+        def _mapper_entry(sub, base_ed):
+            if base_ed is None:
+                return sub.edge_data(dtype=dtype, padded=padded, paged=paged,
+                                     paged_block=mb, paged_fused_bwd=mfb)
+            t = getattr(base_ed, "paged_tables", None)
+            if not paged:
+                return base_ed
+            if t is not None and (t.bd, t.page, t.r) == tuple(mb):
+                if bool(t.fused_bwd) == bool(mfb):
+                    return base_ed
+                import dataclasses
+
+                return base_ed.replace(
+                    paged_tables=dataclasses.replace(t, fused_bwd=bool(mfb))
+                )
+            return sub.edge_data(dtype=dtype, padded=padded, paged=paged,
+                                 paged_block=mb, paged_fused_bwd=mfb)
+
+        def _base(group, ds):
+            return (base or {}).get(group, {}).get(ds)
+
         out = {
-            "node_features": {
-                name: jnp.asarray(feat, dtype=dtype)
-                for name, feat in g.node_features.items()
-            },
+            "node_features": (
+                base["node_features"] if base is not None else {
+                    name: jnp.asarray(feat, dtype=dtype)
+                    for name, feat in g.node_features.items()
+                }
+            ),
             "encoder": {
-                ds: sub.edge_data(dtype=dtype, padded=padded, paged=paged,
-                                  paged_block=mb, paged_fused_bwd=mfb)
+                ds: _mapper_entry(sub, _base("encoder", ds))
                 for ds, sub in g.encoder.items()
             },
             "decoder": {
-                ds: sub.edge_data(dtype=dtype, padded=padded, paged=paged,
-                                  paged_block=mb, paged_fused_bwd=mfb)
+                ds: _mapper_entry(sub, _base("decoder", ds))
                 for ds, sub in g.decoder.items()
             },
             "down": {},
@@ -93,20 +121,30 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         source = g.source_graph
         for i, name in enumerate(levels):
             if (name, name) in source:
-                out["level"][name] = extract_subgraph(
-                    source, name, name, self.config["processor"].get("sub_graph_edge_attributes")
-                ).edge_data(dtype=dtype, padded=padded, paged=paged,
-                            paged_block=pb, paged_fused_bwd=fb)
+                out["level"][name] = (
+                    _base("level", name) if base is not None else
+                    extract_subgraph(
+                        source, name, name,
+                        self.config["processor"].get("sub_graph_edge_attributes"),
+                    ).edge_data(dtype=dtype, padded=padded, paged=paged,
+                                paged_block=pb, paged_fused_bwd=fb)
+                )
             if i + 1 < len(levels):
                 nxt = levels[i + 1]
-                out["down"][name] = extract_subgraph(
-                    source, name, nxt, self.config["encoder"].get("sub_graph_edge_attributes")
-                ).edge_data(dtype=dtype, padded=padded, paged=paged,
-                            paged_block=mb, paged_fused_bwd=mfb)
-                out["up"][nxt] = extract_subgraph(
-                    source, nxt, name, self.config["decoder"].get("sub_graph_edge_attributes")
-                ).edge_data(dtype=dtype, padded=padded, paged=paged,
-                            paged_block=mb, paged_fused_bwd=mfb)
+                out["down"][name] = _mapper_entry(
+                    extract_subgraph(
+                        source, name, nxt,
+                        self.config["encoder"].get("sub_graph_edge_attributes"),
+                    ),
+                    _base("down", name),
+                )
+                out["up"][nxt] = _mapper_entry(
+                    extract_subgraph(
+                        source, nxt, name,
+                        self.config["decoder"].get("sub_graph_edge_attributes"),
+                    ),
+                    _base("up", nxt),
+                )
         return out
 
     @nn.compact

@@ -166,12 +166,21 @@ class AnemoiModelInterface:
         """Forward-only graph tables (small mapper source pages: no backward
         exists at serving time, so the gather-FLOP-optimal layout always wins
         -- measured n320 476 -> 398 ms, o160 317 -> 287 ms).  Built lazily so
-        training-only runs never pay for the second table set."""
+        training-only runs never pay for it, and built AGAINST the training
+        tables (``base=``): node_features, the processor, and any mapper whose
+        page size doesn't change are shared, so the extra HBM is only the
+        mappers that really get serving-specific tables."""
         gi = getattr(self, "_inference_graph_inputs", None)
         if gi is None:
-            try:
-                gi = self.model.build_graph_inputs(inference=True)
-            except TypeError:  # models without the inference variant
+            import inspect
+
+            sig = inspect.signature(self.model.build_graph_inputs)
+            if "inference" in sig.parameters:
+                kw = {"inference": True}
+                if "base" in sig.parameters:
+                    kw["base"] = self.graph_inputs
+                gi = self.model.build_graph_inputs(**kw)
+            else:  # models without the inference variant
                 gi = self.graph_inputs
             self._inference_graph_inputs = gi
         return gi
@@ -200,13 +209,18 @@ class AnemoiModelInterface:
         )
 
     def predict_step(
-        self, params: Any, batch: Dict[str, jnp.ndarray]
+        self, params: Any, batch: Dict[str, jnp.ndarray], graph_inputs=None
     ) -> Dict[str, jnp.ndarray]:
         """Run one prediction from a raw (un-normalised, data-space) batch.
 
         batch[ds]: [B, T>=n_step_input, E, G, V_data]. Returns denormalised
         model-space output [B, n_step_output, E, G, V_model_out].
         (ref models/base.py:303-390 predict_step)
+
+        ``graph_inputs``: pass ``interface.inference_graph_inputs`` explicitly
+        when wrapping this in jax.jit so the tables enter as jit ARGUMENTS --
+        the closed-over default inlines them as HLO constants (~13x slower
+        axon compiles; the repo invariant).
         """
         dt = self.inference_compute_dtype
         x = {}
@@ -219,7 +233,10 @@ class AnemoiModelInterface:
             x[ds] = xb.astype(dt) if dt is not None else xb
         y = self.apply(
             self.cast_inference_params(params), x,
-            graph_inputs=self.inference_graph_inputs,
+            graph_inputs=(
+                self.inference_graph_inputs if graph_inputs is None
+                else graph_inputs
+            ),
         )
         out = {}
         for ds, idx in self.data_indices.items():

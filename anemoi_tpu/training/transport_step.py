@@ -180,7 +180,8 @@ def make_sampler(
     dt = interface.inference_compute_dtype
 
     @jax.jit
-    def generate(params, x, key):
+    def _generate(params, x, key, graph_inputs):
+        # tables enter as jit ARGUMENTS (constants compile ~13x slower)
         p = interface.cast_inference_params(params)
         xc = {ds: (v.astype(dt) if dt is not None else v) for ds, v in x.items()}
         out = {}
@@ -217,5 +218,8 @@ def make_sampler(
                 x0 = jax.random.normal(k, shape)
                 out[ds] = sample_fn(velocity_fn, x0, times)
         return out
+
+    def generate(params, x, key):
+        return _generate(params, x, key, graph_inputs)
 
     return generate

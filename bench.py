@@ -27,6 +27,13 @@ def _parse_block(v):
     return tuple(int(x) for x in v.split(",")) if v else None
 
 
+def _parse_flag(name):
+    """Tri-state env flag: unset -> None (inherit/auto), "1" -> True,
+    anything else -> False (so =0 really disables the auto heuristic)."""
+    v = os.environ.get(name)
+    return None if v is None else v == "1"
+
+
 def main() -> None:
     # persistent compile cache: the axon/TPU toolchain compiles large graphs
     # slowly; cache across bench runs (harmless elsewhere)
@@ -77,9 +84,8 @@ def main() -> None:
         paged_mapper_block=_parse_block(os.environ.get("BENCH_PAGED_MAPPER_BLOCK")),
         # fused backward (recompute-and-reduce kv grads; no [num_flat, 2HD]
         # dkv transient) -- a memory lever for n320-class mapper edge sets
-        paged_fused_bwd=(os.environ.get("BENCH_PAGED_FUSED") == "1") or None,
-        paged_mapper_fused_bwd=(os.environ.get("BENCH_PAGED_MAPPER_FUSED") == "1")
-        or None,
+        paged_fused_bwd=_parse_flag("BENCH_PAGED_FUSED"),
+        paged_mapper_fused_bwd=_parse_flag("BENCH_PAGED_MAPPER_FUSED"),
         # BENCH_MODEL=hierarchical: two-level V-cycle (BENCH_LAYERS = layers
         # PER level processor; the preset default is 2)
         model=os.environ.get("BENCH_MODEL", "encprocdec"),
@@ -151,13 +157,16 @@ def main() -> None:
     # inference (forward-only predict) timing: the serving path
     infer_ms = None
     try:
+        # inference tables as a jit ARGUMENT (repo invariant: constants
+        # inflate axon compiles ~13x)
         predict = jax.jit(iface.predict_step)
+        infer_gi = iface.inference_graph_inputs
         x_in = {"data": batch["data"][:, : iface.model.n_step_input]}
-        out = predict(state.params, x_in)
+        out = predict(state.params, x_in, infer_gi)
         jax.block_until_ready(out["data"])
         t0 = time.time()
         for _ in range(steps):
-            out = predict(state.params, x_in)
+            out = predict(state.params, x_in, infer_gi)
         jax.block_until_ready(out["data"])
         infer_ms = (time.time() - t0) / steps * 1000
         log(f"inference step: {infer_ms:.1f} ms")

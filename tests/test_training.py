@@ -347,19 +347,7 @@ def test_bf16_fp32_training_agreement(tiny_graph, rng):
     n_grid = tiny_graph["data"].num_nodes
     batch = {"data": jnp.asarray(rng.normal(size=(2, 3, 1, n_grid, 6)), jnp.float32)}
 
-    def run(precision):
-        tx = build_optimizer({"lr": {"rate": 2e-3, "warmup": 1, "iterations": 100}})
-        state = TrainState.create(params, tx)
-        step, _ = make_step_fns(
-            iface, losses, rollout=1, remat_rollout=False, precision=precision
-        )
-        out = []
-        for _ in range(6):
-            state, m = step(state, batch)
-            out.append((float(m["loss"]), float(m["grad_norm"])))
-        return out
-
-    def run(precision, **kw):  # noqa: F811 -- shadow with kwargs support
+    def run(precision, **kw):
         tx = build_optimizer({"lr": {"rate": 2e-3, "warmup": 1, "iterations": 100}})
         state = TrainState.create(params, tx)
         step, _ = make_step_fns(

@@ -72,19 +72,22 @@ def capture(trace_dir: str) -> None:
     ).astype(np.float32))}
 
     if os.environ.get("PROFILE_INFERENCE", "0") == "1":
-        # serving path: jitted interface.predict_step on inference tables
+        # serving path: jitted interface.predict_step, tables as jit ARGUMENTS
+        # (repo invariant: closed-over tables inline as HLO constants and
+        # compile ~13x slower on axon)
         predict = jax.jit(iface.predict_step)
+        infer_gi = iface.inference_graph_inputs
         x_in = {"data": batch["data"][:, : iface.model.n_step_input]}
-        out = predict(state.params, x_in)
+        out = predict(state.params, x_in, infer_gi)
         jax.block_until_ready(out["data"])
         t0 = time.time()
         for _ in range(3):
-            out = predict(state.params, x_in)
+            out = predict(state.params, x_in, infer_gi)
         jax.block_until_ready(out["data"])
         print(f"inference step {(time.time()-t0)/3*1000:.1f} ms", file=sys.stderr)
         with jax.profiler.trace(trace_dir):
             for _ in range(3):
-                out = predict(state.params, x_in)
+                out = predict(state.params, x_in, infer_gi)
             jax.block_until_ready(out["data"])
         return
 
