@@ -307,6 +307,44 @@ class AnemoiModelEncProcDec(nn.Module):
         def _base(group, ds):
             return (base or {}).get(group, {}).get(ds)
 
+        # model-parallel "edges" strategy: GraphTransformer mappers get their
+        # own bipartite halo tables (src/dst node sets partitioned
+        # independently, parallel/partition.py) so encoder/decoder attention
+        # runs per shard inside the halo shard_map -- incl. the paged Pallas
+        # kernel -- instead of falling back to GSPMD-sharded padded tables
+        # (ref block.py:870-1032 mapper shard path)
+        n_model_shards = int(self.config.get("num_model_shards", 1))
+        halo_mappers = (
+            self.shard_strategy == "edges"
+            and n_model_shards > 1
+            and bool(self.config.get("halo_mappers", True))
+        )
+
+        def _is_gt(block_cfg) -> bool:
+            return str((block_cfg or {}).get("name", "")).startswith(
+                "GraphTransformer"
+            )
+
+        def _halo_mapper_entry(sub, kw, base_ed):
+            if base_ed is not None and base_ed.halo_tables is not None:
+                return base_ed  # halo tables are identical train vs serve
+            return sub.sharded_edge_data(
+                n_model_shards, dtype=dtype,
+                paged=self.attention_backend == "paged",
+                paged_block=kw["paged_block"],
+            )
+
+        enc_entry = (
+            _halo_mapper_entry
+            if halo_mappers and _is_gt(self.config.get("encoder"))
+            else _mapper_entry
+        )
+        dec_entry = (
+            _halo_mapper_entry
+            if halo_mappers and _is_gt(self.config.get("decoder"))
+            else _mapper_entry
+        )
+
         return {
             "node_features": (
                 base["node_features"] if base is not None else {
@@ -315,7 +353,7 @@ class AnemoiModelEncProcDec(nn.Module):
                 }
             ),
             "encoder": {
-                ds: _mapper_entry(sub, _mapper_kwargs(sub), _base("encoder", ds))
+                ds: enc_entry(sub, _mapper_kwargs(sub), _base("encoder", ds))
                 for ds, sub in self.graph.encoder.items()
             },
             # k_multiple=8 keeps the [n, k, HD] reshapes around the processor's
@@ -342,7 +380,7 @@ class AnemoiModelEncProcDec(nn.Module):
                 )
             ),
             "decoder": {
-                ds: _mapper_entry(sub, _mapper_kwargs(sub), _base("decoder", ds))
+                ds: dec_entry(sub, _mapper_kwargs(sub), _base("decoder", ds))
                 for ds, sub in self.graph.decoder.items()
             },
         }

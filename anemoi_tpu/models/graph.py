@@ -145,25 +145,25 @@ class SubGraphArrays:
         paged_block: tuple = (256, 256, 128),
     ) -> EdgeData:
         """EdgeData for the model-parallel "edges" (halo-exchange) strategy:
-        partition this homogeneous sub-graph across ``n_shards`` contiguous
-        node shards, build the stacked per-shard attention + halo send/recv
-        tables (parallel/partition.py), and the edge permutation into the
-        per-shard layout.  Reference equivalent: the cached HaloInfo of
+        partition this sub-graph across ``n_shards`` contiguous node shards,
+        build the stacked per-shard attention + halo send/recv tables
+        (parallel/partition.py), and the edge permutation into the per-shard
+        layout.  Bipartite mapper graphs partition src and dst independently
+        (the halo exchange then rides the src partition).  Reference
+        equivalent: the cached HaloInfo of
         /root/reference/models/src/anemoi/models/layers/block.py:1103-1146."""
         from anemoi_tpu.parallel.halo import shard_tables
         from anemoi_tpu.parallel.partition import partition_graph
 
-        assert self.num_src == self.num_dst, (
-            "the halo strategy shards homogeneous (processor) graphs only"
-        )
         sg = partition_graph(
             self.edge_index.astype(np.int64),
             self.dst_ptr.astype(np.int64),
             self.num_dst,
             n_shards,
             halo=True,
+            num_src_nodes=self.num_src if self.num_src != self.num_dst else None,
         )
-        num_src_ext = sg.n_local + n_shards * sg.h_pair
+        num_src_ext = sg.n_local_src + n_shards * sg.h_pair
         tables = dict(shard_tables(sg, num_src_ext))
         halo_paged_meta = None
         if paged:

@@ -44,6 +44,36 @@ class TrainableEdgeFeatures(nn.Module):
         return jnp.concatenate([edge_attr, trainable.astype(edge_attr.dtype)], axis=-1)
 
 
+def _halo_prepare(x_src, x_dst, edge_data):
+    """Model-parallel "edges" strategy prep for a bipartite mapper: pad the
+    src/dst node arrays to their per-shard partition layouts (S equal
+    contiguous shards each; parallel/partition.py partitions the two node
+    sets independently), pin the GSPMD layout so the shard_map blocks line
+    up with the tables, and permute the (trainable-concatenated) edge
+    features into the per-shard slot layout once.  The attention then runs
+    under shard_map with one halo all_to_all of src rows
+    (ref models/layers/block.py:870-1032 mapper + distributed/khop_edges.py
+    is the torch equivalent of this layout)."""
+    from anemoi_tpu.parallel.halo import permute_rows
+    from anemoi_tpu.parallel.mesh import maybe_shard
+
+    t = edge_data.halo_tables
+    S, n_local_dst = t["src_slots"].shape[:2]
+    n_local_src = t["send_transpose_idx"].shape[1]
+    pad_src = S * n_local_src - x_src.shape[1]
+    pad_dst = S * n_local_dst - x_dst.shape[1]
+    if pad_src:
+        x_src = jnp.pad(x_src, ((0, 0), (0, pad_src), (0, 0)))
+    if pad_dst:
+        x_dst = jnp.pad(x_dst, ((0, 0), (0, pad_dst), (0, 0)))
+    x_src = maybe_shard(x_src, (None, "model", None))
+    x_dst = maybe_shard(x_dst, (None, "model", None))
+    ea = edge_data.edge_attr
+    e_perm = permute_rows(ea, edge_data.edge_perm, edge_data.edge_perm_inv)
+    e_perm = maybe_shard(e_perm.reshape(S, -1, ea.shape[-1]), ("model", None, None))
+    return x_src, x_dst, edge_data.replace(edge_attr=e_perm)
+
+
 class GraphTransformerForwardMapper(nn.Module):
     """data -> hidden encoder mapper (ref mapper.py:480-600)."""
 
@@ -77,6 +107,9 @@ class GraphTransformerForwardMapper(nn.Module):
                 edge_data.edge_attr
             )
         )
+        n_dst_orig = x_dst.shape[1]
+        if edge_data.halo_tables is not None:
+            x_src, x_dst, edge_data = _halo_prepare(x_src, x_dst, edge_data)
         block_cls = GraphTransformerMapperBlock
         if self.gradient_checkpointing:
             from anemoi_tpu.models.layers.remat import remat as _remat
@@ -95,6 +128,8 @@ class GraphTransformerForwardMapper(nn.Module):
             backend=self.backend,
             name="proc",
         )((x_src, x_dst), edge_data, cond=cond)
+        if x_dst.shape[1] != n_dst_orig:  # drop halo partition pad rows
+            x_dst = x_dst[:, :n_dst_orig]
         # src returned un-updated (reference returns x[0]); dst is the latent
         return x[0], x_dst
 
@@ -131,6 +166,9 @@ class GraphTransformerBackwardMapper(nn.Module):
                 edge_data.edge_attr
             )
         )
+        n_dst_orig = x_dst.shape[1]
+        if edge_data.halo_tables is not None:
+            x_src, x_dst, edge_data = _halo_prepare(x_src, x_dst, edge_data)
         block_cls = GraphTransformerMapperBlock
         if self.gradient_checkpointing:
             from anemoi_tpu.models.layers.remat import remat as _remat
@@ -149,6 +187,8 @@ class GraphTransformerBackwardMapper(nn.Module):
             backend=self.backend,
             name="proc",
         )((x_src, x_dst), edge_data, cond=cond)
+        if x_dst.shape[1] != n_dst_orig:  # drop halo partition pad rows
+            x_dst = x_dst[:, :n_dst_orig]
         # node_data_extractor: LayerNorm -> Linear(out) (ref mapper.py:695-706)
         out = LayerNorm(name="extractor_norm")(x_dst)
         kernel_init = (

@@ -35,12 +35,18 @@ class ShardedGraph:
     """Per-shard padded tables, stacked on a leading shard axis.
 
     With `halo`: src ids in ``csr_*`` tables are LOCAL ids into
-    [local nodes | halo buffer] of size n_local + h_max.
+    [local nodes | halo buffer] of size n_local_src + h_max.
     Without: src ids are GLOBAL (use with an all-gathered source array).
+
+    Bipartite graphs (mappers: data->hidden / hidden->data) partition the
+    src and dst node sets independently: dst nodes into ``n_local`` rows per
+    shard, src nodes into ``n_local_src`` (equal to ``n_local`` for the
+    homogeneous processor graph).
     """
 
     n_shards: int
-    n_local: int  # padded nodes per shard
+    n_local: int  # padded dst nodes per shard
+    n_local_src: int  # padded src nodes per shard (== n_local when square)
     n_total_padded: int
     node_mask: np.ndarray  # [S, n_local] valid-node mask
     # stacked PaddedCSR-style tables [S, ...]
@@ -67,10 +73,18 @@ def partition_graph(
     halo: bool = True,
     bucket_multiple: int = 8,
     verify: bool = True,
+    num_src_nodes: int | None = None,
 ) -> ShardedGraph:
-    """Partition a homogeneous dst-sorted graph across ``n_shards``."""
+    """Partition a dst-sorted graph across ``n_shards``.
+
+    ``num_src_nodes``: size of the SOURCE node set when it differs from the
+    destination set (bipartite mapper graphs, ref khop_edges.py handles the
+    same via the src/dst shape args) -- src nodes partition contiguously into
+    their own ``n_local_src`` rows per shard."""
     num_edges = edge_index.shape[1]
     n_local = _round_up(int(np.ceil(num_nodes / n_shards)), bucket_multiple)
+    n_src_nodes = num_nodes if num_src_nodes is None else int(num_src_nodes)
+    n_local_src = _round_up(int(np.ceil(n_src_nodes / n_shards)), bucket_multiple)
     n_total_padded = n_local * n_shards
     node_mask = (
         np.arange(n_total_padded).reshape(n_shards, n_local) < num_nodes
@@ -128,6 +142,7 @@ def partition_graph(
         sg = ShardedGraph(
             n_shards=n_shards,
             n_local=n_local,
+            n_local_src=n_local_src,
             n_total_padded=n_total_padded,
             node_mask=node_mask,
             src_slots=src_slots,
@@ -138,8 +153,8 @@ def partition_graph(
             h_pair=0,
             send_idx=np.zeros((n_shards, n_shards, 0), np.int32),
             send_mask=np.zeros((n_shards, n_shards, 0), bool),
-            send_transpose_idx=np.zeros((n_shards, n_local, 0), np.int32),
-            send_transpose_mask=np.zeros((n_shards, n_local, 0), bool),
+            send_transpose_idx=np.zeros((n_shards, n_local_src, 0), np.int32),
+            send_transpose_mask=np.zeros((n_shards, n_local_src, 0), bool),
             halo=False,
         )
         return sg
@@ -150,7 +165,7 @@ def partition_graph(
     h_pair_max = 1
     for s in range(n_shards):
         srcs = np.unique(halo_src_lists[s])
-        owner = srcs // n_local
+        owner = srcs // n_local_src
         remote = owner != s
         srcs_r, owner_r = srcs[remote], owner[remote]
         # split the sorted-by-owner runs in one pass
@@ -169,22 +184,22 @@ def partition_graph(
     for j in range(n_shards):
         for s in range(n_shards):
             sel = needed[s][j] if s != j else np.array([], dtype=np.int64)
-            send_idx[j, s, : len(sel)] = (sel - j * n_local).astype(np.int32)
+            send_idx[j, s, : len(sel)] = (sel - j * n_local_src).astype(np.int32)
             send_mask[j, s, : len(sel)] = True
 
     # remap each shard's global src ids -> [local | halo buffer] ids.
     # Halo buffer layout on shard s: concat over peers j (incl. self slot,
-    # which stays masked) of the received h_pair rows, i.e. global position
-    # of node g owned by j != s: n_local + j*h_pair + position in needed[s][j].
+    # which stays masked) of the received h_pair rows, i.e. global position of
+    # node g owned by j != s: n_local_src + j*h_pair + position in needed[s][j].
     for s in range(n_shards):
-        remap = np.zeros(n_total_padded, dtype=np.int64)
+        remap = np.zeros(n_local_src * n_shards, dtype=np.int64)
         for j in range(n_shards):
             sel = needed[s][j]
             if len(sel):
-                remap[sel] = n_local + j * h_pair + np.arange(len(sel))
+                remap[sel] = n_local_src + j * h_pair + np.arange(len(sel))
         flat = src_slots[s].reshape(-1).astype(np.int64)
-        local_lo = s * n_local
-        is_local = (flat >= local_lo) & (flat < local_lo + n_local)
+        local_lo = s * n_local_src
+        is_local = (flat >= local_lo) & (flat < local_lo + n_local_src)
         out = np.where(is_local, flat - local_lo, remap[flat])
         src_slots[s] = out.reshape(n_local, k_in).astype(np.int32)
     src_slots = np.where(mask, src_slots, 0)
@@ -192,14 +207,14 @@ def partition_graph(
     # backward transpose: per local node, the flat send-buffer slots using it
     flat_nodes = send_idx.reshape(n_shards, -1)  # [S, S*h_pair]
     flat_valid = send_mask.reshape(n_shards, -1)
-    t_counts = np.zeros((n_shards, n_local), dtype=np.int64)
+    t_counts = np.zeros((n_shards, n_local_src), dtype=np.int64)
     for j in range(n_shards):
         np.add.at(t_counts[j], flat_nodes[j][flat_valid[j]], 1)
     t_max = _round_up(max(1, int(t_counts.max())), 4)
     send_transpose_idx = np.full(
-        (n_shards, n_local, t_max), n_shards * h_pair, dtype=np.int32
+        (n_shards, n_local_src, t_max), n_shards * h_pair, dtype=np.int32
     )
-    send_transpose_mask = np.zeros((n_shards, n_local, t_max), dtype=bool)
+    send_transpose_mask = np.zeros((n_shards, n_local_src, t_max), dtype=bool)
     for j in range(n_shards):
         slots = np.flatnonzero(flat_valid[j])
         nodes = flat_nodes[j][slots]
@@ -216,6 +231,7 @@ def partition_graph(
     sg = ShardedGraph(
         n_shards=n_shards,
         n_local=n_local,
+        n_local_src=n_local_src,
         n_total_padded=n_total_padded,
         node_mask=node_mask,
         src_slots=src_slots,
@@ -244,10 +260,11 @@ def verify_sharded_graph(sg: ShardedGraph, edge_index: np.ndarray) -> None:
     tables alone -- a halo id on shard s resolves through what the OWNER shard
     says it sends (send(j, s) == recv(s, j) symmetry) -- and asserts it
     matches the original dst-sorted edge_index.  Fully vectorised."""
-    S, n_local, h_pair = sg.n_shards, sg.n_local, sg.h_pair
+    S, h_pair = sg.n_shards, sg.h_pair
+    n_local_src = sg.n_local_src
     # recv_global[s, j, pos]: global id shard s receives from j at pos
     recv_global = sg.send_idx.astype(np.int64) + (
-        np.arange(S, dtype=np.int64)[:, None, None] * n_local
+        np.arange(S, dtype=np.int64)[:, None, None] * n_local_src
     )  # indexed [owner j, consumer s, pos]
     num_edges = edge_index.shape[1]
     # walk each shard's masked slots in edge order and compare
@@ -258,9 +275,9 @@ def verify_sharded_graph(sg: ShardedGraph, edge_index: np.ndarray) -> None:
             continue
         dst, within = np.nonzero(m)
         ids = sg.src_slots[s][dst, within].astype(np.int64)
-        is_local = ids < n_local
-        g = np.where(is_local, ids + s * n_local, 0)
-        halo_ids = ids - n_local
+        is_local = ids < n_local_src
+        g = np.where(is_local, ids + s * n_local_src, 0)
+        halo_ids = ids - n_local_src
         j = np.clip(halo_ids // max(h_pair, 1), 0, S - 1)
         pos = halo_ids - j * h_pair
         halo_valid = ~is_local

@@ -292,3 +292,78 @@ def test_partition_scales_to_n320_class_graphs():
     perm = np.asarray(sg.edge_attr_perm)
     ids = perm[mask]
     assert ids.size == e and np.unique(ids).size == e
+
+
+def test_bipartite_partition_and_sharded_attention():
+    """Bipartite (mapper) halo sharding: src and dst node sets partition
+    independently (parallel/partition.py num_src_nodes), the build-time
+    symmetry verifier passes, and per-shard attention with the halo exchange
+    matches the unsharded padded path (the layout behind the edges-strategy
+    GraphTransformer mappers; ref models/layers/block.py:870-1032)."""
+    rng = np.random.default_rng(42)
+    n_src, n_dst, k_nn = 162, 40, 6
+    # dst-sorted kNN-style bipartite edges
+    src = np.concatenate(
+        [rng.choice(n_src, size=k_nn, replace=False) for _ in range(n_dst)]
+    )
+    dst = np.repeat(np.arange(n_dst), k_nn)
+    ei = np.stack([src, dst]).astype(np.int64)
+    dst_ptr = np.zeros(n_dst + 1, dtype=np.int64)
+    np.cumsum(np.bincount(dst, minlength=n_dst), out=dst_ptr[1:])
+
+    # verify=True runs the halo symmetry check internally
+    sg = partition_graph(ei, dst_ptr, n_dst, N_SHARDS, halo=True,
+                         num_src_nodes=n_src)
+    assert sg.n_local_src != sg.n_local  # genuinely bipartite layout
+    num_src_ext = sg.n_local_src + sg.n_shards * sg.h_pair
+    tables = shard_tables(sg, num_src_ext)
+
+    e = ei.shape[1]
+    q = rng.normal(size=(n_dst, H * D)).astype(np.float32)
+    k = rng.normal(size=(n_src, H * D)).astype(np.float32)
+    v = rng.normal(size=(n_src, H * D)).astype(np.float32)
+    ea = rng.normal(size=(e, H * D)).astype(np.float32)
+
+    csr = PaddedCSR.from_edge_index(ei, dst_ptr, num_src=n_src)
+    ref = np.asarray(
+        padded_gt_attention_flat(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(ea),
+            H, PaddedTables.from_csr(csr),
+        )
+    )
+
+    devices = np.asarray(jax.devices()[:N_SHARDS]).reshape(N_SHARDS)
+    mesh = Mesh(devices, axis_names=("model",))
+
+    def pad_to(x, rows):
+        out = np.zeros((rows, x.shape[1]), x.dtype)
+        out[: x.shape[0]] = x
+        return out
+
+    qp = jnp.asarray(pad_to(q, sg.n_shards * sg.n_local)).reshape(
+        sg.n_shards, sg.n_local, -1)
+    kp = jnp.asarray(pad_to(k, sg.n_shards * sg.n_local_src)).reshape(
+        sg.n_shards, sg.n_local_src, -1)
+    vp = jnp.asarray(pad_to(v, sg.n_shards * sg.n_local_src)).reshape(
+        sg.n_shards, sg.n_local_src, -1)
+    eap = jnp.asarray(shard_edge_attr(ea, sg))
+
+    def kernel(q_blk, k_blk, v_blk, ea_blk, tbl):
+        tbl = {key: a[0] for key, a in tbl.items()}
+        out = sharded_gt_attention(
+            q_blk[0], k_blk[0], v_blk[0], ea_blk[0], tbl, num_heads=H,
+            axis_name="model",
+        )
+        return out[None]
+
+    spec = P("model")
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, {key: spec for key in tables}),
+        out_specs=spec,
+        check_vma=False,
+    )
+    out = jax.jit(fn)(qp, kp, vp, eap, tables)
+    out = np.asarray(out).reshape(sg.n_shards * sg.n_local, -1)[:n_dst]
+    np.testing.assert_allclose(out, ref, atol=2e-5)

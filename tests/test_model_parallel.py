@@ -166,6 +166,12 @@ def reference_run():
 def test_gt_shard_strategy_parity(reference_run, strategy):
     _, params, batch, ref_losses = reference_run
     iface = _build_interface(shard_strategy=strategy, n_shards=4)
+    if strategy == "edges":
+        # the mappers must take the bipartite halo path, not the GSPMD
+        # padded fallback (ref block.py:870-1032 mapper shard path)
+        for group in ("encoder", "decoder"):
+            ed = iface.graph_inputs[group]["data"]
+            assert ed.halo_tables is not None, f"{group} mapper not halo-sharded"
     got = _run(iface, params, batch, mesh=_mesh(4))
     np.testing.assert_allclose(got, ref_losses, rtol=5e-5, atol=1e-6)
 
@@ -181,6 +187,12 @@ def test_gt_edges_paged_kernel_parity(reference_run):
         paged_block=(16, 32, 16),
     )
     assert iface.graph_inputs["processor"].halo_paged_meta == (16, 32, 16)
+    # the bipartite mappers run the paged kernel inside their own halo
+    # shard_map too (pg_* tables present on the stacked shard tables)
+    for group in ("encoder", "decoder"):
+        ed = iface.graph_inputs[group]["data"]
+        assert ed.halo_paged_meta is not None, f"{group} mapper not paged"
+        assert "pg_blk_ids" in ed.halo_tables
     paged_gt.set_interpret(True)
     try:
         got = _run(iface, params, batch, mesh=_mesh(4))
