@@ -130,16 +130,70 @@ def healpix_multi_scale_edges(
 
 
 @edge_builder_registry.register("ICONTopologicalProcessorEdges")
-@edge_builder_registry.register("ICONTopologicalEncoderEdges")
-@edge_builder_registry.register("ICONTopologicalDecoderEdges")
-def icon_topological_edges(**_):
-    """ICON topological edges (ref edges/builders/icon.py:24-94): derived
-    from ICON grid-file topology, which needs netCDF4 (not in this image)."""
-    raise ModuleNotFoundError(
-        "ICON edge builders need netCDF4 to read ICON grid files (not "
-        "installed). Build the mesh with TriNodes + MultiScaleEdges, or "
-        "import the ICON topology as explicit edge lists."
+def icon_processor_edges(
+    graph: Graph,
+    source_name: str,
+    target_name: str,
+    grid_filename: str,
+    max_level: Optional[int] = None,
+    bidirectional: bool = True,
+) -> np.ndarray:
+    """Multimesh vertex-vertex edges unioned over refinement levels
+    0..max_level (ref edges/builders/icon.py:24-53).  The node set must be
+    ``ICONMultiMeshNodes`` built from the same grid file/max_level."""
+    from anemoi_tpu.graphs.generate.icon import icon_multimesh
+
+    assert source_name == target_name, "ICON processor edges connect the multimesh to itself."
+    mesh = icon_multimesh(grid_filename, max_level)
+    assert mesh.num_nodes == graph[source_name].num_nodes, (
+        f"'{source_name}' has {graph[source_name].num_nodes} nodes but the ICON "
+        f"multimesh at max_level={max_level} has {mesh.num_nodes}; build the "
+        "nodes with ICONMultiMeshNodes from the same grid_filename/max_level."
     )
+    return mesh.multi_mesh_edges(bidirectional=bidirectional)
+
+
+def _icon_grid2mesh(graph, cell_name, mesh_name, grid_filename, max_level, cell_max_level):
+    from anemoi_tpu.graphs.generate.icon import icon_grid2mesh_edges, icon_multimesh
+
+    pairs = icon_grid2mesh_edges(grid_filename, max_level, cell_max_level)
+    mesh = icon_multimesh(grid_filename, max_level)
+    assert mesh.num_nodes == graph[mesh_name].num_nodes
+    assert int(pairs[:, 0].max()) + 1 == graph[cell_name].num_nodes, (
+        f"'{cell_name}' must be ICONCellGridNodes from the same grid file"
+    )
+    return pairs
+
+
+@edge_builder_registry.register("ICONTopologicalEncoderEdges")
+def icon_encoder_edges(
+    graph: Graph,
+    source_name: str,
+    target_name: str,
+    grid_filename: str,
+    max_level: Optional[int] = None,
+    cell_max_level: Optional[int] = None,
+) -> np.ndarray:
+    """Cell -> multimesh-vertex edges: each ICON cell connects to the 3
+    vertices of its level-``max_level`` ancestor triangle (ref
+    edges/builders/icon.py:77-85; icon_mesh.py:295-304)."""
+    pairs = _icon_grid2mesh(graph, source_name, target_name, grid_filename, max_level, cell_max_level)
+    return pairs.T.astype(np.int64)
+
+
+@edge_builder_registry.register("ICONTopologicalDecoderEdges")
+def icon_decoder_edges(
+    graph: Graph,
+    source_name: str,
+    target_name: str,
+    grid_filename: str,
+    max_level: Optional[int] = None,
+    cell_max_level: Optional[int] = None,
+) -> np.ndarray:
+    """Multimesh-vertex -> cell edges (the encoder edges reversed; ref
+    edges/builders/icon.py:88-96)."""
+    pairs = _icon_grid2mesh(graph, target_name, source_name, grid_filename, max_level, cell_max_level)
+    return pairs[:, ::-1].T.astype(np.int64)
 
 
 @edge_builder_registry.register("MultiScaleEdges")
@@ -150,21 +204,37 @@ def multi_scale_edges(
     x_hops: int = 1,
     resolution: Optional[int] = None,
     scale_resolutions: Optional[list] = None,
+    mesh_type: Optional[str] = None,
+    depth_children: int = 0,
 ) -> np.ndarray:
     """Icosahedral multi-scale mesh edges (ref: multi_scale.py:23).
 
-    Requires the node set to be `TriNodes` of the given resolution; coarse-level
-    adjacency is unioned across ``scale_resolutions``.
+    Works over ``TriNodes`` (vertex mesh, 10*4^r+2 nodes) and ``HexNodes``
+    (dual mesh, 20*4^r nodes; ref dispatches on the node builder class,
+    multi_scale.py:40-54); the mesh type is inferred from the node count
+    unless ``mesh_type`` ('tri'|'hex') is given.  Coarse-level adjacency is
+    unioned across ``scale_resolutions``; ``depth_children`` (hex only) adds
+    parent-child cross-level edges like the reference's h3 builder.
     """
     assert source_name == target_name, "MultiScaleEdges connect a node set to itself."
     num_nodes = graph[source_name].num_nodes
-    if resolution is None:
-        # infer from node count: n = 10*4^r + 2
-        r = int(round(np.log((num_nodes - 2) / 10.0) / np.log(4.0)))
-        assert 10 * 4**r + 2 == num_nodes, (
-            f"Cannot infer icosphere resolution from {num_nodes} nodes; pass resolution="
-        )
-        resolution = r
+    if mesh_type is None or resolution is None:
+        r_tri = int(round(np.log(max(num_nodes - 2, 1) / 10.0) / np.log(4.0)))
+        r_hex = int(round(np.log(max(num_nodes, 1) / 20.0) / np.log(4.0)))
+        if mesh_type == "tri" or (mesh_type is None and 10 * 4**r_tri + 2 == num_nodes):
+            mesh_type, resolution = "tri", (resolution if resolution is not None else r_tri)
+        elif mesh_type == "hex" or (mesh_type is None and 20 * 4**r_hex == num_nodes):
+            mesh_type, resolution = "hex", (resolution if resolution is not None else r_hex)
+        else:
+            raise ValueError(
+                f"Cannot infer tri/hex mesh resolution from {num_nodes} nodes; "
+                "pass mesh_type= and resolution="
+            )
+    if mesh_type == "hex":
+        from anemoi_tpu.graphs.generate.hexagons import hex_multi_scale_edge_index
+
+        return hex_multi_scale_edge_index(resolution, scale_resolutions, x_hops, depth_children)
+    assert depth_children == 0, "depth_children applies to hex meshes only"
     return multi_scale_edge_index(resolution, scale_resolutions, x_hops)
 
 

@@ -86,6 +86,30 @@ def text_nodes(dataset: str, idx_lon: int = 0, idx_lat: int = 1) -> np.ndarray:
     return latlon_nodes(data[idx_lat, :], data[idx_lon, :])
 
 
+@node_builder_registry.register("XArrayNodes")
+def xarray_nodes(
+    dataset: str, lat_key: str = "latitude", lon_key: str = "longitude"
+) -> np.ndarray:
+    """Nodes from coordinate variables of a NetCDF file (ref from_file.py:202
+    XArrayNodes).  xarray is not in this image, so classic NetCDF-3 files are
+    read via scipy; 1-D coordinate vectors of different lengths are treated
+    as a regular grid (meshgrid), matching xarray's broadcast semantics.
+    Degrees are assumed unless the variable's ``units`` attribute says
+    radian."""
+    from scipy.io import netcdf_file
+
+    with netcdf_file(dataset, "r", mmap=False) as nc:
+        vlat, vlon = nc.variables[lat_key], nc.variables[lon_key]
+        lat = np.array(vlat[:], dtype=np.float64)
+        lon = np.array(vlon[:], dtype=np.float64)
+        units = getattr(vlat, "units", b"")
+        radians = b"radian" in units if isinstance(units, bytes) else "radian" in units
+    if lat.ndim == 1 and lon.ndim == 1 and len(lat) != len(lon):
+        lon, lat = np.meshgrid(lon, lat)
+    coords = np.stack([lat.ravel(), lon.ravel()], axis=-1)
+    return coords if radians else np.deg2rad(coords)
+
+
 @node_builder_registry.register("AnemoiDatasetNodes")
 def dataset_nodes(dataset: str) -> np.ndarray:
     """Nodes from an anemoi_tpu dataset directory (ref: from_file.py:26)."""
@@ -326,24 +350,36 @@ def limited_area_tri_nodes(
 
 @node_builder_registry.register("HexNodes")
 def hex_nodes(resolution: int) -> np.ndarray:
-    """Hexagonal (H3) icosahedral nodes (ref from_refined_icosahedron.py:111).
-    Requires the h3 library, which is not available in this image."""
-    raise ModuleNotFoundError(
-        "HexNodes requires the 'h3' library (not installed). Use TriNodes or "
-        "HEALPixNodes for an equivalent multi-resolution mesh."
-    )
+    """Hexagonal icosahedral nodes (ref from_refined_icosahedron.py:111).
+
+    The reference builds these with the h3 library (not in this image); here
+    the hex mesh is the dual (Goldberg) of the tri icosphere — see
+    `graphs/generate/hexagons.py`.  Pair with ``MultiScaleEdges`` (hex
+    adjacency is auto-detected from the 20*4^r node count)."""
+    from anemoi_tpu.graphs.generate.hexagons import create_hex_nodes
+
+    return create_hex_nodes(resolution)
 
 
 @node_builder_registry.register("ICONMultiMeshNodes")
+def icon_multimesh_nodes(grid_filename: str, max_level: Optional[int] = None) -> np.ndarray:
+    """ICON multimesh (processor) nodes: grid-file vertices with refinement
+    level <= max_level (ref from_icon.py:33 ICONMultiMeshNodes;
+    icon_mesh.py:62-105).  Reads classic NetCDF-3 via scipy."""
+    from anemoi_tpu.graphs.generate.icon import icon_multimesh
+
+    return icon_multimesh(grid_filename, max_level).coords
+
+
 @node_builder_registry.register("ICONCellGridNodes")
-def icon_nodes(**_) -> np.ndarray:
-    """ICON multimesh / cell-grid nodes (ref from_icon.py:33,39). ICON
-    topology lives in netCDF grid files; netCDF4 is not in this image."""
-    raise ModuleNotFoundError(
-        "ICON node builders need netCDF4 to read ICON grid files (not "
-        "installed). Use TriNodes/HEALPixNodes meshes, or convert the ICON "
-        "grid to .npz lat/lon arrays and use NPZFileNodes."
-    )
+def icon_cell_grid_nodes(grid_filename: str, max_level: Optional[int] = None) -> np.ndarray:
+    """ICON data (cell-circumcenter) nodes with cell refinement level <=
+    max_level (ref from_icon.py:39 ICONCellGridNodes; icon_mesh.py:262-293)."""
+    from anemoi_tpu.graphs.generate.icon import icon_cell_selection, load_icon_grid
+
+    grid = load_icon_grid(grid_filename)
+    sel = icon_cell_selection(grid, max_level)
+    return np.stack([grid.clat[sel], grid.clon[sel]], axis=-1)
 
 
 def apply_boolean_op(graph: Graph, nodes_name: str, op: str, attributes: list) -> np.ndarray:

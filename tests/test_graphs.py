@@ -341,3 +341,218 @@ def test_inspect_tools_statistics_and_export(tmp_path):
     assert mat.shape == (g["hidden"].num_nodes, g["data"].num_nodes) or mat.shape == (
         g["data"].num_nodes, g["hidden"].num_nodes)
     assert mat.nnz == g[("data", "hidden")].num_edges
+
+
+# ----------------------------------------------------------------------
+# Hexagonal (dual icosphere) meshes — HexNodes + MultiScaleEdges
+# ----------------------------------------------------------------------
+def test_hex_nodes_and_adjacency():
+    from anemoi_tpu.graphs.generate.hexagons import (
+        create_hex_nodes,
+        face_adjacency_edges,
+        num_hex_nodes,
+    )
+
+    coords = create_hex_nodes(2)
+    assert coords.shape == (num_hex_nodes(2), 2) == (320, 2)
+    assert np.abs(coords[:, 0]).max() <= np.pi / 2 + 1e-12
+
+    _, faces_per_level, _ = tri_icosphere(2)
+    adj = face_adjacency_edges(faces_per_level[-1])
+    # closed manifold: every face has exactly 3 face-neighbours
+    deg = np.bincount(adj.ravel(), minlength=320)
+    assert (deg == 3).all()
+
+
+def test_hex_multiscale_edges():
+    from anemoi_tpu.graphs.generate.hexagons import (
+        hex_multi_scale_edge_index,
+        num_hex_nodes,
+    )
+
+    n = num_hex_nodes(2)
+    ei = hex_multi_scale_edge_index(2)
+    assert ei.min() >= 0 and ei.max() < n
+    pairs = set(map(tuple, ei.T.tolist()))
+    assert all((d, s) in pairs for s, d in pairs), "hex multiscale edges must be symmetric"
+    assert not any(s == d for s, d in pairs)
+    # multi-scale adds coarse edges beyond the finest level's 3-regular graph
+    fine_only = hex_multi_scale_edge_index(2, scale_resolutions=[2])
+    assert fine_only.shape[1] == 3 * n  # 3-regular, both directions
+    assert ei.shape[1] > fine_only.shape[1]
+    # x_hops widens neighbourhoods; depth_children adds cross-level edges.
+    # depth 1 coincides with the finer level's adjacency (the centre child is
+    # face-adjacent to its 3 siblings) so only depth >= 2 adds edges.
+    assert hex_multi_scale_edge_index(2, scale_resolutions=[2], x_hops=2).shape[1] > 3 * n
+    with_children = hex_multi_scale_edge_index(2, depth_children=2)
+    assert with_children.shape[1] > ei.shape[1]
+
+
+def test_hex_nodes_via_recipe():
+    from anemoi_tpu.graphs.create import GraphCreator
+
+    g = GraphCreator(
+        {
+            "nodes": {"hidden": {"node_builder": {"name": "HexNodes", "resolution": 1}}},
+            "edges": [
+                {
+                    "source_name": "hidden",
+                    "target_name": "hidden",
+                    "edge_builder": {"name": "MultiScaleEdges"},  # hex inferred from 80 nodes
+                    "attributes": {"edge_length": {"name": "EdgeLength"}},
+                }
+            ],
+        }
+    ).create()
+    es = g[("hidden", "hidden")]
+    assert g["hidden"].num_nodes == 80
+    assert es.is_dst_sorted and es.num_edges > 0
+    assert es.attributes["edge_length"].shape == (es.num_edges, 1)
+
+
+# ----------------------------------------------------------------------
+# ICON grids (scipy NetCDF-3) — nodes, multimesh hierarchy, topological edges
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def icon_grid_file(tmp_path_factory):
+    from anemoi_tpu.graphs.generate.icon import write_synthetic_icon_grid
+
+    path = str(tmp_path_factory.mktemp("icon") / "icon_grid.nc")
+    write_synthetic_icon_grid(path, resolution=3)
+    return path
+
+
+def test_icon_multimesh_hierarchy(icon_grid_file):
+    from anemoi_tpu.graphs.generate.icon import icon_multimesh, load_icon_grid
+
+    grid = load_icon_grid(icon_grid_file)
+    assert grid.num_vertices == 642 and grid.max_refinement_level == 3
+
+    # full-depth multimesh: finest level edge set = icosphere adjacency
+    mesh = icon_multimesh(icon_grid_file, None)
+    assert mesh.num_nodes == 642
+    assert len(mesh.edge_levels) == 4
+    # contraction must recover each level's icosphere adjacency exactly
+    _, faces_per_level, nverts = tri_icosphere(3)
+    for level in range(4):
+        expect = np.unique(
+            np.sort(
+                np.concatenate(
+                    [
+                        faces_per_level[level][:, [0, 1]],
+                        faces_per_level[level][:, [1, 2]],
+                        faces_per_level[level][:, [2, 0]],
+                    ]
+                ),
+                axis=1,
+            ),
+            axis=0,
+        )
+        got = np.unique(np.sort(mesh.edge_levels[level], axis=1), axis=0)
+        np.testing.assert_array_equal(got, expect)
+        assert mesh.edge_levels[level].max() < nverts[level]
+
+    # restricted multimesh: vertices are the level-1 prefix, cells contract
+    # to their level-1 ancestor triangles
+    mesh1 = icon_multimesh(icon_grid_file, 1)
+    assert mesh1.num_nodes == 42 and len(mesh1.edge_levels) == 2
+    assert mesh1.cell_vertices.shape == (20 * 4**3, 3)
+    assert mesh1.cell_vertices.max() < 42
+    # each level-1 triangle has 4^2 descendant cells -> every ancestor
+    # triple appears exactly 16 times
+    _, counts = np.unique(np.sort(mesh1.cell_vertices, axis=1), axis=0, return_counts=True)
+    assert (counts == 16).all() and len(counts) == 20 * 4
+
+
+def test_icon_builders_via_recipe(icon_grid_file):
+    from anemoi_tpu.graphs.create import GraphCreator
+
+    g = GraphCreator(
+        {
+            "nodes": {
+                "data": {
+                    "node_builder": {
+                        "name": "ICONCellGridNodes",
+                        "grid_filename": icon_grid_file,
+                    }
+                },
+                "hidden": {
+                    "node_builder": {
+                        "name": "ICONMultiMeshNodes",
+                        "grid_filename": icon_grid_file,
+                        "max_level": 2,
+                    }
+                },
+            },
+            "edges": [
+                {
+                    "source_name": "data",
+                    "target_name": "hidden",
+                    "edge_builder": {
+                        "name": "ICONTopologicalEncoderEdges",
+                        "grid_filename": icon_grid_file,
+                        "max_level": 2,
+                    },
+                },
+                {
+                    "source_name": "hidden",
+                    "target_name": "hidden",
+                    "edge_builder": {
+                        "name": "ICONTopologicalProcessorEdges",
+                        "grid_filename": icon_grid_file,
+                        "max_level": 2,
+                    },
+                },
+                {
+                    "source_name": "hidden",
+                    "target_name": "data",
+                    "edge_builder": {
+                        "name": "ICONTopologicalDecoderEdges",
+                        "grid_filename": icon_grid_file,
+                        "max_level": 2,
+                    },
+                },
+            ],
+        }
+    ).create()
+
+    num_cells, num_mesh = 20 * 4**3, 162
+    assert g["data"].num_nodes == num_cells
+    assert g["hidden"].num_nodes == num_mesh
+
+    enc = g[("data", "hidden")]
+    assert enc.is_dst_sorted and enc.num_edges == 3 * num_cells
+    # every cell connects to exactly 3 distinct mesh vertices
+    assert (np.bincount(enc.edge_index[0], minlength=num_cells) == 3).all()
+
+    dec = g[("hidden", "data")]
+    assert dec.num_edges == 3 * num_cells
+    assert (np.bincount(dec.edge_index[1], minlength=num_cells) == 3).all()
+    # decoder is the encoder reversed
+    assert set(map(tuple, dec.edge_index.T.tolist())) == set(
+        map(tuple, enc.edge_index[::-1].T.tolist())
+    )
+
+    proc = g[("hidden", "hidden")]
+    pairs = set(map(tuple, proc.edge_index.T.tolist()))
+    assert all((d, s) in pairs for s, d in pairs), "processor edges bidirectional"
+    assert proc.edge_index.max() < num_mesh
+
+
+def test_xarray_nodes(tmp_path):
+    from scipy.io import netcdf_file
+
+    from anemoi_tpu.graphs.nodes import build_nodes
+
+    path = str(tmp_path / "coords.nc")
+    with netcdf_file(path, "w") as nc:
+        nc.createDimension("lat", 3)
+        nc.createDimension("lon", 4)
+        v = nc.createVariable("latitude", "d", ("lat",))
+        v[:] = [60.0, 0.0, -60.0]
+        v = nc.createVariable("longitude", "d", ("lon",))
+        v[:] = [0.0, 90.0, 180.0, 270.0]
+    coords = build_nodes({"name": "XArrayNodes", "dataset": path})
+    assert coords.shape == (12, 2)
+    np.testing.assert_allclose(coords[0], np.deg2rad([60.0, 0.0]))
+    np.testing.assert_allclose(coords[-1], np.deg2rad([-60.0, 270.0]))
