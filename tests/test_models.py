@@ -365,3 +365,64 @@ def test_spectral_ornstein_residual(rng):
     params2 = res2.init(jax.random.PRNGKey(0), x)
     out2 = np.asarray(res2.apply(params2, x, n_step_output=1))
     assert np.abs(out2).max() < 1e-3
+
+
+@pytest.mark.parametrize("mesh", ["icon", "hex"])
+def test_forward_on_icon_and_hex_graphs(tmp_path, mesh, rng):
+    """The ICON / hex graph builders compose with the full model path: build
+    the graph from the new builders, run a GraphTransformer EncProcDec
+    forward (ref parity: ICON and H3 meshes are drop-in processor meshes)."""
+    from anemoi_tpu.graphs.create import GraphCreator
+
+    edge_attrs = {
+        "edge_length": {"name": "EdgeLength"},
+        "edge_dirs": {"name": "EdgeDirection"},
+    }
+    if mesh == "icon":
+        from anemoi_tpu.graphs.generate.icon import write_synthetic_icon_grid
+
+        grid_file = str(tmp_path / "icon.nc")
+        write_synthetic_icon_grid(grid_file, resolution=3)
+        icon = {"grid_filename": grid_file, "max_level": 2}
+        recipe = {
+            "nodes": {
+                "data": {"node_builder": {"name": "ICONCellGridNodes", **icon}},
+                "hidden": {"node_builder": {"name": "ICONMultiMeshNodes", **icon}},
+            },
+            "edges": [
+                {"source_name": "data", "target_name": "hidden", "attributes": edge_attrs,
+                 "edge_builder": {"name": "ICONTopologicalEncoderEdges", **icon}},
+                {"source_name": "hidden", "target_name": "hidden", "attributes": edge_attrs,
+                 "edge_builder": {"name": "ICONTopologicalProcessorEdges", **icon}},
+                {"source_name": "hidden", "target_name": "data", "attributes": edge_attrs,
+                 "edge_builder": {"name": "ICONTopologicalDecoderEdges", **icon}},
+            ],
+        }
+    else:
+        recipe = {
+            "nodes": {
+                "data": {"node_builder": {"name": "ReducedGaussianGridNodes", "grid": "o16"}},
+                "hidden": {"node_builder": {"name": "HexNodes", "resolution": 2}},
+            },
+            "edges": [
+                {"source_name": "data", "target_name": "hidden", "attributes": edge_attrs,
+                 "edge_builder": {"name": "CutOffEdges", "cutoff_factor": 0.7}},
+                {"source_name": "hidden", "target_name": "hidden", "attributes": edge_attrs,
+                 "edge_builder": {"name": "MultiScaleEdges", "x_hops": 2}},
+                {"source_name": "hidden", "target_name": "data", "attributes": edge_attrs,
+                 "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3}},
+            ],
+        }
+    graph = GraphCreator(recipe).create()
+    iface = build_interface(
+        graph,
+        processor="GraphTransformerProcessor",
+        encoder="GraphTransformerForwardMapper",
+        decoder="GraphTransformerBackwardMapper",
+    )
+    params = iface.init_params(jax.random.PRNGKey(0))
+    n_grid = graph["data"].num_nodes
+    x = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, 5)), dtype=jnp.float32)}
+    out = iface.apply(params, x)
+    assert out["data"].shape == (1, 1, 1, n_grid, 4)
+    assert np.isfinite(np.asarray(out["data"])).all()
