@@ -107,18 +107,22 @@ def _midpoint_parents(edges: np.ndarray, reflvl: np.ndarray, level: int) -> np.n
     order = np.argsort(mids, kind="stable")
     mids, ends = mids[order], ends[order]
     uniq, start, counts = np.unique(mids, return_index=True, return_counts=True)
-    assert (counts == 2).all(), (
-        f"ICON hierarchy: level-{level} vertices must each have exactly 2 "
-        f"coarser neighbours (edge bisection); got counts {np.unique(counts)}"
-    )
-    parents[uniq, 0] = ends[start]
-    parents[uniq, 1] = ends[start + 1]
+    # Interior bisection midpoints have exactly 2 coarser neighbours; nest
+    # boundary vertices may not — leave those on the identity map (edges
+    # through them then contract to !=2 distinct endpoints and are dropped,
+    # matching the reference's exactly-2 selection, icon_mesh.py:213-219).
+    ok = counts == 2
+    parents[uniq[ok], 0] = ends[start[ok]]
+    parents[uniq[ok], 1] = ends[start[ok] + 1]
     return parents
 
 
-def _contract_edges(edges: np.ndarray, parents: np.ndarray) -> np.ndarray:
+def _contract_edges(edges: np.ndarray, parents: np.ndarray,
+                    reflvl: np.ndarray, level: int) -> np.ndarray:
     """Level l edge set -> level l-1: contract midpoints, keep edges whose
-    contracted endpoint set has exactly 2 distinct vertices, dedupe."""
+    contracted endpoint set has exactly 2 distinct vertices — both strictly
+    coarser than ``level`` (unmapped nest-boundary vertices must not leak
+    into coarse levels) — and dedupe."""
     cand = np.stack(
         [parents[edges[:, 0], 0], parents[edges[:, 0], 1],
          parents[edges[:, 1], 0], parents[edges[:, 1], 1]],
@@ -128,6 +132,7 @@ def _contract_edges(edges: np.ndarray, parents: np.ndarray) -> np.ndarray:
     distinct = 1 + (np.diff(cand, axis=1) != 0).sum(axis=1)
     keep = distinct == 2
     coarse = np.stack([cand[keep, 0], cand[keep, 3]], axis=1)  # min & max
+    coarse = coarse[(reflvl[coarse] < level).all(axis=1)]
     return np.unique(coarse, axis=0)
 
 
@@ -169,7 +174,9 @@ class IconMultiMesh:
         cells = grid.cell_vertices
         for level in range(finest, 0, -1):
             parents = _midpoint_parents(edges_at[level], grid.reflvl_vertex, level)
-            edges_at[level - 1] = _contract_edges(edges_at[level], parents)
+            edges_at[level - 1] = _contract_edges(
+                edges_at[level], parents, grid.reflvl_vertex, level
+            )
             if level > self.max_level:
                 cells = _contract_cells(cells, parents)
 
