@@ -38,12 +38,54 @@ def octahedral_ring_lengths(n: int) -> np.ndarray:
     return np.concatenate([half, half[::-1]])
 
 
-def reduced_ring_lengths(n: int) -> np.ndarray:
-    """FFT-friendly reduced (classic N-grid style) ring lengths.
+def _pl_table_override(n: int) -> np.ndarray | None:
+    """Official pl array override from ANEMOI_TPU_PL_TABLES (npz with keys
+    like 'n320' holding the full 2n-ring pl array or the n-ring NH half)."""
+    import os
 
-    nlon(ring) ~ 4n * cos(lat), rounded up to an FFT-friendly even number,
-    bounded below at 16.
+    path = os.environ.get("ANEMOI_TPU_PL_TABLES")
+    if not path:
+        return None
+    with np.load(path) as tables:
+        key = f"n{n}"
+        if key not in tables:
+            return None
+        pl = np.asarray(tables[key], dtype=np.int64)
+    if pl.size == n:  # NH half-table
+        pl = np.concatenate([pl, pl[::-1]])
+    if pl.size != 2 * n:
+        raise ValueError(f"{path}[{key}] has {pl.size} rings, expected {n} or {2 * n}")
+    return pl
+
+
+def reduced_ring_lengths(n: int) -> np.ndarray:
+    """Classic reduced-Gaussian (N-grid) ring lengths.
+
+    Resolution order:
+    1. official pl tables via the ``ANEMOI_TPU_PL_TABLES`` env var;
+    2. vendored tables derived by tools/derive_ngrid.py (Courtier & Naughton
+       criterion calibrated so point counts match the official ECMWF totals
+       exactly, e.g. N320 = 542,080 = the ERA5 grid);
+    3. for sizes without a vendored table, an approximate FFT-friendly rule
+       nlon(ring) ~ 4n*cos(lat) (point counts will NOT match official grids).
     """
+    override = _pl_table_override(n)
+    if override is not None:
+        return override
+    from anemoi_tpu.graphs.generate._ngrid_tables import CLASSIC_RING_TABLES
+
+    if n in CLASSIC_RING_TABLES:
+        half = np.asarray(CLASSIC_RING_TABLES[n], dtype=np.int64)
+        return np.concatenate([half, half[::-1]])
+    import warnings
+
+    warnings.warn(
+        f"No vendored classic ring table for N{n}; using the approximate "
+        f"4n*cos(lat) rule whose point count differs from the official grid. "
+        f"Run tools/derive_ngrid.py with the official total, or supply "
+        f"ANEMOI_TPU_PL_TABLES.",
+        stacklevel=2,
+    )
     lats = gaussian_latitudes(n)
     half = []
     for lat in lats[:n]:

@@ -68,6 +68,48 @@ def test_octahedral_grid():
     assert abs(coords[:, 1]).max() <= np.pi
 
 
+@pytest.mark.parametrize(
+    ("n", "official_total"),
+    [(32, 6_114), (80, 35_718), (128, 88_838), (160, 138_346), (256, 348_528), (320, 542_080)],
+)
+def test_classic_reduced_gaussian_official_point_counts(n, official_total):
+    """Classic N-grid point counts must match the official ECMWF values
+    (e.g. ERA5 is N320 = 542,080 points, ERA-Interim N128 = 88,838), so real
+    datasets on these grids fit `GaussianGridNodes("nXXX")` exactly.
+    Reference: graphs/src/anemoi/graphs/nodes/builders/from_reduced_gaussian.py:22.
+    """
+    from anemoi_tpu.graphs.generate.gaussian import reduced_ring_lengths
+
+    rings = reduced_ring_lengths(n)
+    assert rings.size == 2 * n
+    assert int(rings.sum()) == official_total
+    # published classic grids are symmetric, monotone toward the equator,
+    # FFT-friendly ({2,3,5}-smooth), and reach 4N at the equator
+    np.testing.assert_array_equal(rings, rings[::-1])
+    half = rings[:n]
+    assert np.all(np.diff(half) >= 0)
+    assert half[-1] == 4 * n
+    for v in half.tolist():
+        while v % 2 == 0:
+            v //= 2
+        while v % 3 == 0:
+            v //= 3
+        while v % 5 == 0:
+            v //= 5
+        assert v == 1
+
+
+def test_reduced_gaussian_pl_override(tmp_path, monkeypatch):
+    """ANEMOI_TPU_PL_TABLES npz takes precedence over vendored tables."""
+    from anemoi_tpu.graphs.generate.gaussian import reduced_ring_lengths
+
+    half = np.full(32, 64, dtype=np.int64)
+    np.savez(tmp_path / "pl.npz", n32=half)
+    monkeypatch.setenv("ANEMOI_TPU_PL_TABLES", str(tmp_path / "pl.npz"))
+    rings = reduced_ring_lengths(32)
+    assert rings.size == 64 and int(rings.sum()) == 64 * 64
+
+
 def test_healpix_grid():
     coords = healpix_grid(4)
     assert len(coords) == 12 * 16
