@@ -215,13 +215,16 @@ def get_loss_function(
     scalers: Optional[Dict[str, Tuple[Tuple[str, ...], jnp.ndarray]]] = None,
     graph=None,
     dataset: str = "data",
+    data_indices=None,
 ) -> BaseLoss:
     """Factory (ref losses/loss.py:142): build a loss from config, attaching
     the requested subset of pre-built scalers.
 
     config: {"name": "WeightedMSELoss", "scalers": ["area_weight", "variable"], ...}
     ``graph``/``dataset`` are only needed by graph-coupled wrappers
-    (MultiscaleLossWrapper resolves its coarsening projections from them).
+    (MultiscaleLossWrapper resolves its coarsening projections from them);
+    ``data_indices`` only by LossVariableMapper.  Wrapper configs nest the
+    wrapped loss under a "loss" key.
     """
     cfg = dict(config)
     name = cfg.pop("name", "WeightedMSELoss")
@@ -229,6 +232,24 @@ def get_loss_function(
         from anemoi_tpu.training.losses.multiscale import build_multiscale_loss
 
         return build_multiscale_loss(config, scalers, graph=graph, dataset=dataset)
+    if name in ("LossVariableMapper", "TimeAggregateLossWrapper"):
+        from anemoi_tpu.training.losses import wrappers  # registers classes
+
+        inner_cfg = dict(cfg.pop("loss", {"name": "WeightedMSELoss"}))
+        # a "scalers" key on the wrapper (e.g. merged in from a preset)
+        # delegates to the wrapped loss, mirroring the reference wrappers'
+        # add_scaler pass-through (variable_mapper.py:138-143)
+        wrapper_scalers = cfg.pop("scalers", None)
+        if wrapper_scalers is not None and "scalers" not in inner_cfg:
+            inner_cfg["scalers"] = wrapper_scalers
+        inner = get_loss_function(
+            inner_cfg,
+            scalers, graph=graph, dataset=dataset, data_indices=data_indices,
+        )
+        if name == "LossVariableMapper":
+            assert data_indices is not None, "LossVariableMapper needs data_indices"
+            return wrappers.LossVariableMapper(inner, data_indices, **cfg)
+        return wrappers.TimeAggregateLossWrapper(inner, **cfg)
     wanted = cfg.pop("scalers", ["*"])
     st = ScaleTensor()
     available = scalers or {}

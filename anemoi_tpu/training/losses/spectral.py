@@ -2,14 +2,21 @@
 
 Equivalents of /root/reference/training/src/anemoi/training/losses/spectral.py
 (SpectralLoss :88 + variants): penalise differences between the spatial
-spectra of prediction and target.  Two families:
+spectra of prediction and target.
 
-- `SphericalSpectralLoss`: spherical-harmonic power spectra on full Gaussian
-  grids (GaussianSHT),
-- `ZonalSpectralLoss`: per-ring zonal FFT power for regular lat/lon layouts
-  (works on any ring-structured grid reshaped to [nlat, nlon]).
+The full reference family (spectral.py:304-750):
+- `PowerSpectrumLoss` (:416): L2 on the per-total-wavenumber power.
+- `SpectralAMSELoss` (:304): adjusted MSE (Subich et al. 2025) — amplitude
+  term + coherence penalty per total wavenumber.
+- `LogSpectralDistance` (:499): RMS of per-mode log power ratios.
+- `LogFFT2Distance` (:611): LSD specialised to FFT2D regular grids.
+- `SpectralCRPSLoss` (:632): kernel CRPS over the ensemble dim computed on
+  (complex) spectral coefficients.
 
-Both plug into the ScaleTensor reduction machinery as BaseLoss leaves.
+plus this repo's earlier leaves (`SphericalSpectralLoss`, `ZonalSpectralLoss`,
+`FourierCorrelationLoss`).  All share `_SpectralAdapter`, which maps a
+transform name to the JAX transforms in `anemoi_tpu.ops.spectral`
+(MXU-friendly einsum SHTs; batched FFTs).
 """
 
 from __future__ import annotations
@@ -17,9 +24,218 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from anemoi_tpu.ops.spectral import GaussianSHT, ring_power_spectrum
 from anemoi_tpu.training.losses.base import BaseLoss, loss_registry
+
+
+class _SpectralAdapter:
+    """Config -> spectral transform returning [..., L, M, V] coefficients.
+
+    transform:
+      - "gaussian_sht": full Gaussian grid F<n> (``gaussian_n``)
+      - "reduced_sht" / "octahedral_sht": the reduced grids models run on
+        (``gaussian_n``; N-style rings resp. octahedral)
+      - "fft2d" / "dct2d": regular 2-D grids (``y_dim``/``x_dim``)
+    """
+
+    def __init__(self, transform: str = "gaussian_sht", gaussian_n: int = 0,
+                 truncation: Optional[int] = None, x_dim: int = 0, y_dim: int = 0):
+        self.kind = transform
+        if transform in ("gaussian_sht", "reduced_sht", "octahedral_sht"):
+            assert gaussian_n > 0, f"{transform} needs gaussian_n"
+            if transform == "gaussian_sht":
+                self.sht = GaussianSHT.create(gaussian_n, truncation)
+            else:
+                from anemoi_tpu.ops.spectral import ReducedSHT
+
+                kind = "octahedral" if transform == "octahedral_sht" else "reduced"
+                self.sht = ReducedSHT.create(gaussian_n, truncation, kind=kind)
+            self.has_psd = True
+        elif transform in ("fft2d", "dct2d"):
+            assert x_dim > 0 and y_dim > 0, f"{transform} needs x_dim/y_dim"
+            self.x_dim, self.y_dim = x_dim, y_dim
+            self.has_psd = False
+        else:
+            raise ValueError(f"Unknown spectral transform '{transform}'")
+
+    def to_spectral(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[..., G, V] -> coefficients [..., A, B, V] (complex except dct2d)."""
+        x = jnp.nan_to_num(x)
+        if self.kind in ("gaussian_sht", "reduced_sht", "octahedral_sht"):
+            f = jnp.moveaxis(x, -1, -2)  # [..., V, G]
+            if self.kind == "gaussian_sht":
+                f = f.reshape(f.shape[:-1] + (self.sht.nlat, self.sht.nlon))
+            c = self.sht.analysis(f)  # [..., V, L, M]
+            return jnp.moveaxis(c, -3, -1)  # [..., L, M, V]
+        grid = x.reshape(x.shape[:-2] + (self.y_dim, self.x_dim, x.shape[-1]))
+        if self.kind == "fft2d":
+            return jnp.fft.fft2(grid, axes=(-3, -2))
+        from anemoi_tpu.ops.spectral import dct2
+
+        f = jnp.moveaxis(grid, -1, -3)  # [..., V, y, x]
+        return jnp.moveaxis(dct2(f), -3, -1)
+
+    def to_spectral_flat(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[..., G, V] -> [..., modes, V] (the two spectral axes flattened)."""
+        c = self.to_spectral(x)
+        return c.reshape(c.shape[:-3] + (-1, c.shape[-1]))
+
+    def psd(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """Per-total-wavenumber power: sum over M of |c|^2 -> [..., L, V].
+
+        Matches the reference SHT.power_spectral_density
+        (spectral_transforms.py:217): rfft half-spectrum, no m>0 doubling.
+        """
+        return jnp.sum(jnp.abs(coeffs) ** 2, axis=-2)
+
+    def cross(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Per-L cross-spectral density Re[sum_M a conj(b)] -> [..., L, V]."""
+        return jnp.sum(
+            jnp.real(a) * jnp.real(b) + jnp.imag(a) * jnp.imag(b), axis=-2
+        )
+
+
+class _SpectralLossBase(BaseLoss):
+    """Shared transform construction + spectral-aware scaler reduction."""
+
+    supports_sharding = False  # transforms need the full grid
+
+    def __init__(self, scalers=None, ignore_nans: bool = True,
+                 transform: str = "gaussian_sht", gaussian_n: int = 0,
+                 truncation: Optional[int] = None, x_dim: int = 0, y_dim: int = 0):
+        super().__init__(scalers, ignore_nans)
+        self.adapter = _SpectralAdapter(transform, gaussian_n, truncation, x_dim, y_dim)
+
+    def _reduce(self, err: jnp.ndarray, squash: bool) -> jnp.ndarray:
+        """Scaler-weighted mean of err [B, T, E, modes, V].
+
+        Grid-dim scalers must be spectral-dimension scalers (sized to the
+        mode axis) — spatial area weights make no sense here; mirrored from
+        the reference's `_assert_spectral_scalers_compatible` (spectral.py:60).
+        """
+        n_modes = err.shape[3]
+        for name, (dims, arr) in self.scalers.scalers.items():
+            if "grid" in dims:
+                size = arr.shape[dims.index("grid")]
+                assert size in (1, n_modes), (
+                    f"Scaler '{name}' is bound to the grid dim with size {size}, "
+                    f"but this spectral loss reduces over {n_modes} spectral "
+                    f"modes; grid-dim scalers must be spectral-dimension scalers."
+                )
+        weighted = self.scalers.scale(err)
+        weight = self.scalers.combined_weight(err.shape)
+        if squash:
+            return jnp.sum(weighted) / jnp.maximum(jnp.sum(weight), 1e-12)
+        axes = tuple(range(err.ndim - 1))
+        return jnp.sum(weighted, axis=axes) / jnp.maximum(
+            jnp.sum(weight, axis=axes), 1e-12
+        )
+
+
+@loss_registry.register("PowerSpectrumLoss")
+class PowerSpectrumLoss(_SpectralLossBase):
+    """L2 on power-per-total-wavenumber (ref spectral.py:416 PowerSpectrumLoss):
+    err_L = (sum_M |pred_LM|^2 - sum_M |target_LM|^2)^2."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert self.adapter.has_psd, (
+            "PowerSpectrumLoss needs a transform with a per-L PSD (an SHT); "
+            "fft2d/dct2d are not supported (same restriction as the reference)."
+        )
+
+    def __call__(self, pred, target, squash: bool = True, **kwargs):
+        p = self.adapter.psd(self.adapter.to_spectral(pred))
+        t = self.adapter.psd(self.adapter.to_spectral(target))
+        return self._reduce((p - t) ** 2, squash)
+
+
+@loss_registry.register("SpectralAMSELoss")
+class SpectralAMSELoss(_SpectralLossBase):
+    """Adjusted MSE in spectral space (Subich et al., arXiv:2501.19374; ref
+    spectral.py:304): per total wavenumber L,
+
+        amse_L = (sqrt(S^p_L) - sqrt(S^t_L))^2
+                 + 2 max(S^p_L, S^t_L) (1 - gamma_L)
+
+    with S_L the per-L PSD and gamma_L the per-L coherence."""
+
+    def __init__(self, *args, eps: float = 1e-8, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert self.adapter.has_psd, (
+            "SpectralAMSELoss needs an SHT transform with per-L PSD/cross "
+            "spectral densities (fft2d/dct2d unsupported, as in the reference)."
+        )
+        self.eps = eps
+
+    def __call__(self, pred, target, squash: bool = True, **kwargs):
+        cp = self.adapter.to_spectral(pred)
+        ct = self.adapter.to_spectral(target)
+        sp = self.adapter.psd(cp)
+        st = self.adapter.psd(ct)
+        cross = self.adapter.cross(cp, ct)
+        amp_p = jnp.sqrt(sp + self.eps)
+        amp_t = jnp.sqrt(st + self.eps)
+        coherence = cross / (amp_p * amp_t + self.eps)
+        amse = (amp_p - amp_t) ** 2 + 2.0 * jnp.maximum(sp, st) * (1.0 - coherence)
+        return self._reduce(amse, squash)
+
+
+@loss_registry.register("LogSpectralDistance")
+class LogSpectralDistance(_SpectralLossBase):
+    """Log spectral distance (ref spectral.py:499): sqrt of the weighted mean
+    of (log|target|^2 - log|pred|^2)^2 over all spectral modes."""
+
+    def __call__(self, pred, target, squash: bool = True, **kwargs):
+        eps = float(np.finfo(jnp.result_type(pred)).eps)
+        cp = self.adapter.to_spectral_flat(pred)
+        ct = self.adapter.to_spectral_flat(target)
+        log_diff = jnp.log(jnp.abs(ct) ** 2 + eps) - jnp.log(jnp.abs(cp) ** 2 + eps)
+        return jnp.sqrt(self._reduce(log_diff**2, squash) + eps)
+
+
+@loss_registry.register("LogFFT2Distance")
+class LogFFT2Distance(LogSpectralDistance):
+    """Backwards-compatible LSD on FFT2D regular grids (ref spectral.py:611)."""
+
+    def __init__(self, x_dim: int, y_dim: int, scalers=None, ignore_nans: bool = True,
+                 **kwargs):
+        super().__init__(scalers=scalers, ignore_nans=ignore_nans,
+                         transform="fft2d", x_dim=x_dim, y_dim=y_dim)
+
+
+@loss_registry.register("SpectralCRPSLoss")
+class SpectralCRPSLoss(_SpectralLossBase):
+    """Kernel CRPS on spectral coefficients (ref spectral.py:632): each
+    spectral mode is scored with the (almost-fair) kernel CRPS over the
+    ensemble dim, |.| being the complex modulus.
+
+    alpha interpolates fair (1.0) and standard (0.0) CRPS exactly as the
+    reference kcrps.py:85-139: crps = E|X - y| - coef * sum_{i<j} |X_i - X_j|
+    with coef = alpha/(m(m-1)) + (1-alpha)/m^2."""
+
+    def __init__(self, *args, alpha: float = 1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert 0.0 <= alpha <= 1.0, "alpha must be in [0, 1]"
+        self.alpha = alpha
+
+    def __call__(self, pred, target, squash: bool = True, **kwargs):
+        # pred [B,T,M,G,V]; target [B,T,1,G,V]
+        assert target.shape[2] == 1, "SpectralCRPSLoss expects a single-truth target"
+        m = pred.shape[2]
+        cp = self.adapter.to_spectral_flat(pred)  # [B,T,M,S,V]
+        ct = self.adapter.to_spectral_flat(target)  # [B,T,1,S,V]
+        skill = jnp.mean(jnp.abs(cp - ct), axis=2, keepdims=True)
+        if m > 1:
+            diff = jnp.abs(cp[:, :, :, None] - cp[:, :, None, :])  # [B,T,M,M,S,V]
+            pair_sum = 0.5 * jnp.sum(diff, axis=(2, 3))  # sum over i<j
+            coef = self.alpha / (m * (m - 1)) + (1.0 - self.alpha) / (m * m)
+            crps = skill - coef * pair_sum[:, :, None]
+        else:
+            crps = skill
+        return self._reduce(crps, squash)
 
 
 @loss_registry.register("ZonalSpectralLoss")

@@ -185,7 +185,8 @@ class AnemoiTrainer:
             if name in self.output_masks and "scalers" in loss_cfg:
                 loss_cfg["scalers"] = list(loss_cfg["scalers"]) + ["output_mask"]
             self.losses[name] = get_loss_function(
-                loss_cfg, scalers, graph=self.graph, dataset=name
+                loss_cfg, scalers, graph=self.graph, dataset=name,
+                data_indices=self.data_indices[name],
             )
 
         # --- optimizer / state ---------------------------------------

@@ -255,3 +255,131 @@ def test_scale_tensor_by_dim_selection():
     assert set(st.subset_by_dim(3).scalers) == {"area", "gv"}  # axis index
     assert set(st.without_by_dim("grid").scalers) == {"var"}
     assert set(st.without_by_dim(["grid", "variable"]).scalers) == set()
+
+
+# ---------------------------------------------------------------------------
+# loss wrappers (ref variable_mapper.py:29, aggregate.py:29)
+# ---------------------------------------------------------------------------
+
+
+def _wrapper_indices():
+    # data order: q, t, z(forcing-only), tp(diagnostic)
+    return IndexCollection(
+        {"q": 0, "t": 1, "z": 2, "tp": 3}, forcing=["z"], diagnostic=["tp"]
+    )
+
+
+def test_loss_variable_mapper_filters_variables(rng):
+    """LossVariableMapper == loss computed on the selected columns only
+    (ref variable_mapper.py:298-385)."""
+    idx = _wrapper_indices()
+    # model output = [q, t, tp] (3 vars), data output = [q, t, tp]
+    pred = jnp.asarray(rng.normal(size=(2, 1, 1, 6, 3)), dtype=jnp.float32)
+    target = jnp.asarray(rng.normal(size=(2, 1, 1, 6, 3)), dtype=jnp.float32)
+    wrapped = get_loss_function(
+        {"name": "LossVariableMapper", "predicted_variables": ["q", "tp"],
+         "loss": {"name": "WeightedMSELoss", "scalers": []}},
+        {}, data_indices=idx,
+    )
+    sel = [idx.model.output.name_to_position[n] for n in ("q", "tp")]
+    expected = np.mean(
+        (np.asarray(pred)[..., sel] - np.asarray(target)[..., sel]) ** 2
+    )
+    np.testing.assert_allclose(float(wrapped(pred, target)), expected, rtol=1e-5)
+
+    # squash=False scatters per-variable losses back to full width
+    per_var = np.asarray(wrapped(pred, target, squash=False))
+    assert per_var.shape == (3,)
+    assert per_var[idx.model.output.name_to_position["t"]] == 0.0
+    assert (per_var[sel] > 0).all()
+
+
+def test_loss_variable_mapper_cross_variable_target(rng):
+    """predicted vs target variables may name different columns (pairwise)."""
+    idx = _wrapper_indices()
+    pred = jnp.asarray(rng.normal(size=(1, 1, 1, 4, 3)), dtype=jnp.float32)
+    target = jnp.asarray(rng.normal(size=(1, 1, 1, 4, 3)), dtype=jnp.float32)
+    wrapped = get_loss_function(
+        {"name": "LossVariableMapper", "predicted_variables": ["q"],
+         "target_variables": ["t"],
+         "loss": {"name": "WeightedMSELoss", "scalers": []}},
+        {}, data_indices=idx,
+    )
+    pq = idx.model.output.name_to_position["q"]
+    tt = idx.data.output.name_to_position["t"]
+    expected = np.mean((np.asarray(pred)[..., pq] - np.asarray(target)[..., tt]) ** 2)
+    np.testing.assert_allclose(float(wrapped(pred, target)), expected, rtol=1e-5)
+
+
+def test_loss_variable_mapper_filters_variable_scalers(rng):
+    """Variable-axis scalers sized to a full index space are subset to the
+    selected variables (ref variable_mapper.py:112-135)."""
+    idx = _wrapper_indices()
+    var_w = jnp.asarray([2.0, 3.0, 5.0])  # model-output sized
+    wrapped = get_loss_function(
+        {"name": "LossVariableMapper", "predicted_variables": ["q", "tp"],
+         "loss": {"name": "WeightedMSELoss", "scalers": ["vw"]}},
+        {"vw": (("variable",), var_w)}, data_indices=idx,
+    )
+    inner_scaler = wrapped.loss.scalers.scalers["vw"][1]
+    sel = [idx.model.output.name_to_position[n] for n in ("q", "tp")]
+    np.testing.assert_allclose(np.asarray(inner_scaler), np.asarray(var_w)[sel])
+
+
+def test_loss_variable_mapper_unknown_variable():
+    idx = _wrapper_indices()
+    with pytest.raises(ValueError, match="Cannot resolve"):
+        get_loss_function(
+            {"name": "LossVariableMapper", "predicted_variables": ["nope"],
+             "loss": {"name": "WeightedMSELoss", "scalers": []}},
+            {}, data_indices=idx,
+        )
+
+
+def test_time_aggregate_mean_minmax(rng):
+    """mean/min/max aggregation collapses time before the inner loss
+    (ref aggregate.py:135-148); result averages over aggregation types."""
+    pred = jnp.asarray(rng.normal(size=(1, 4, 1, 5, 2)), dtype=jnp.float32)
+    target = jnp.asarray(rng.normal(size=(1, 4, 1, 5, 2)), dtype=jnp.float32)
+    wrapped = get_loss_function(
+        {"name": "TimeAggregateLossWrapper",
+         "time_aggregation_types": ["mean", "min", "max"],
+         "loss": {"name": "WeightedMSELoss", "scalers": []}}, {},
+    )
+    p, t = np.asarray(pred), np.asarray(target)
+    expected = 0.0
+    for fn in (np.mean, np.min, np.max):
+        expected += np.mean(
+            (fn(p, axis=1, keepdims=True) - fn(t, axis=1, keepdims=True)) ** 2
+        )
+    expected /= 3.0
+    np.testing.assert_allclose(float(wrapped(pred, target)), expected, rtol=1e-5)
+
+
+def test_time_aggregate_diff_with_time_weights(rng):
+    """diff aggregation scores per-step temporal differences, each step
+    multiplied by the wrapped loss's time scaler (ref aggregate.py:150-166),
+    which is excluded from the inner reduction."""
+    pred = jnp.asarray(rng.normal(size=(1, 3, 1, 5, 1)), dtype=jnp.float32)
+    target = jnp.asarray(rng.normal(size=(1, 3, 1, 5, 1)), dtype=jnp.float32)
+    tw = jnp.asarray([0.5, 2.0])
+    wrapped = get_loss_function(
+        {"name": "TimeAggregateLossWrapper", "time_aggregation_types": ["diff"],
+         "loss": {"name": "WeightedMSELoss", "scalers": ["tscale"]}},
+        {"tscale": (("time",), tw)},
+    )
+    p, t = np.asarray(pred), np.asarray(target)
+    dp, dt = p[:, 1:] - p[:, :-1], t[:, 1:] - t[:, :-1]
+    expected = sum(
+        float(tw[s]) * np.mean((dp[:, s] - dt[:, s]) ** 2) for s in range(2)
+    )
+    np.testing.assert_allclose(float(wrapped(pred, target)), expected, rtol=1e-5)
+
+
+def test_time_aggregate_rejects_unknown_op():
+    with pytest.raises(ValueError, match="Unknown aggregation"):
+        get_loss_function(
+            {"name": "TimeAggregateLossWrapper",
+             "time_aggregation_types": ["median"],
+             "loss": {"name": "WeightedMSELoss", "scalers": []}}, {},
+        )

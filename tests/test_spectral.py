@@ -168,3 +168,172 @@ def test_spectral_ornstein_octahedral(rng):
     assert np.isfinite(np.asarray(out)).all()
     # forcing column (idx 2) stays zero
     np.testing.assert_allclose(np.asarray(out)[..., 2], 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# reference spectral loss family (ref training/losses/spectral.py:304-750)
+# ---------------------------------------------------------------------------
+
+
+def _rand_btegv(rng, n_grid, v=2, e=1):
+    return jnp.asarray(rng.normal(size=(1, 1, e, n_grid, v)), dtype=jnp.float32)
+
+
+def test_power_spectrum_loss_formula():
+    """PowerSpectrumLoss == mean over (L, V) of (S^p_L - S^t_L)^2 with
+    S_L = sum_M |c_LM|^2 (ref spectral.py:416-436, PSD at
+    spectral_transforms.py:217)."""
+    from anemoi_tpu.ops.spectral import GaussianSHT
+    from anemoi_tpu.training.losses import get_loss_function
+
+    n = 4
+    rng = np.random.default_rng(1)
+    pred = _rand_btegv(rng, 128)
+    target = _rand_btegv(rng, 128)
+    loss = get_loss_function(
+        {"name": "PowerSpectrumLoss", "transform": "gaussian_sht",
+         "gaussian_n": n, "scalers": []}, {}
+    )
+    sht = GaussianSHT.create(n, None)
+
+    def psd(x):
+        f = np.moveaxis(np.asarray(x), -1, -2).reshape(1, 1, 1, 2, 8, 16)
+        c = np.asarray(sht.analysis(jnp.asarray(f)))
+        return np.sum(np.abs(c) ** 2, axis=-1)  # sum over M -> [.., V, L]
+
+    expected = np.mean((psd(pred) - psd(target)) ** 2)
+    np.testing.assert_allclose(float(loss(pred, target)), expected, rtol=1e-4)
+    assert float(loss(pred, pred)) == pytest.approx(0.0, abs=1e-8)
+
+
+def test_power_spectrum_loss_phase_invariant():
+    """PSD ignores phase: rotating the field in longitude leaves the power
+    spectrum unchanged, so PowerSpectrumLoss(pred, rotated_pred) ~ 0 while a
+    plain MSE is large."""
+    from anemoi_tpu.training.losses import get_loss_function
+
+    n = 4
+    rng = np.random.default_rng(2)
+    field = rng.normal(size=(8, 16)).astype(np.float32)
+    rolled = np.roll(field, 4, axis=1)
+    pred = jnp.asarray(field.reshape(1, 1, 1, 128, 1))
+    target = jnp.asarray(rolled.reshape(1, 1, 1, 128, 1))
+    loss = get_loss_function(
+        {"name": "PowerSpectrumLoss", "transform": "gaussian_sht",
+         "gaussian_n": n, "scalers": []}, {}
+    )
+    mse = float(jnp.mean((pred - target) ** 2))
+    assert float(loss(pred, target)) < 1e-6 * mse
+
+
+def test_spectral_amse_loss():
+    """AMSE (ref spectral.py:304, Subich et al. 2025): zero for identical
+    fields; phase shifts are penalised through the coherence term even
+    though PSDs match."""
+    from anemoi_tpu.training.losses import get_loss_function
+
+    n = 4
+    rng = np.random.default_rng(3)
+    loss = get_loss_function(
+        {"name": "SpectralAMSELoss", "transform": "gaussian_sht",
+         "gaussian_n": n, "scalers": []}, {}
+    )
+    pred = _rand_btegv(rng, 128, v=1)
+    assert float(loss(pred, pred)) == pytest.approx(0.0, abs=1e-5)
+    field = np.asarray(pred)[0, 0, 0, :, 0].reshape(8, 16)
+    rolled = jnp.asarray(np.roll(field, 5, axis=1).reshape(1, 1, 1, 128, 1))
+    # same PSD but decorrelated phases -> AMSE strictly positive
+    assert float(loss(pred, rolled)) > 1e-2
+
+    # hand-check the formula on the same inputs
+    from anemoi_tpu.training.losses.spectral import _SpectralAdapter
+
+    ad = _SpectralAdapter("gaussian_sht", gaussian_n=n)
+    cp, ct = np.asarray(ad.to_spectral(pred)), np.asarray(ad.to_spectral(rolled))
+    sp = np.sum(np.abs(cp) ** 2, axis=-2)
+    st = np.sum(np.abs(ct) ** 2, axis=-2)
+    cross = np.sum(cp.real * ct.real + cp.imag * ct.imag, axis=-2)
+    eps = 1e-8
+    amp_p, amp_t = np.sqrt(sp + eps), np.sqrt(st + eps)
+    gamma = cross / (amp_p * amp_t + eps)
+    amse = (amp_p - amp_t) ** 2 + 2 * np.maximum(sp, st) * (1 - gamma)
+    np.testing.assert_allclose(float(loss(pred, rolled)), np.mean(amse), rtol=1e-4)
+
+
+def test_log_spectral_distance():
+    """LSD (ref spectral.py:499): sqrt(mean((log|T|^2 - log|P|^2)^2))."""
+    from anemoi_tpu.training.losses import get_loss_function
+
+    rng = np.random.default_rng(4)
+    y, x = 4, 8
+    pred = _rand_btegv(rng, y * x)
+    target = _rand_btegv(rng, y * x)
+    loss = get_loss_function(
+        {"name": "LogFFT2Distance", "x_dim": x, "y_dim": y, "scalers": []}, {}
+    )
+    eps = np.finfo(np.float32).eps
+    pf = np.fft.fft2(np.asarray(pred).reshape(1, 1, 1, y, x, 2), axes=(-3, -2))
+    tf = np.fft.fft2(np.asarray(target).reshape(1, 1, 1, y, x, 2), axes=(-3, -2))
+    ld = np.log(np.abs(tf) ** 2 + eps) - np.log(np.abs(pf) ** 2 + eps)
+    expected = np.sqrt(np.mean(ld**2) + eps)
+    np.testing.assert_allclose(float(loss(pred, target)), expected, rtol=1e-4)
+    assert float(loss(pred, pred)) == pytest.approx(np.sqrt(eps), abs=1e-4)
+
+
+def test_log_spectral_distance_sht_transform():
+    from anemoi_tpu.training.losses import get_loss_function
+
+    rng = np.random.default_rng(5)
+    loss = get_loss_function(
+        {"name": "LogSpectralDistance", "transform": "octahedral_sht",
+         "gaussian_n": 4, "scalers": []}, {}
+    )
+    n_pts = 4 * 16 + 36 * 4
+    pred = _rand_btegv(rng, n_pts)
+    target = _rand_btegv(rng, n_pts)
+    assert float(loss(pred, target)) > 0
+    assert np.isfinite(float(loss(pred, target)))
+
+
+def test_spectral_crps_loss():
+    """SpectralCRPS (ref spectral.py:632): kernel CRPS per spectral mode over
+    the ensemble dim; perfect deterministic ensemble -> ~0; matches the
+    hand-computed fair kernel CRPS formula (kcrps.py:127-139)."""
+    from anemoi_tpu.training.losses import get_loss_function
+    from anemoi_tpu.training.losses.spectral import _SpectralAdapter
+
+    rng = np.random.default_rng(6)
+    y, x, m = 4, 8, 3
+    loss = get_loss_function(
+        {"name": "SpectralCRPSLoss", "transform": "fft2d", "x_dim": x,
+         "y_dim": y, "scalers": []}, {}
+    )
+    target = _rand_btegv(rng, y * x, v=1)
+    perfect = jnp.repeat(target, m, axis=2)
+    assert float(loss(perfect, target)) == pytest.approx(0.0, abs=1e-6)
+
+    pred = jnp.asarray(rng.normal(size=(1, 1, m, y * x, 1)), dtype=jnp.float32)
+    ad = _SpectralAdapter("fft2d", x_dim=x, y_dim=y)
+    cp = np.asarray(ad.to_spectral_flat(pred))  # [1,1,m,S,1]
+    ct = np.asarray(ad.to_spectral_flat(target))
+    mae = np.mean(np.abs(cp - ct), axis=2)
+    pair = 0.0
+    for i in range(m):
+        for j in range(i + 1, m):
+            pair = pair + np.abs(cp[:, :, i] - cp[:, :, j])
+    expected = np.mean(mae - pair / (m * (m - 1)))
+    np.testing.assert_allclose(float(loss(pred, target)), expected, rtol=1e-4)
+
+
+def test_spectral_loss_rejects_spatial_grid_scaler():
+    from anemoi_tpu.training.losses import get_loss_function
+
+    w = np.ones(128, dtype=np.float32)  # spatial area weights: invalid here
+    loss = get_loss_function(
+        {"name": "PowerSpectrumLoss", "transform": "gaussian_sht",
+         "gaussian_n": 4, "scalers": ["area"]},
+        {"area": (("grid",), jnp.asarray(w))},
+    )
+    pred = jnp.ones((1, 1, 1, 128, 1))
+    with pytest.raises(AssertionError, match="spectral"):
+        loss(pred, pred * 0.5)
