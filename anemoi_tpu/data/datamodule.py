@@ -146,6 +146,11 @@ class DataModule:
             self.val_starts, batch_size, shuffle=False,
             shard_index=shard_index, num_shards=num_shards,
         )
+        # multi-host loading plan: {dataset: (batch_rows, grid_rows)} set by
+        # the trainer (reader-group equivalent, ref multidataset.py:344-366).
+        # Every process iterates the same global anchor order; make_batch
+        # reads only this process's block.
+        self.local_plan: Optional[Dict[str, Tuple[slice, slice]]] = None
 
     def set_rollout(self, rollout: int) -> None:
         """Grow the sampling window when the rollout curriculum advances
@@ -167,10 +172,15 @@ class DataModule:
             anchors = np.stack([np.zeros_like(anchors), anchors], axis=1)
         batch = {}
         for name, ds in self.datasets.items():
+            rows, grid_slice = anchors, slice(None)
+            if self.local_plan is not None and name in self.local_plan:
+                batch_rows, grid_slice = self.local_plan[name]
+                rows = anchors[batch_rows]
             windows = [
-                ds.get_seq_window(int(s), int(p), self.window) for s, p in anchors
+                ds.get_seq_window(int(s), int(p), self.window, grid_slice)
+                for s, p in rows
             ]
-            batch[name] = np.stack(windows, axis=0)  # [B, T, E, G, V]
+            batch[name] = np.stack(windows, axis=0)  # [B(_local), T, E, G(_local), V]
         return batch
 
     def train_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:

@@ -35,9 +35,14 @@ class CheckpointManager:
     """Save/restore the training state; keeps the latest k checkpoints."""
 
     def __init__(self, directory: str, max_to_keep: int = 3) -> None:
+        import jax
+
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        if HAVE_ORBAX:
+        # multi-host: orbax's CheckpointManager synchronises all processes on
+        # save (global barriers), which conflicts with replicated-state
+        # process-0-only writing; use the msgpack path there instead
+        if HAVE_ORBAX and jax.process_count() == 1:
             self._mgr = ocp.CheckpointManager(
                 self.directory,
                 options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
@@ -46,7 +51,17 @@ class CheckpointManager:
             self._mgr = None
 
     def save(self, step: int, state) -> None:
+        import jax
+
         payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+        if jax.process_count() > 1:
+            # collective: every process materialises the full state (GSPMD may
+            # have sharded leaves across hosts), then process 0 alone writes
+            from anemoi_tpu.parallel.distributed import fetch_replicated
+
+            payload = fetch_replicated(payload)
+            if jax.process_index() != 0:
+                return
         if self._mgr is not None:
             self._mgr.save(step, args=ocp.args.StandardSave(payload))
             self._mgr.wait_until_finished()

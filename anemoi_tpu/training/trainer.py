@@ -103,7 +103,13 @@ class AnemoiTrainer:
         # jax.sharding.Mesh; the model-parallel strategy (edges halo / heads
         # Ulysses / gspmd) is selected by model.shard_strategy and the mesh
         # factorisation by hardware.num_devices_per_model etc.
+        from anemoi_tpu.parallel.distributed import maybe_initialize
         from anemoi_tpu.parallel.mesh import MeshSpec, create_mesh
+
+        # multi-host: jax.distributed.initialize from env (no-op single
+        # process); must run before the first jax.devices() below so the
+        # backend sees the global device set
+        maybe_initialize()
 
         self.mesh = None
         self.mesh_spec = MeshSpec()
@@ -139,6 +145,7 @@ class AnemoiTrainer:
                 config.get("dataloader", {}).get("validation_fraction", 0.15)
             ),
         )
+        self._setup_multihost_loading()
 
         # --- indices --------------------------------------------------
         self.data_indices = {
@@ -226,8 +233,12 @@ class AnemoiTrainer:
             LOGGER.info("Checkpoint pipeline: %s", ctx.metadata)
 
         self.state = TrainState.create(params, self.tx)
-        if self.mesh is not None and bool(
-            (training_cfg.get("optimizer") or {}).get("zero", False)
+        if (
+            self.mesh is not None
+            and bool((training_cfg.get("optimizer") or {}).get("zero", False))
+            # multi-host checkpointing assumes process-0-addressable state;
+            # keep opt state replicated across hosts for now
+            and jax.process_count() == 1
         ):
             # ZeRO-1 equivalent: optimizer state sharded over the data axis
             # (ref optimization/optimizer/zero.yaml); GSPMD inserts the
@@ -276,15 +287,57 @@ class AnemoiTrainer:
 
         return jax.set_mesh(self.mesh) if self.mesh is not None else nullcontext()
 
+    def _shard_grid(self) -> bool:
+        return bool(
+            self.config.get("dataloader", {}).get("shard_grid", True)
+        ) and self.mesh_spec.model > 1
+
+    def _setup_multihost_loading(self) -> None:
+        """Per-host data loading (reader-group equivalent): every process
+        samples the same global anchor order, reads only the batch-row x
+        grid-row block its devices own, and batches are assembled with
+        `make_array_from_process_local_data` in `_put_batch`.
+        Reference semantics: distributed/strategy.py:232-270 +
+        multidataset.py:344-366 (each rank loads its grid slice)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return
+        from anemoi_tpu.parallel.distributed import host_local_slices
+        from anemoi_tpu.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(self.mesh, shard_grid=self._shard_grid())
+        plan = {}
+        for name, ds in self.datamodule.datasets.items():
+            shape = (
+                self.datamodule.batch_size, self.datamodule.window, 1,
+                ds.num_grid_points, len(ds.variables),
+            )
+            slc = host_local_slices(sharding, shape)
+            plan[name] = (slc[0], slc[3])  # (batch rows, grid rows)
+        self.datamodule.local_plan = plan
+        LOGGER.info(
+            "multi-host loading: process %d/%d reads %s",
+            jax.process_index(), jax.process_count(),
+            {n: (f"B[{b.start}:{b.stop}]", f"G[{g.start}:{g.stop}]")
+             for n, (b, g) in plan.items()},
+        )
+
     def _put_batch(self, batch_np):
         if self.mesh is None:
             return jax.device_put(batch_np)
         from anemoi_tpu.parallel.mesh import batch_sharding
 
-        shard_grid = bool(
-            self.config.get("dataloader", {}).get("shard_grid", True)
-        ) and self.mesh_spec.model > 1
-        sharding = batch_sharding(self.mesh, shard_grid=shard_grid)
+        sharding = batch_sharding(self.mesh, shard_grid=self._shard_grid())
+        if jax.process_count() > 1:
+            from anemoi_tpu.parallel.distributed import make_global_batch
+
+            shapes = {
+                ds: (
+                    self.datamodule.batch_size, v.shape[1], v.shape[2],
+                    self.datamodule.datasets[ds].num_grid_points, v.shape[4],
+                )
+                for ds, v in batch_np.items()
+            }
+            return make_global_batch(batch_np, sharding, shapes)
         return {ds: jax.device_put(v, sharding) for ds, v in batch_np.items()}
 
     def _precompile_rollout(self, rollout: int, batch_template) -> None:
@@ -405,6 +458,8 @@ class AnemoiTrainer:
         )
 
     def _log(self, record: Dict[str, Any]) -> None:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return  # metrics/checkpoints are written by process 0 only
         self._log_file.write(json.dumps(record, default=float) + "\n")
         self._log_file.flush()
 
@@ -569,6 +624,13 @@ class AnemoiTrainer:
 
     # ------------------------------------------------------------------
     def save_inference_checkpoint(self) -> None:
+        from anemoi_tpu.parallel.distributed import fetch_replicated
+
+        # collective on all processes (leaves may be sharded across hosts);
+        # process 0 alone writes afterwards
+        params_np = fetch_replicated(self.state.params)
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
         di_config = {
             ds: {
                 "name_to_index": idx.name_to_index,
@@ -580,7 +642,7 @@ class AnemoiTrainer:
         }
         save_inference_checkpoint(
             os.path.join(self.output_dir, "inference"),
-            self.state.params,
+            params_np,
             self.config if isinstance(self.config, dict) else dict(self.config),
             di_config,
             self.datamodule.statistics,

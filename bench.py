@@ -43,6 +43,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # multi-host: env-triggered jax.distributed wiring (no-op single process)
+    from anemoi_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
+
     grid = os.environ.get("BENCH_GRID", "o96")
     mesh_level = int(os.environ.get("BENCH_MESH_LEVEL", "5"))
     channels = int(os.environ.get("BENCH_CHANNELS", "512"))
