@@ -230,6 +230,13 @@ def multi_scale_edges(
                 f"Cannot infer tri/hex mesh resolution from {num_nodes} nodes; "
                 "pass mesh_type= and resolution="
             )
+    # edge indices are generated for the full mesh at `resolution`; a node set
+    # of any other size would silently get out-of-range / wrong-mesh edges
+    expected = 10 * 4**resolution + 2 if mesh_type == "tri" else 20 * 4**resolution
+    assert expected == num_nodes, (
+        f"MultiScaleEdges: node set '{source_name}' has {num_nodes} nodes but a "
+        f"{mesh_type} mesh at resolution {resolution} has {expected}"
+    )
     if mesh_type == "hex":
         from anemoi_tpu.graphs.generate.hexagons import hex_multi_scale_edge_index
 

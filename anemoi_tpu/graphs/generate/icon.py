@@ -60,9 +60,19 @@ class IconGrid:
         return int(self.reflvl_vertex.max())
 
 
-@lru_cache(maxsize=8)
 def load_icon_grid(grid_filename: str) -> IconGrid:
-    """Read an ICON grid file (ref icon_mesh.py:80-142, netCDF4 there)."""
+    """Read an ICON grid file (ref icon_mesh.py:80-142, netCDF4 there).
+
+    Cached on (path, mtime) so a regenerated file at the same path is
+    re-read; cached arrays are marked read-only (shared across callers)."""
+    import os
+
+    path = os.path.abspath(grid_filename)
+    return _load_icon_grid_cached(path, os.path.getmtime(path))
+
+
+@lru_cache(maxsize=8)
+def _load_icon_grid_cached(grid_filename: str, _mtime: float) -> IconGrid:
     from scipy.io import netcdf_file
 
     try:
@@ -89,6 +99,9 @@ def load_icon_grid(grid_filename: str) -> IconGrid:
             cell_vertices=arr("vertex_of_cell", np.int64).T - 1,  # [nv=3,C] 1-based
         )
     assert grid.edge_vertices.shape[1] == 2 and grid.cell_vertices.shape[1] == 3
+    for field in ("vlon", "vlat", "reflvl_vertex", "clon", "clat",
+                  "reflvl_cell", "edge_vertices", "cell_vertices"):
+        getattr(grid, field).flags.writeable = False
     return grid
 
 
@@ -136,17 +149,33 @@ def _contract_edges(edges: np.ndarray, parents: np.ndarray,
     return np.unique(coarse, axis=0)
 
 
-def _contract_cells(cells: np.ndarray, parents: np.ndarray) -> np.ndarray:
-    """[C, 3] cell vertices -> the 3 vertices of each cell's parent triangle."""
-    cand = np.concatenate([parents[cells[:, j]] for j in range(3)], axis=1)  # [C,6]
+def _contract_cells(
+    cells: np.ndarray, parents: np.ndarray, reflvl: np.ndarray, level: int
+) -> np.ndarray:
+    """[C, 3] cell vertices -> the 3 vertices of each cell's parent triangle.
+
+    Global-grid cells contract to exactly 3 distinct, strictly-coarser
+    parents; incomplete boundary cells of LAM/nested ICON grids (unmapped
+    nest-boundary midpoints stay on the identity map) do not and are marked
+    [-1,-1,-1] (the reference's csum==3 selection with -1 substitution,
+    icon_mesh.py:213-240); -1 rows propagate through further contractions."""
+    valid_in = (cells >= 0).all(axis=1)
+    safe = np.where(cells < 0, 0, cells)
+    cand = np.concatenate([parents[safe[:, j]] for j in range(3)], axis=1)  # [C,6]
     cand.sort(axis=1)
     first = np.concatenate(
         [np.ones((len(cand), 1), dtype=bool), np.diff(cand, axis=1) != 0], axis=1
     )
-    assert (first.sum(axis=1) == 3).all(), (
-        "ICON hierarchy: contracted cells must have exactly 3 distinct parents"
+    valid = (
+        valid_in
+        & (first.sum(axis=1) == 3)
+        & (reflvl[cand] < level).all(axis=1)  # no fine vertex leaks coarse
     )
-    return cand[first].reshape(len(cand), 3)
+    out = np.full((len(cand), 3), -1, dtype=np.int64)
+    if valid.any():
+        sel = first[valid]
+        out[valid] = cand[valid][sel].reshape(-1, 3)
+    return out
 
 
 class IconMultiMesh:
@@ -178,7 +207,7 @@ class IconMultiMesh:
                 edges_at[level], parents, grid.reflvl_vertex, level
             )
             if level > self.max_level:
-                cells = _contract_cells(cells, parents)
+                cells = _contract_cells(cells, parents, grid.reflvl_vertex, level)
 
         select = grid.reflvl_vertex <= self.max_level
         glb2loc = np.full(grid.num_vertices, -1, dtype=np.int64)
@@ -186,8 +215,16 @@ class IconMultiMesh:
         self.coords = np.stack([grid.vlat[select], grid.vlon[select]], axis=-1)
         self.edge_levels = [glb2loc[edges_at[l]] for l in range(self.max_level + 1)]
         assert all((e >= 0).all() for e in self.edge_levels)
-        self.cell_vertices = glb2loc[cells]
-        assert (self.cell_vertices >= 0).all()
+        # nested/LAM grids: boundary cells without a complete ancestor
+        # triangle stay [-1,-1,-1] and are skipped by icon_grid2mesh_edges
+        cell_valid = (cells >= 0).all(axis=1)
+        self.cell_vertices = np.full_like(cells, -1)
+        self.cell_vertices[cell_valid] = glb2loc[cells[cell_valid]]
+        self.cell_vertices[(self.cell_vertices < 0).any(axis=1)] = -1
+        assert (self.cell_vertices >= 0).any(), (
+            "ICON hierarchy: no cell has a complete ancestor triangle at "
+            f"level {self.max_level}"
+        )
 
     @property
     def num_nodes(self) -> int:
@@ -202,8 +239,18 @@ class IconMultiMesh:
         return np.unique(und, axis=0).T.astype(np.int64)
 
 
-@lru_cache(maxsize=8)
 def icon_multimesh(grid_filename: str, max_level: Optional[int] = None) -> IconMultiMesh:
+    """Cached on (path, mtime), like `load_icon_grid`."""
+    import os
+
+    path = os.path.abspath(grid_filename)
+    return _icon_multimesh_cached(path, os.path.getmtime(path), max_level)
+
+
+@lru_cache(maxsize=8)
+def _icon_multimesh_cached(
+    grid_filename: str, _mtime: float, max_level: Optional[int]
+) -> IconMultiMesh:
     return IconMultiMesh(load_icon_grid(grid_filename), max_level)
 
 
@@ -227,7 +274,8 @@ def icon_grid2mesh_edges(
     select_c = icon_cell_selection(grid, cell_max_level)
     src = np.repeat(np.arange(len(select_c), dtype=np.int64), 3)
     dst = mesh.cell_vertices[select_c].reshape(-1)
-    return np.stack([src, dst], axis=1)
+    keep = dst >= 0  # nested-grid boundary cells without an ancestor triangle
+    return np.stack([src[keep], dst[keep]], axis=1)
 
 
 def write_synthetic_icon_grid(path: str, resolution: int) -> None:

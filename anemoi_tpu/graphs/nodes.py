@@ -88,26 +88,55 @@ def text_nodes(dataset: str, idx_lon: int = 0, idx_lat: int = 1) -> np.ndarray:
 
 @node_builder_registry.register("XArrayNodes")
 def xarray_nodes(
-    dataset: str, lat_key: str = "latitude", lon_key: str = "longitude"
+    dataset: str,
+    lat_key: str = "lat",
+    lon_key: str = "lon",
+    layout: Optional[str] = None,
 ) -> np.ndarray:
     """Nodes from coordinate variables of a NetCDF file (ref from_file.py:202
-    XArrayNodes).  xarray is not in this image, so classic NetCDF-3 files are
-    read via scipy; 1-D coordinate vectors of different lengths are treated
-    as a regular grid (meshgrid), matching xarray's broadcast semantics.
-    Degrees are assumed unless the variable's ``units`` attribute says
-    radian."""
+    XArrayNodes; same 'lat'/'lon' key defaults).  xarray is not in this
+    image, so classic NetCDF-3 files are read via scipy.
+
+    ``layout``: "grid" treats 1-D lat/lon vectors as regular-grid axes
+    (meshgrid), "points" as paired per-point coordinates; default infers
+    "points" when the vectors have equal length, "grid" otherwise.
+    Degrees are assumed unless a variable's ``units`` attribute says radian
+    (checked on both variables; mixed units are rejected)."""
     from scipy.io import netcdf_file
 
+    def _is_radian(var) -> bool:
+        units = getattr(var, "units", b"")
+        return b"radian" in units if isinstance(units, bytes) else "radian" in units
+
     with netcdf_file(dataset, "r", mmap=False) as nc:
+        for key in (lat_key, lon_key):
+            if key not in nc.variables:
+                raise KeyError(
+                    f"Coordinate variable '{key}' not in {dataset}; available: "
+                    f"{sorted(nc.variables)} (pass lat_key=/lon_key=)"
+                )
         vlat, vlon = nc.variables[lat_key], nc.variables[lon_key]
         lat = np.array(vlat[:], dtype=np.float64)
         lon = np.array(vlon[:], dtype=np.float64)
-        units = getattr(vlat, "units", b"")
-        radians = b"radian" in units if isinstance(units, bytes) else "radian" in units
-    if lat.ndim == 1 and lon.ndim == 1 and len(lat) != len(lon):
+        rad_lat, rad_lon = _is_radian(vlat), _is_radian(vlon)
+    if rad_lat != rad_lon:
+        raise ValueError(
+            f"{dataset}: '{lat_key}' and '{lon_key}' disagree on units "
+            "(one radian, one degree)"
+        )
+    if layout is None:
+        layout = (
+            "points"
+            if (lat.ndim > 1 or lon.ndim > 1 or len(lat) == len(lon))
+            else "grid"
+        )
+    if layout == "grid":
+        assert lat.ndim == 1 and lon.ndim == 1, "layout='grid' needs 1-D axes"
         lon, lat = np.meshgrid(lon, lat)
+    elif layout != "points":
+        raise ValueError(f"layout must be 'grid' or 'points', got '{layout}'")
     coords = np.stack([lat.ravel(), lon.ravel()], axis=-1)
-    return coords if radians else np.deg2rad(coords)
+    return coords if rad_lat else np.deg2rad(coords)
 
 
 @node_builder_registry.register("AnemoiDatasetNodes")

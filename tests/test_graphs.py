@@ -590,11 +590,98 @@ def test_xarray_nodes(tmp_path):
     with netcdf_file(path, "w") as nc:
         nc.createDimension("lat", 3)
         nc.createDimension("lon", 4)
-        v = nc.createVariable("latitude", "d", ("lat",))
+        v = nc.createVariable("lat", "d", ("lat",))
         v[:] = [60.0, 0.0, -60.0]
-        v = nc.createVariable("longitude", "d", ("lon",))
+        v = nc.createVariable("lon", "d", ("lon",))
         v[:] = [0.0, 90.0, 180.0, 270.0]
+    # reference-default keys 'lat'/'lon' (from_file.py XArrayNodes)
     coords = build_nodes({"name": "XArrayNodes", "dataset": path})
     assert coords.shape == (12, 2)
     np.testing.assert_allclose(coords[0], np.deg2rad([60.0, 0.0]))
     np.testing.assert_allclose(coords[-1], np.deg2rad([-60.0, 270.0]))
+
+
+def test_xarray_nodes_layouts_and_units(tmp_path):
+    from scipy.io import netcdf_file
+
+    from anemoi_tpu.graphs.nodes import build_nodes
+
+    # equal-length 1-D vectors default to paired points; layout="grid"
+    # forces a meshgrid; custom keys + radian units respected
+    path = str(tmp_path / "pts.nc")
+    with netcdf_file(path, "w") as nc:
+        nc.createDimension("n", 3)
+        v = nc.createVariable("latitude", "d", ("n",))
+        v[:] = [0.5, 0.0, -0.5]
+        v.units = "radian"
+        v = nc.createVariable("longitude", "d", ("n",))
+        v[:] = [0.0, 1.0, 2.0]
+        v.units = "radian"
+    kw = {"name": "XArrayNodes", "dataset": path,
+          "lat_key": "latitude", "lon_key": "longitude"}
+    pts = build_nodes(dict(kw))
+    assert pts.shape == (3, 2)
+    np.testing.assert_allclose(pts[0], [0.5, 0.0])
+    grid = build_nodes(dict(kw, layout="grid"))
+    assert grid.shape == (9, 2)
+    with pytest.raises(KeyError, match="lat_key"):
+        build_nodes({"name": "XArrayNodes", "dataset": path})
+
+
+def test_multiscale_edges_rejects_wrong_node_count():
+    from anemoi_tpu.graphs import Graph, NodeSet
+    from anemoi_tpu.graphs.edges import multi_scale_edges
+
+    g = Graph()
+    g["m"] = NodeSet(coords=np.zeros((100, 2)))  # not 10*4^r+2
+    with pytest.raises(AssertionError, match="MultiScaleEdges"):
+        multi_scale_edges(g, "m", "m", mesh_type="tri")
+
+
+def test_icon_contract_cells_nested_fallback():
+    """LAM/nested ICON grids: cells without a complete ancestor triangle are
+    marked [-1,-1,-1] and skipped by grid2mesh edges (the reference's csum==3
+    selection with -1 substitution, icon_mesh.py:213-240) instead of failing
+    the global-grid assertion."""
+    from anemoi_tpu.graphs.generate.icon import _contract_cells
+
+    # vertices 0..2 coarse (map to themselves); vertex 3 a midpoint of (0,1);
+    # vertex 4 an UNMAPPED nest-boundary midpoint (identity map)
+    parents = np.array([[0, 0], [1, 1], [2, 2], [0, 1], [4, 4]], dtype=np.int64)
+    reflvl = np.array([0, 0, 0, 1, 1], dtype=np.int64)  # 3, 4 are midpoints
+    cells = np.array(
+        [
+            [0, 3, 2],  # contracts to {0,1,2}: valid parent triangle
+            [0, 4, 2],  # midpoint 4 unmapped -> no coarse parent triangle
+            [-1, -1, -1],  # already-invalid rows propagate
+        ],
+        dtype=np.int64,
+    )
+    out = _contract_cells(cells, parents, reflvl, level=1)
+    np.testing.assert_array_equal(out[0], [0, 1, 2])
+    np.testing.assert_array_equal(out[1], [-1, -1, -1])
+    np.testing.assert_array_equal(out[2], [-1, -1, -1])
+
+
+def test_icon_cache_keyed_by_mtime(tmp_path):
+    """Regenerating a grid file at the same path must invalidate the cache;
+    cached arrays are read-only."""
+    import os
+
+    from anemoi_tpu.graphs.generate.icon import (
+        load_icon_grid,
+        write_synthetic_icon_grid,
+    )
+
+    path = str(tmp_path / "icon.nc")
+    write_synthetic_icon_grid(path, resolution=2)
+    g1 = load_icon_grid(path)
+    assert not g1.vlon.flags.writeable
+    with pytest.raises(ValueError):
+        g1.vlon[0] = 99.0
+    n1 = g1.num_vertices
+
+    write_synthetic_icon_grid(path, resolution=3)
+    os.utime(path, (os.path.getmtime(path) + 2, os.path.getmtime(path) + 2))
+    g2 = load_icon_grid(path)
+    assert g2.num_vertices > n1
