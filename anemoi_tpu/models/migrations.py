@@ -209,3 +209,116 @@ def _stack_scan_params(params: dict, ckpt: dict) -> dict:
 @_stack_scan.rollback
 def _stack_scan_down(ckpt: dict) -> dict:
     return ckpt
+
+
+# ----------------------------------------------------------------------
+# Timestamped migration scripts (ref migrations/scripts/17*.py + the
+# `anemoi-models migration create` scaffolding, commands/migration.py):
+# standalone scripts live in anemoi_tpu/models/migration_scripts/ and are
+# imported in name order below, AFTER the built-in migrations above — so a
+# script's registration order is its timestamp order.
+# ----------------------------------------------------------------------
+
+_SCRIPT_TEMPLATE = '''"""Migration: {label}
+
+Created: {date}
+Parent: {parent}
+Signature: {signature}
+"""
+
+from anemoi_tpu.models.migrations import register_migration
+
+
+@register_migration("{name}")
+def forward(ckpt: dict) -> dict:
+    """Transform the checkpoint bundle to the new format."""
+    ckpt = dict(ckpt)
+    # ... edit config / metadata here ...
+    return ckpt
+
+
+@forward.rollback
+def rollback(ckpt: dict) -> dict:
+    """Undo ``forward`` (required for `checkpoint migrate --rollback`)."""
+    ckpt = dict(ckpt)
+    return ckpt
+
+
+# Optional: transform the raw parameter tree at load time.
+# @forward.params
+# def params(params: dict, ckpt: dict) -> dict:
+#     return params
+'''
+
+
+def scripts_dir() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "migration_scripts")
+
+
+def create_migration_script(label: str, directory: Optional[str] = None) -> str:
+    """Scaffold a timestamped migration script (the reference's
+    `anemoi-models migration create` discipline): the filename/registration
+    name is ``<UTC timestamp>_<label>``, the docstring records the parent
+    migration and a lineage signature (sha256 over the ordered names up to
+    the parent) so tampering with migration order is detectable."""
+    import hashlib
+    import os
+    import re
+    import time
+
+    assert re.fullmatch(r"[a-z0-9_]+", label), (
+        "migration label must be lowercase [a-z0-9_]"
+    )
+    directory = directory or scripts_dir()
+    os.makedirs(directory, exist_ok=True)
+    init = os.path.join(directory, "__init__.py")
+    if not os.path.exists(init):
+        with open(init, "w") as f:
+            f.write("")
+    stamp = time.strftime("%Y%m%d%H%M%S", time.gmtime())
+    name = f"{stamp}_{label}"
+    parent = MIGRATOR.migrations[-1].name if MIGRATOR.migrations else "<none>"
+    lineage = ",".join(m.name for m in MIGRATOR.migrations)
+    signature = hashlib.sha256(lineage.encode()).hexdigest()[:16]
+    path = os.path.join(directory, f"{name}.py")
+    assert not os.path.exists(path), f"{path} already exists"
+    with open(path, "w") as f:
+        f.write(
+            _SCRIPT_TEMPLATE.format(
+                label=label, name=name, parent=parent, signature=signature,
+                date=time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+            )
+        )
+    return path
+
+
+def load_migration_scripts(directory: Optional[str] = None) -> List[str]:
+    """Import every script in the scripts directory in name (= timestamp)
+    order, registering its migrations; returns the loaded names."""
+    import importlib.util
+    import os
+
+    directory = directory or scripts_dir()
+    if not os.path.isdir(directory):
+        return []
+    loaded = []
+    registered = {m.name for m in MIGRATOR.migrations}
+    for fname in sorted(os.listdir(directory)):
+        if not fname.endswith(".py") or fname.startswith("_"):
+            continue
+        name = fname[:-3]
+        if name in registered:
+            continue
+        spec = importlib.util.spec_from_file_location(
+            f"anemoi_tpu.models.migration_scripts.{name}",
+            os.path.join(directory, fname),
+        )
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        loaded.append(name)
+    return loaded
+
+
+load_migration_scripts()

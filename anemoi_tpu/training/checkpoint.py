@@ -118,11 +118,16 @@ def save_inference_checkpoint(
     )
     from anemoi_tpu.models.migrations import MIGRATOR
 
+    from anemoi_tpu.utils.provenance import gather_provenance_info
+
+    md = dict(metadata or {})
+    # full environment snapshot (ref train.py:513 provenance_training)
+    md.setdefault("provenance", gather_provenance_info())
     bundle = MIGRATOR.migrate(
         {
             "config": config,
             "data_indices": data_indices_config,
-            "metadata": metadata or {},
+            "metadata": md,
         }
     )
     with open(os.path.join(path, "checkpoint.json"), "w") as f:

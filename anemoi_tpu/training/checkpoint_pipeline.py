@@ -30,6 +30,110 @@ strategy_registry = Registry("loading strategy")
 modifier_registry = Registry("checkpoint modifier")
 
 
+# --- structured exceptions (ref checkpoint/exceptions.py taxonomy) ----
+class CheckpointError(Exception):
+    """Base checkpoint error carrying structured details."""
+
+    def __init__(self, message: str, details: Optional[Dict[str, Any]] = None):
+        super().__init__(message)
+        self.details = dict(details or {})
+
+    def __str__(self) -> str:  # message + compact details, greppable
+        base = super().__str__()
+        if self.details:
+            extras = ", ".join(f"{k}={v!r}" for k, v in self.details.items())
+            return f"{base} ({extras})"
+        return base
+
+
+class CheckpointNotFoundError(CheckpointError):
+    """The requested checkpoint path/URL/object does not exist."""
+
+
+class CheckpointLoadError(CheckpointError):
+    """The checkpoint exists but could not be deserialised."""
+
+
+class CheckpointIncompatibleError(CheckpointError):
+    """The checkpoint does not fit the target model (strict loading)."""
+
+
+class CheckpointConfigError(CheckpointError):
+    """The pipeline configuration itself is invalid (bad stage order,
+    unknown component, missing required stage)."""
+
+
+class CheckpointSourceError(CheckpointError):
+    """A source stage failed to fetch (network/credentials/IO)."""
+
+
+# --- component catalog (ref checkpoint/catalog.py:56 ComponentCatalog) -
+class ComponentCatalog:
+    """Registry-backed catalog of pipeline components + transfer-compat
+    reporting.
+
+    The reference discovers components via reflection over base classes;
+    here the explicit registries ARE the catalog (this framework's stated
+    replacement for `_target_` reflection), so discovery is a listing."""
+
+    @staticmethod
+    def list_sources() -> List[str]:
+        return sorted(source_registry.names())
+
+    @staticmethod
+    def list_loaders() -> List[str]:
+        return sorted(strategy_registry.names())
+
+    @staticmethod
+    def list_modifiers() -> List[str]:
+        return sorted(modifier_registry.names())
+
+    @staticmethod
+    def transfer_report(target_params, source_params) -> Dict[str, Dict[str, Any]]:
+        """Per-component compatibility report between a target model's
+        parameter tree and a loaded checkpoint's: for each top-level
+        component (encoder/processor/decoder/...), how many leaves match
+        exactly, which mismatch in shape, which are missing from the
+        checkpoint, and which checkpoint leaves have no target.
+
+        This is what the reference's catalog-driven transfer-learning
+        report provides for mismatched models."""
+        target = flax.traverse_util.flatten_dict(jax.device_get(target_params))
+        source = flax.traverse_util.flatten_dict(source_params)
+
+        def component_of(key) -> str:
+            # ('params', 'encoder', ...) -> 'encoder'
+            parts = [str(p) for p in key]
+            return parts[1] if parts and parts[0] == "params" and len(parts) > 1 else parts[0]
+
+        report: Dict[str, Dict[str, Any]] = {}
+
+        def entry(comp: str) -> Dict[str, Any]:
+            return report.setdefault(
+                comp,
+                {"matched": 0, "shape_mismatch": [], "missing_in_checkpoint": [],
+                 "unused_in_model": []},
+            )
+
+        for k, v in target.items():
+            comp = entry(component_of(k))
+            path = "/".join(map(str, k))
+            sv = source.get(k)
+            if sv is None:
+                comp["missing_in_checkpoint"].append(path)
+            elif np.shape(sv) != np.shape(v):
+                comp["shape_mismatch"].append(
+                    {"path": path, "model": list(np.shape(v)),
+                     "checkpoint": list(np.shape(sv))}
+                )
+            else:
+                comp["matched"] += 1
+        for k in source:
+            if k not in target:
+                entry(component_of(k))["unused_in_model"].append("/".join(map(str, k)))
+        return report
+
+
 @dataclass
 class CheckpointContext:
     """State threaded through the pipeline (ref checkpoint/base.py:57)."""
@@ -50,8 +154,17 @@ class LocalSource:
 
     def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
         path = self.path
+        if not os.path.exists(path):
+            raise CheckpointNotFoundError(
+                "checkpoint path does not exist", {"path": path}
+            )
         if os.path.isdir(path):  # inference bundle directory
             path = os.path.join(path, "params.msgpack")
+            if not os.path.exists(path):
+                raise CheckpointNotFoundError(
+                    "directory is not an inference bundle (no params.msgpack)",
+                    {"path": self.path},
+                )
             # bundles record the variable order; surface it for the
             # CheckVariableOrder sanity callback (ref callbacks/sanity.py:20)
             meta_path = os.path.join(self.path, "checkpoint.json")
@@ -73,7 +186,13 @@ class LocalSource:
             ctx.loaded = {"params": serialization.from_bytes(template, blob)}
         except Exception:
             # structure mismatch: keep the raw state dict for transfer loading
-            ctx.loaded = {"params": serialization.msgpack_restore(blob)}
+            try:
+                ctx.loaded = {"params": serialization.msgpack_restore(blob)}
+            except Exception as err:
+                raise CheckpointLoadError(
+                    "could not deserialise checkpoint",
+                    {"path": path, "error": str(err)},
+                ) from err
         ctx.metadata["source"] = self.path
         return ctx
 
@@ -126,8 +245,24 @@ class ColdStart:
 class WeightsOnly:
     """Load weights, reset optimizer state (ref strategies.py:26)."""
 
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
     def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
-        assert ctx.loaded is not None, "weights_only needs a source stage first"
+        if ctx.loaded is None:
+            raise CheckpointConfigError("weights_only needs a source stage first")
+        if self.strict:
+            report = ComponentCatalog.transfer_report(ctx.params, ctx.loaded["params"])
+            bad = {
+                comp: r for comp, r in report.items()
+                if r["shape_mismatch"] or r["missing_in_checkpoint"]
+            }
+            if bad:
+                raise CheckpointIncompatibleError(
+                    "checkpoint does not fit the model (use transfer_learning "
+                    "for partial loads)",
+                    {"report": bad},
+                )
         ctx.params = ctx.loaded["params"]
         ctx.metadata["loading"] = "weights_only"
         return ctx
@@ -138,7 +273,8 @@ class WarmStart:
     """Load weights + optimizer state + step (ref strategies.py:172)."""
 
     def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
-        assert ctx.loaded is not None
+        if ctx.loaded is None:
+            raise CheckpointConfigError("warm_start needs a source stage first")
         ctx.params = ctx.loaded["params"]
         if "opt_state" in ctx.loaded:
             ctx.opt_state = ctx.loaded["opt_state"]
@@ -154,7 +290,8 @@ class TransferLearning:
     variable-matching transfer loader in utils/checkpoint.py)."""
 
     def __call__(self, ctx: CheckpointContext) -> CheckpointContext:
-        assert ctx.loaded is not None
+        if ctx.loaded is None:
+            raise CheckpointConfigError("transfer_learning needs a source stage first")
         target = flax.traverse_util.flatten_dict(jax.device_get(ctx.params))
         source = flax.traverse_util.flatten_dict(ctx.loaded["params"])
         copied, skipped = 0, []
@@ -171,6 +308,10 @@ class TransferLearning:
         ctx.metadata["loading"] = "transfer_learning"
         ctx.metadata["transfer_copied"] = copied
         ctx.metadata["transfer_skipped"] = skipped
+        # catalog-driven per-component compatibility report (ref catalog.py:56)
+        ctx.metadata["transfer_report"] = ComponentCatalog.transfer_report(
+            ctx.params, ctx.loaded["params"]
+        )
         return ctx
 
 
@@ -209,21 +350,47 @@ class CheckpointPipeline:
 
     def __init__(self, stage_configs: List[dict]):
         self.stages = []
+        kinds = []
         last = -1
-        for cfg in stage_configs:
+        registries = {
+            "source": source_registry,
+            "loading": strategy_registry,
+            "modifier": modifier_registry,
+        }
+        for i, cfg in enumerate(stage_configs):
             cfg = dict(cfg)
-            kind = cfg.pop("stage")
-            assert kind in self.ORDER, f"unknown stage kind '{kind}'"
-            assert self.ORDER[kind] >= last, (
-                f"invalid stage order: '{kind}' cannot follow a later stage"
-            )
+            kind = cfg.pop("stage", None)
+            if kind not in self.ORDER:
+                raise CheckpointConfigError(
+                    f"unknown stage kind '{kind}'",
+                    {"position": i, "valid": sorted(self.ORDER)},
+                )
+            if self.ORDER[kind] < last:
+                raise CheckpointConfigError(
+                    f"invalid stage order: '{kind}' cannot follow a later "
+                    "stage (sources -> loading -> modifiers)",
+                    {"position": i, "stages": [c.get("stage") for c in stage_configs]},
+                )
             last = self.ORDER[kind]
-            registry = {
-                "source": source_registry,
-                "loading": strategy_registry,
-                "modifier": modifier_registry,
-            }[kind]
+            registry = registries[kind]
+            name = cfg.get("name")
+            if name not in registry:
+                raise CheckpointConfigError(
+                    f"unknown {kind} component '{name}'",
+                    {"available": sorted(registry.names())},
+                )
+            kinds.append(kind)
             self.stages.append(registry.build_from_config(cfg))
+        # a non-cold-start strategy cannot run without a source stage
+        needs_source = any(
+            c.get("stage") == "loading" and c.get("name") != "cold_start"
+            for c in stage_configs
+        )
+        if needs_source and "source" not in kinds:
+            raise CheckpointConfigError(
+                "loading strategy requires a source stage before it",
+                {"stages": [c.get("stage") for c in stage_configs]},
+            )
 
     def run(self, ctx: CheckpointContext) -> CheckpointContext:
         for stage in self.stages:

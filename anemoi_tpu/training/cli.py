@@ -68,7 +68,13 @@ def main(argv=None) -> int:
     p_ck_insp = ckpt_sub.add_parser("inspect", help="Summarise an inference checkpoint")
     p_ck_insp.add_argument("checkpoint")
     p_ck_mig = ckpt_sub.add_parser("migrate", help="Apply pending migrations")
-    p_ck_mig.add_argument("checkpoint")
+    p_ck_mig.add_argument("checkpoint", nargs="?", default=None)
+    p_ck_mig.add_argument("--create", default=None, metavar="LABEL",
+                          help="Scaffold a timestamped migration script instead")
+    p_ck_mig.add_argument("--scripts-dir", default=None,
+                          help="Directory for --create (default: packaged scripts)")
+    p_ck_mig.add_argument("--rollback", default=None, metavar="TARGET",
+                          help="Roll the checkpoint back to migration TARGET")
 
     p_pred = sub.add_parser("predict", help="Autoregressive forecast from an inference checkpoint")
     p_pred.add_argument("checkpoint", help="Inference checkpoint directory")
@@ -176,15 +182,34 @@ def main(argv=None) -> int:
                 "datasets": list(bundle.get("data_indices", {})),
                 "model": bundle.get("config", {}).get("model", {}).get("name"),
                 "num_params": bundle.get("metadata", {}).get("num_params"),
+                "provenance": bundle.get("metadata", {}).get("provenance"),
             }
             print(json.dumps(info, indent=1))
             return 0
         if args.checkpoint_command == "migrate":
-            from anemoi_tpu.models.migrations import MIGRATOR
+            from anemoi_tpu.models.migrations import (
+                MIGRATOR,
+                create_migration_script,
+            )
 
+            if args.create:
+                path = create_migration_script(args.create, args.scripts_dir)
+                print(f"created {path}")
+                return 0
+            if not args.checkpoint:
+                print("error: checkpoint path required (or use --create LABEL)")
+                return 2
             path = os.path.join(args.checkpoint, "checkpoint.json")
             with open(path) as f:
                 bundle = json.load(f)
+            if args.rollback:
+                before = MIGRATOR.applied(bundle)
+                bundle = MIGRATOR.rollback_to(bundle, args.rollback)
+                undone = [n for n in before if n not in MIGRATOR.applied(bundle)]
+                with open(path, "w") as f:
+                    json.dump(bundle, f, default=str)
+                print(f"rolled back {len(undone)} migrations: {undone}")
+                return 0
             pending = [m.name for m in MIGRATOR.pending(bundle)]
             bundle = MIGRATOR.migrate(bundle)
             with open(path, "w") as f:

@@ -107,6 +107,24 @@ class OfflineMLflowLogger(BaseLogger):
             experiment=experiment,
             run_name=run_name,
         )
+        # environment provenance as run tags (ref train.py:513
+        # provenance_training into run metadata)
+        from anemoi_tpu.utils.provenance import gather_provenance_info
+
+        prov = gather_provenance_info()
+        for key, value in {
+            "provenance.python": prov.get("python"),
+            "provenance.platform": prov.get("platform"),
+            "provenance.hostname": prov.get("hostname"),
+            "provenance.git_commit": (prov.get("git") or {}).get("commit"),
+            "provenance.git_dirty": (prov.get("git") or {}).get("dirty"),
+            **{
+                f"provenance.pkg.{name}": ver
+                for name, ver in prov.get("packages", {}).items()
+            },
+        }.items():
+            if value is not None:
+                self.run.set_tag(key, str(value))
         self.monitor = None
         if system_metrics:
             self.monitor = SystemMetricsMonitor(

@@ -87,12 +87,106 @@ def test_freeze_modifier(saved_params):
 
 
 def test_stage_order_enforced(saved_params):
+    from anemoi_tpu.training.checkpoint_pipeline import CheckpointConfigError
+
     _, path = saved_params
-    with pytest.raises(AssertionError):
+    with pytest.raises(CheckpointConfigError, match="stage order"):
         CheckpointPipeline([
             {"stage": "loading", "name": "weights_only"},
             {"stage": "source", "name": "local", "path": path},
         ])
+
+
+def test_pipeline_config_errors(saved_params):
+    """Structured config errors (ref checkpoint/exceptions.py taxonomy):
+    unknown kinds/components and a strategy without a source are rejected
+    with actionable details."""
+    from anemoi_tpu.training.checkpoint_pipeline import CheckpointConfigError
+
+    _, path = saved_params
+    with pytest.raises(CheckpointConfigError, match="unknown stage kind"):
+        CheckpointPipeline([{"stage": "resource", "name": "local"}])
+    with pytest.raises(CheckpointConfigError, match="unknown source component") as e:
+        CheckpointPipeline([{"stage": "source", "name": "ftp"}])
+    assert "local" in e.value.details["available"]
+    with pytest.raises(CheckpointConfigError, match="requires a source"):
+        CheckpointPipeline([{"stage": "loading", "name": "weights_only"}])
+    # cold_start alone is fine
+    CheckpointPipeline([{"stage": "loading", "name": "cold_start"}])
+
+
+def test_checkpoint_not_found_and_catalog():
+    from anemoi_tpu.training.checkpoint_pipeline import (
+        CheckpointContext,
+        CheckpointNotFoundError,
+        ComponentCatalog,
+    )
+
+    assert {"local", "http", "s3"} <= set(ComponentCatalog.list_sources())
+    assert {"cold_start", "weights_only", "warm_start", "transfer_learning"} <= set(
+        ComponentCatalog.list_loaders()
+    )
+    assert "freeze" in ComponentCatalog.list_modifiers()
+    pipe = CheckpointPipeline(
+        [{"stage": "source", "name": "local", "path": "/nonexistent/ckpt"}]
+    )
+    with pytest.raises(CheckpointNotFoundError):
+        pipe.run(CheckpointContext(params={"params": {}}))
+
+
+def test_transfer_report_and_strict_weights(saved_params, tmp_path):
+    """The catalog transfer report localises incompatibilities per component;
+    weights_only(strict) refuses mismatched checkpoints with that report."""
+    import jax.numpy as jnp
+
+    from anemoi_tpu.training.checkpoint_pipeline import (
+        CheckpointContext,
+        CheckpointIncompatibleError,
+        ComponentCatalog,
+    )
+
+    params, path = saved_params
+    # a model whose decoder grew a layer and whose encoder kernel changed shape
+    target = {
+        "params": {
+            "encoder": {"kernel": jnp.zeros((4, 8))},
+            "decoder": {"kernel": jnp.zeros((3, 3)), "extra": jnp.zeros(2)},
+        }
+    }
+    source = {
+        "params": {
+            "encoder": {"kernel": jnp.zeros((4, 4))},
+            "decoder": {"kernel": jnp.zeros((3, 3))},
+            "legacy": {"w": jnp.zeros(1)},
+        }
+    }
+    report = ComponentCatalog.transfer_report(target, source)
+    assert report["decoder"]["matched"] == 1
+    assert report["decoder"]["missing_in_checkpoint"] == ["params/decoder/extra"]
+    assert report["encoder"]["shape_mismatch"][0]["model"] == [4, 8]
+    assert report["legacy"]["unused_in_model"] == ["params/legacy/w"]
+
+    from flax import serialization
+
+    mismatched = str(tmp_path / "mismatched.msgpack")
+    with open(mismatched, "wb") as f:
+        f.write(serialization.to_bytes(source))
+    pipe = CheckpointPipeline([
+        {"stage": "source", "name": "local", "path": mismatched},
+        {"stage": "loading", "name": "weights_only"},
+    ])
+    with pytest.raises(CheckpointIncompatibleError) as e:
+        pipe.run(CheckpointContext(params=target))
+    assert "encoder" in e.value.details["report"]
+
+    # transfer_learning accepts it and records the catalog report
+    pipe2 = CheckpointPipeline([
+        {"stage": "source", "name": "local", "path": mismatched},
+        {"stage": "loading", "name": "transfer_learning"},
+    ])
+    ctx = pipe2.run(CheckpointContext(params=target))
+    assert ctx.metadata["transfer_copied"] == 1
+    assert "transfer_report" in ctx.metadata
 
 
 def test_migrations_roundtrip():

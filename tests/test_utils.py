@@ -58,3 +58,17 @@ def test_seeding_deterministic(monkeypatch):
     b = context_seed("model-init")
     c = context_seed("data-shuffle")
     assert a == b != c
+
+
+def test_gather_provenance_info():
+    """Provenance snapshot (ref train.py:513): versions, git, platform."""
+    from anemoi_tpu.utils.provenance import gather_provenance_info
+
+    info = gather_provenance_info()
+    assert info["python"] and info["platform"]
+    assert info["packages"]["jax"] != "not-installed"
+    assert info["packages"]["numpy"] != "not-installed"
+    # this repo is a git checkout
+    assert "git" in info and len(info["git"]["commit"]) == 40
+    full = gather_provenance_info(full_pip=True)
+    assert len(full["pip_freeze"]) > 20
