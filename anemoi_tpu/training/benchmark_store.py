@@ -87,3 +87,117 @@ class BenchmarkStore:
             ratio = (v / b) if (b not in (None, 0)) else None
             out[k] = {"value": v, "baseline": b, "ratio": ratio, "baseline_commit": base_commit}
         return out
+
+
+class RemoteBenchmarkStore(BenchmarkStore):
+    """MLflow-server-backed benchmark store so multiple machines share
+    baselines (ref benchmark_server.py:529 RemoteBenchmarkServer).
+
+    Each commit's metrics live in ONE MLflow run of the benchmark experiment,
+    tagged ``commit=<sha>``; push/fetch go through the existing REST client
+    (`mlflow_store.MLflowRestClient`, no mlflow package needed).  Fetched
+    results are mirrored into the local JSON directory, so `compare`/
+    `find_latest_shared_commit` (ancestry walk) work unchanged and the local
+    cache keeps working offline.
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        tracking_uri: str,
+        repo: str = ".",
+        experiment: str = "anemoi-tpu-benchmarks",
+        token: Optional[str] = None,
+    ) -> None:
+        super().__init__(directory, repo=repo)
+        from anemoi_tpu.training.mlflow_store import MLflowRestClient
+
+        self.client = MLflowRestClient(tracking_uri, token=token)
+        self.experiment_id = self.client.get_or_create_experiment(experiment)
+
+    def _local_push(self, metrics: Dict[str, float], commit: str) -> None:
+        existing = BenchmarkStore.get(self, commit) or {}
+        existing.update(metrics)
+        with open(self._path(commit), "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+
+    def push(self, metrics: Dict[str, float], commit: Optional[str] = None) -> str:
+        commit = commit or current_commit(self.repo)
+        self._local_push(metrics, commit)  # local mirror first
+        import time
+
+        run_id = self._find_run(commit)
+        if run_id is None:
+            run_id = self.client.create_run(
+                self.experiment_id,
+                run_name=commit[:12],
+                start_time=int(time.time() * 1000),
+                tags={"commit": commit},
+            )
+        payload = [
+            {"key": k, "value": float(v), "timestamp": int(time.time() * 1000),
+             "step": 0}
+            for k, v in metrics.items()
+            if isinstance(v, (int, float))
+        ]
+        self.client.log_batch(run_id, payload, {})
+        return commit
+
+    def _find_run(self, commit: str) -> Optional[str]:
+        runs = self.client.search_runs(
+            self.experiment_id, f"tags.commit = '{commit}'", max_results=1
+        )
+        return runs[0]["info"]["run_id"] if runs else None
+
+    def find_latest_shared_commit(self, exclude_head: bool = True) -> Optional[str]:
+        """Local cache first; on a fresh machine, probe the remote for each
+        ancestor (mirroring hits locally) up to a bounded depth."""
+        local = super().find_latest_shared_commit(exclude_head)
+        if local is not None:
+            return local
+        ancestry = commit_ancestry(self.repo)
+        if exclude_head and ancestry:
+            ancestry = ancestry[1:]
+        for commit in ancestry[:25]:
+            if self.get(commit) is not None:
+                return commit
+        return None
+
+    def get(self, commit: str) -> Optional[Dict[str, float]]:
+        local = BenchmarkStore.get(self, commit)
+        if local is not None:
+            return local
+        runs = self.client.search_runs(
+            self.experiment_id, f"tags.commit = '{commit}'", max_results=1
+        )
+        if not runs:
+            return None
+        metrics = {
+            m["key"]: m["value"]
+            for m in runs[0].get("data", {}).get("metrics", [])
+        }
+        if metrics:  # mirror into the local cache for future offline runs
+            self._local_push(metrics, commit)
+        return metrics or None
+
+
+def open_benchmark_store(directory: str, repo: str = ".") -> BenchmarkStore:
+    """Store factory: remote (shared) when ANEMOI_TPU_BENCHMARK_URI points at
+    an MLflow tracking server, local JSON otherwise.  Used by bench.py and
+    the profiler's --benchmark-store path."""
+    import os
+
+    uri = os.environ.get("ANEMOI_TPU_BENCHMARK_URI")
+    if uri:
+        try:
+            return RemoteBenchmarkStore(
+                directory, uri, repo=repo,
+                token=os.environ.get("ANEMOI_TPU_BENCHMARK_TOKEN"),
+            )
+        except Exception as err:  # unreachable server: degrade to local
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Remote benchmark store %s unavailable (%s); using local", uri, err
+            )
+    return BenchmarkStore(directory, repo=repo)

@@ -245,6 +245,19 @@ class MLflowRestClient:
                 payload["params"] = p
             self._call("runs/log-batch", payload)
 
+    def search_runs(self, experiment_id: str, filter_string: str = "",
+                    max_results: int = 100) -> List[Dict[str, Any]]:
+        out = self._call(
+            "runs/search",
+            {
+                "experiment_ids": [experiment_id],
+                "filter": filter_string,
+                "max_results": max_results,
+                "order_by": ["attributes.start_time DESC"],
+            },
+        )
+        return out.get("runs", [])
+
     def terminate_run(self, run_id: str, end_time: Optional[int]) -> None:
         self._call(
             "runs/update",

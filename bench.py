@@ -215,10 +215,11 @@ def main() -> None:
     # push this run into the commit-keyed store and compare against the most
     # recent ancestor commit that also has a stored result
     try:
-        from anemoi_tpu.training.benchmark_store import BenchmarkStore
+        from anemoi_tpu.training.benchmark_store import open_benchmark_store
 
         repo = os.path.dirname(os.path.abspath(__file__))
-        store = BenchmarkStore(os.path.join(repo, ".bench_store"), repo=repo)
+        # ANEMOI_TPU_BENCHMARK_URI=http://mlflow-host -> shared remote store
+        store = open_benchmark_store(os.path.join(repo, ".bench_store"), repo=repo)
         base_commit = store.find_latest_shared_commit()
         metrics_flat = {
             "grid_points_per_s": gps,
