@@ -332,6 +332,7 @@ class AnemoiModelEncProcDec(nn.Module):
                 n_model_shards, dtype=dtype,
                 paged=self.attention_backend == "paged",
                 paged_block=kw["paged_block"],
+                overlap=bool(self.config.get("halo_overlap", True)),
             )
 
         enc_entry = (
@@ -368,6 +369,7 @@ class AnemoiModelEncProcDec(nn.Module):
                         # shard_map (parallel/halo.py shard_paged_tables)
                         paged=self.attention_backend == "paged",
                         paged_block=paged_block,
+                        overlap=bool(self.config.get("halo_overlap", True)),
                     )
                     if self.shard_strategy == "edges"
                     and int(self.config.get("num_model_shards", 1)) > 1

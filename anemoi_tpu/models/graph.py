@@ -142,7 +142,7 @@ class SubGraphArrays:
 
     def sharded_edge_data(
         self, n_shards: int, dtype=jnp.float32, paged: bool = False,
-        paged_block: tuple = (256, 256, 128),
+        paged_block: tuple = (256, 256, 128), overlap: bool = True,
     ) -> EdgeData:
         """EdgeData for the model-parallel "edges" (halo-exchange) strategy:
         partition this sub-graph across ``n_shards`` contiguous node shards,
@@ -165,14 +165,29 @@ class SubGraphArrays:
         )
         num_src_ext = sg.n_local_src + n_shards * sg.h_pair
         tables = dict(shard_tables(sg, num_src_ext))
+        if overlap:
+            # interior/boundary destination split so the per-layer halo
+            # all_to_all overlaps with the interior attention compute
+            # (parallel/halo.py, VERDICT r2 item 6)
+            from anemoi_tpu.parallel.halo import shard_split_tables
+
+            tables.update(shard_split_tables(sg, num_src_ext))
         halo_paged_meta = None
         if paged:
-            from anemoi_tpu.parallel.halo import shard_paged_tables
+            from anemoi_tpu.parallel.halo import (
+                shard_paged_tables,
+                shard_split_paged_tables,
+            )
 
             bd, page, r = paged_block
-            pg_tables, halo_paged_meta = shard_paged_tables(
-                sg, num_src_ext, bd=bd, page=page, r=r
-            )
+            if overlap:
+                pg_tables, halo_paged_meta = shard_split_paged_tables(
+                    sg, num_src_ext, bd=bd, page=page, r=r
+                )
+            else:
+                pg_tables, halo_paged_meta = shard_paged_tables(
+                    sg, num_src_ext, bd=bd, page=page, r=r
+                )
             tables.update(pg_tables)
         S, e_loc = sg.edge_attr_perm.shape
         inv = np.zeros(self.num_edges, dtype=np.int32)

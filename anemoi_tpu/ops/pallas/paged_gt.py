@@ -98,6 +98,14 @@ class PagedCSR:
         return int(self.blk_ids.shape[0])
 
     @property
+    def num_pairs(self) -> int:
+        """Distinct (dst-block, src-page) pairs = page-DMA count per K/V
+        array (the kernel's gather-bound roofline term)."""
+        return len(
+            np.unique(self.blk_ids.astype(np.int64) * (2**31) + self.page_ids)
+        )
+
+    @property
     def num_flat(self) -> int:
         return self.num_slots * self.r
 

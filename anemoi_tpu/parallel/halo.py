@@ -156,6 +156,199 @@ def halo_exchange_b(x: jnp.ndarray, tables, axis_name: str = "model") -> jnp.nda
     )
 
 
+# --- interior/boundary destination split (halo-overlap) ----------------
+# Splitting each shard's destinations into interior rows (every source
+# local) and boundary rows (>=1 halo source) removes the all_to_all from the
+# interior attention's dependency chain, so XLA's latency-hiding scheduler
+# overlaps the halo exchange with the interior compute (VERDICT r2 item 6;
+# reference analogue: the halo machinery of models/distributed/halo.py:106).
+
+
+@jax.custom_vjp
+def route_rows_b(x: jnp.ndarray, fwd_idx: jnp.ndarray, bwd_idx: jnp.ndarray):
+    """Gather-routing with gather-only backward: out[:, m] = x[:, fwd_idx[m]]
+    (index == x.shape[1] -> zero row).  Requires ``fwd_idx``/``bwd_idx`` to be
+    mutually inverse on valid entries (each valid input row used exactly
+    once), so the backward is the same routing with ``bwd_idx``."""
+    xp = jnp.concatenate([x, jnp.zeros_like(x[:, :1])], axis=1)
+    return jnp.take(xp, fwd_idx, axis=1)
+
+
+def _route_fwd(x, fwd_idx, bwd_idx):
+    return route_rows_b(x, fwd_idx, bwd_idx), bwd_idx
+
+
+def _route_bwd(bwd_idx, g):
+    gp = jnp.concatenate([g, jnp.zeros_like(g[:, :1])], axis=1)
+    return jnp.take(gp, bwd_idx, axis=1), None, None
+
+
+route_rows_b.defvjp(_route_fwd, _route_bwd)
+
+
+def interior_boundary_rows(sg) -> tuple:
+    """Per-shard (interior_rows, boundary_rows): a dst row is boundary iff
+    any of its valid source slots lives in the halo region (local source ids
+    are < n_local_src; halo buffer rows follow)."""
+    import numpy as np
+
+    interior, boundary = [], []
+    for s in range(sg.n_shards):
+        is_halo = sg.mask[s] & (sg.src_slots[s] >= sg.n_local_src)
+        bnd = is_halo.any(axis=1)
+        interior.append(np.flatnonzero(~bnd))
+        boundary.append(np.flatnonzero(bnd))
+    return interior, boundary
+
+
+def _sub_padded_tables(sg, rows_per_shard, num_src: int, n_sub: int, prefix: str):
+    """Stacked padded attention tables for the dst-row SUBSET of each shard
+    (same k_in flat-slot space; per-shard edge ids preserved so both subsets
+    index the shared [E_loc] edge array)."""
+    import numpy as np
+
+    from anemoi_tpu.ops.padded import PaddedCSR
+
+    k_in = sg.src_slots.shape[-1]
+    e_loc = sg.edge_attr_perm.shape[1]
+    out = {f"{prefix}src_slots": [], f"{prefix}edge_slots": [], f"{prefix}mask": [],
+           f"{prefix}src_gather_slots": [], f"{prefix}src_gather_mask": [],
+           f"{prefix}edge_gather_slot": [], f"{prefix}edge_dst": [],
+           f"{prefix}edge_src": []}
+    for s in range(sg.n_shards):
+        rows = rows_per_shard[s]
+        sub_mask = np.zeros((n_sub, k_in), dtype=bool)
+        sub_src = np.zeros((n_sub, k_in), dtype=sg.src_slots.dtype)
+        sub_edge = np.full((n_sub, k_in), e_loc, dtype=sg.edge_slots.dtype)
+        sub_mask[: len(rows)] = sg.mask[s][rows]
+        sub_src[: len(rows)] = sg.src_slots[s][rows]
+        sub_edge[: len(rows)] = sg.edge_slots[s][rows]
+        # dst-major edge walk of the subset for the backward transposes
+        d_sub, w = np.nonzero(sub_mask)
+        eids = sub_edge[d_sub, w].astype(np.int64)
+        src = sub_src[d_sub, w].astype(np.int64)
+        ei = np.stack([src, d_sub.astype(np.int64)])
+        dst_ptr = np.zeros(n_sub + 1, dtype=np.int64)
+        np.cumsum(np.bincount(d_sub, minlength=n_sub), out=dst_ptr[1:])
+        csr = PaddedCSR.from_edge_index(ei, dst_ptr, num_src=num_src, k_in=k_in)
+        egs = np.full(e_loc, n_sub * k_in, np.int32)
+        ed = np.zeros(e_loc, np.int32)
+        es_ = np.zeros(e_loc, np.int32)
+        egs[eids] = csr.edge_gather_slot
+        ed[eids] = csr.edge_dst
+        es_[eids] = csr.edge_src
+        out[f"{prefix}src_slots"].append(sub_src)
+        out[f"{prefix}edge_slots"].append(sub_edge)
+        out[f"{prefix}mask"].append(sub_mask)
+        out[f"{prefix}src_gather_slots"].append(csr.src_gather_slots)
+        out[f"{prefix}src_gather_mask"].append(csr.src_gather_mask)
+        out[f"{prefix}edge_gather_slot"].append(egs)
+        out[f"{prefix}edge_dst"].append(ed)
+        out[f"{prefix}edge_src"].append(es_)
+
+    # per-shard K_out may differ: pad the src transposes to the max
+    ko_max = max(a.shape[1] for a in out[f"{prefix}src_gather_slots"])
+    pad_flat = n_sub * k_in
+    for key, fill in ((f"{prefix}src_gather_slots", pad_flat),
+                      (f"{prefix}src_gather_mask", False)):
+        padded = []
+        for a in out[key]:
+            buf = np.full((a.shape[0], ko_max), fill, a.dtype)
+            buf[:, : a.shape[1]] = a
+            padded.append(buf)
+        out[key] = padded
+    return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+
+
+def shard_split_tables(sg, num_src_ext: int) -> dict:
+    """Interior/boundary split tables for the halo-overlap path: routing
+    index pairs + padded attention tables for both subsets."""
+    import numpy as np
+
+    interior, boundary = interior_boundary_rows(sg)
+    n_int = max(max((len(r) for r in interior), default=1), 1)
+    n_bnd = max(max((len(r) for r in boundary), default=1), 1)
+    split_idx = np.full((sg.n_shards, n_int + n_bnd), sg.n_local, np.int32)
+    combine_idx = np.zeros((sg.n_shards, sg.n_local), np.int32)
+    for s in range(sg.n_shards):
+        split_idx[s, : len(interior[s])] = interior[s]
+        split_idx[s, n_int : n_int + len(boundary[s])] = boundary[s]
+        combine_idx[s, interior[s]] = np.arange(len(interior[s]))
+        combine_idx[s, boundary[s]] = n_int + np.arange(len(boundary[s]))
+    tables = {
+        "ib_split_idx": jnp.asarray(split_idx),
+        "ib_combine_idx": jnp.asarray(combine_idx),
+    }
+    tables.update(_sub_padded_tables(sg, interior, sg.n_local_src, n_int, "int_"))
+    tables.update(_sub_padded_tables(sg, boundary, num_src_ext, n_bnd, "bnd_"))
+    return tables
+
+
+def shard_split_paged_tables(
+    sg, num_src_ext: int, bd: int = 128, page: int = 256, r: int = 128
+) -> tuple:
+    """Paged-kernel slot tables for the interior/boundary subsets (the
+    overlap path's flagship-kernel variant)."""
+    import numpy as np
+
+    interior, boundary = interior_boundary_rows(sg)
+    n_int = max(max((len(r_) for r_ in interior), default=1), 1)
+    n_bnd = max(max((len(r_) for r_ in boundary), default=1), 1)
+
+    def build(rows_per_shard, n_sub, num_src, prefix):
+        from anemoi_tpu.ops.pallas.paged_gt import build_paged_csr
+
+        e_loc = sg.edge_attr_perm.shape[1]
+        csrs = []
+        for s in range(sg.n_shards):
+            rows = rows_per_shard[s]
+            mask = np.zeros((n_sub, sg.mask.shape[-1]), dtype=bool)
+            srcs = np.zeros_like(mask, dtype=sg.src_slots.dtype)
+            edges = np.zeros_like(mask, dtype=sg.edge_slots.dtype)
+            mask[: len(rows)] = sg.mask[s][rows]
+            srcs[: len(rows)] = sg.src_slots[s][rows]
+            edges[: len(rows)] = sg.edge_slots[s][rows]
+            d_sub, w = np.nonzero(mask)
+            eids = edges[d_sub, w]
+            ei = np.stack([srcs[d_sub, w], d_sub]).astype(np.int64)
+            csr = build_paged_csr(ei, num_src, n_sub, bd=bd, page=page, r=r)
+            csrs.append((csr, eids))
+        s_max = max(c.num_slots for c, _ in csrs)
+        v_max = max(len(c.visit_slot) for c, _ in csrs)
+        f_max = s_max * r
+        out = {f"{prefix}pg_{k}": [] for k in (
+            "blk_ids", "page_ids", "idx", "visit_slot", "visit_page",
+            "slot_gather", "edge_slot",
+        )}
+        for csr, eids in csrs:
+            ns = csr.num_slots
+            pad_s = s_max - ns
+            blk = np.concatenate([csr.blk_ids, np.repeat(csr.blk_ids[-1], pad_s)])
+            pg = np.concatenate([csr.page_ids, np.repeat(csr.page_ids[-1], pad_s)])
+            idx = np.concatenate(
+                [csr.idx, np.broadcast_to(csr.idx[-1:], (pad_s,) + csr.idx.shape[1:])]
+            )
+            pad_v = v_max - len(csr.visit_slot)
+            vs = np.concatenate([csr.visit_slot, np.repeat(ns - 1, pad_v)])
+            vp = np.concatenate([csr.visit_page, np.repeat(csr.visit_page[-1], pad_v)])
+            slot_gather = np.full(f_max, e_loc, np.int32)
+            slot_gather[csr.slot_pos] = eids.astype(np.int32)
+            edge_slot = np.full(e_loc, csr.num_flat - 1, np.int32)
+            edge_slot[eids] = csr.slot_pos.astype(np.int32)
+            out[f"{prefix}pg_blk_ids"].append(blk.astype(np.int32))
+            out[f"{prefix}pg_page_ids"].append(pg.astype(np.int32))
+            out[f"{prefix}pg_idx"].append(idx.astype(np.int32))
+            out[f"{prefix}pg_visit_slot"].append(vs.astype(np.int32))
+            out[f"{prefix}pg_visit_page"].append(vp.astype(np.int32))
+            out[f"{prefix}pg_slot_gather"].append(slot_gather)
+            out[f"{prefix}pg_edge_slot"].append(edge_slot)
+        return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+
+    tables = build(interior, n_int, sg.n_local_src, "int_")
+    tables.update(build(boundary, n_bnd, num_src_ext, "bnd_"))
+    return tables, (bd, page, r)
+
+
 def _tables_to_padded(tables) -> PaddedTables:
     return PaddedTables(
         src_slots=tables["src_slots"],
@@ -202,8 +395,51 @@ def halo_gt_attention(
     node_spec = P(None, axis_name, None)
     shard_spec = P(axis_name)
     table_specs = {k: shard_spec for k in tables}
-    use_paged = paged_meta is not None and "pg_blk_ids" in tables
+    use_paged = paged_meta is not None and (
+        "pg_blk_ids" in tables or "int_pg_blk_ids" in tables
+    )
     stabilize = os.environ.get("ANEMOI_PAGED_STABILIZE", "1") == "1"
+
+    overlap = "ib_split_idx" in tables
+
+    def _paged_attn(q_b, k_b, v_b, e0, tbl, prefix=""):
+        from anemoi_tpu.ops.pallas.paged_gt import (
+            PagedTables,
+            paged_gt_attention_flat as paged_flat,
+            to_slot_layout,
+        )
+
+        bd, pg, r = paged_meta
+        tab = PagedTables(
+            blk_ids=tbl[f"{prefix}pg_blk_ids"],
+            page_ids=tbl[f"{prefix}pg_page_ids"],
+            idx=tbl[f"{prefix}pg_idx"],
+            visit_slot=tbl[f"{prefix}pg_visit_slot"],
+            visit_page=tbl[f"{prefix}pg_visit_page"],
+            slot_gather=tbl[f"{prefix}pg_slot_gather"],
+            edge_slot=tbl[f"{prefix}pg_edge_slot"],
+            bd=bd, page=pg, r=r,
+            num_src=k_b.shape[1], num_dst=q_b.shape[1],
+        )
+        e_slots = to_slot_layout(e0, tab.slot_gather, tab.edge_slot)
+        return jnp.stack(
+            [
+                paged_flat(q_b[b], k_b[b], v_b[b], e_slots, num_heads,
+                           tab, stabilize)
+                for b in range(q_b.shape[0])
+            ],
+            axis=0,
+        )
+
+    def _padded_attn(q_b, k_b, v_b, e0, tbl, prefix=""):
+        pt = _tables_to_padded({kk: tbl[f"{prefix}{kk}"] for kk in _HALO_TABLE_KEYS})
+
+        def one(q1, k1, v1):
+            return padded_gt_attention_flat(q1, k1, v1, e0, num_heads, pt)
+
+        return jax.vmap(one)(q_b, k_b, v_b)
+
+    attn = _paged_attn if use_paged else _padded_attn
 
     def kernel(q, k, v, e, tbl):
         tbl = {kk: a[0] for kk, a in tbl.items()}  # strip the [1] shard axis
@@ -212,45 +448,25 @@ def halo_gt_attention(
             for kk in ("send_idx", "send_mask", "send_transpose_idx",
                        "send_transpose_mask")
         }
+        e0 = None if e is None else e[0]
+        if overlap:
+            # interior/boundary split: the interior attention depends only on
+            # LOCAL k/v, so XLA overlaps the halo all_to_all with it; the
+            # boundary attention consumes [local | halo] afterwards
+            split_idx = tbl["ib_split_idx"]
+            combine_idx = tbl["ib_combine_idx"]
+            n_int = tbl["int_mask"].shape[0]  # static (table shape)
+            k_ext = halo_exchange_b(k, send_tbl, axis_name)
+            v_ext = halo_exchange_b(v, send_tbl, axis_name)
+            q_split = route_rows_b(q, split_idx, combine_idx)
+            out_int = attn(q_split[:, :n_int], k, v, e0, tbl, "int_")
+            out_bnd = attn(q_split[:, n_int:], k_ext, v_ext, e0, tbl, "bnd_")
+            combined = jnp.concatenate([out_int, out_bnd], axis=1)
+            return route_rows_b(combined, combine_idx, split_idx)
+
         k_ext = halo_exchange_b(k, send_tbl, axis_name)
         v_ext = halo_exchange_b(v, send_tbl, axis_name)
-        e0 = None if e is None else e[0]
-
-        if use_paged:
-            from anemoi_tpu.ops.pallas.paged_gt import (
-                PagedTables,
-                paged_gt_attention_flat as paged_flat,
-                to_slot_layout,
-            )
-
-            bd, pg, r = paged_meta
-            tab = PagedTables(
-                blk_ids=tbl["pg_blk_ids"],
-                page_ids=tbl["pg_page_ids"],
-                idx=tbl["pg_idx"],
-                visit_slot=tbl["pg_visit_slot"],
-                visit_page=tbl["pg_visit_page"],
-                slot_gather=tbl["pg_slot_gather"],
-                edge_slot=tbl["pg_edge_slot"],
-                bd=bd, page=pg, r=r,
-                num_src=k_ext.shape[1], num_dst=q.shape[1],
-            )
-            e_slots = to_slot_layout(e0, tab.slot_gather, tab.edge_slot)
-            return jnp.stack(
-                [
-                    paged_flat(q[b], k_ext[b], v_ext[b], e_slots, num_heads,
-                               tab, stabilize)
-                    for b in range(q.shape[0])
-                ],
-                axis=0,
-            )
-
-        pt = _tables_to_padded({kk: tbl[kk] for kk in _HALO_TABLE_KEYS})
-
-        def one(q1, k1, v1):
-            return padded_gt_attention_flat(q1, k1, v1, e0, num_heads, pt)
-
-        return jax.vmap(one)(q, k_ext, v_ext)
+        return attn(q, k_ext, v_ext, e0, tbl, "")
 
     in_specs = (node_spec, node_spec, node_spec,
                 None if edges is None else shard_spec, table_specs)

@@ -154,6 +154,10 @@ class ModelSchema(BaseModel):
     # the model-wide one when unset
     paged_fused_bwd: bool = False
     paged_mapper_fused_bwd: Optional[bool] = None
+    # edges strategy: split each shard's destinations into interior rows
+    # (local sources only) and boundary rows so XLA overlaps the per-layer
+    # halo all_to_all with the interior attention (parallel/halo.py)
+    halo_overlap: bool = True
     # serving precision (predict_step / forecast CLI / transport sampler):
     # bf16 model forward with fp32 pre/post-processing (ref serves 16-mixed)
     inference_precision: str = "bf16"

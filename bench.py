@@ -148,14 +148,33 @@ def main() -> None:
 
     log("compiling train step ...")
     t0 = time.time()
-    state, metrics = train_step(state, batch)
+    # AOT lower+compile so the SAME executable yields XLA's cost analysis
+    # (flops / bytes accessed) for MFU + HBM-roofline reporting
+    cost = None
+    try:
+        compiled = train_step.jitted.lower(
+            state, batch, *train_step.bound_args
+        ).compile()
+
+        def run_step(s, b):
+            return compiled(s, b, *train_step.bound_args)
+
+        try:
+            c = compiled.cost_analysis()
+            cost = c[0] if isinstance(c, (list, tuple)) else c
+        except Exception as e:
+            log(f"cost_analysis unavailable: {e}")
+    except Exception as e:
+        log(f"AOT compile unavailable ({e}); jit path")
+        run_step = train_step
+    state, metrics = run_step(state, batch)
     jax.block_until_ready(metrics["loss"])
     compile_s = time.time() - t0
     log(f"train step compiled in {compile_s:.1f}s")
 
     t0 = time.time()
     for _ in range(steps):
-        state, metrics = train_step(state, batch)
+        state, metrics = run_step(state, batch)
     jax.block_until_ready(metrics["loss"])
     step_time = (time.time() - t0) / steps
 
@@ -179,6 +198,38 @@ def main() -> None:
         log(f"inference timing skipped: {e}")
 
     gps = n_grid * rollout / step_time  # grid-points advanced per second per chip
+
+    # --- MFU + HBM roofline (VERDICT r2 item 3) ------------------------
+    # achieved FLOP/s and HBM traffic vs chip peaks; primary source: XLA's
+    # cost analysis of the executed program, cross-checked by the analytic
+    # model in utils/costs.py
+    from anemoi_tpu.utils.costs import chip_peaks, estimate_train_step_flops
+
+    flops_analytic = estimate_train_step_flops(
+        graph, channels, layers, rollout=rollout, ensemble=ens
+    )
+    flops_xla = float(cost.get("flops", 0.0)) if cost else 0.0
+    bytes_xla = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
+    peaks = chip_peaks(jax.devices()[0].device_kind)
+    mfu = hbm_util = None
+    flops_best = flops_xla or flops_analytic
+    if peaks and flops_best:
+        peak_f, peak_b = peaks
+        mfu = flops_best / step_time / peak_f
+        if bytes_xla:
+            hbm_util = bytes_xla / step_time / peak_b
+        log(
+            f"mfu {mfu * 100:.1f}% ({flops_best / 1e12:.2f} TFLOP/step, "
+            f"xla={flops_xla / 1e12:.2f} analytic={flops_analytic / 1e12:.2f}; "
+            f"peak {peak_f / 1e12:.0f} TFLOP/s)"
+            + (
+                f", hbm {hbm_util * 100:.1f}% ({bytes_xla / 1e9:.1f} GB/step, "
+                f"peak {peak_b / 1e9:.0f} GB/s)"
+                if hbm_util is not None
+                else ""
+            )
+        )
+
     baseline = 15007.6  # round-1 anchor (BENCH_BASELINE.json); ref publishes no absolute numbers
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")) as f:
@@ -208,6 +259,11 @@ def main() -> None:
             "device": str(jax.devices()[0]),
             "infer_ms": None if infer_ms is None else round(infer_ms, 2),
             "loss": float(metrics["loss"]),
+            "mfu": None if mfu is None else round(mfu, 4),
+            "hbm_util": None if hbm_util is None else round(hbm_util, 4),
+            "tflops_per_step_xla": round(flops_xla / 1e12, 3) if flops_xla else None,
+            "tflops_per_step_analytic": round(flops_analytic / 1e12, 3),
+            "hbm_gb_per_step": round(bytes_xla / 1e9, 2) if bytes_xla else None,
         },
     }
 
@@ -227,6 +283,10 @@ def main() -> None:
             "compile_s": compile_s,
             "loss": float(metrics["loss"]),
         }
+        if mfu is not None:
+            metrics_flat["mfu"] = mfu
+        if hbm_util is not None:
+            metrics_flat["hbm_util"] = hbm_util
         cmp = store.compare(metrics_flat) if base_commit else None
         commit = store.push(metrics_flat)
         result["store"] = {"commit": commit, "compare": cmp}

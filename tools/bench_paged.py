@@ -131,7 +131,39 @@ def main():
         else:
             ms = time_fn(jax.jit(jax.grad(paged_loss, argnums=(0, 1, 2, 3))),
                          q, k, v, e_slots)
-        print(f"  paged {mode}: {ms:.3f} ms")
+        # gather-bound roofline: the kernel's minimum HBM traffic is the K/V
+        # page DMAs (pairs x page x HD x 2 arrays) + the slotted edge
+        # features + q read/out write; fwd distance from that bound is the
+        # "speed of light" gap (docs/benchmarking.md)
+        hd = q.shape[-1]
+        el = 2 if dtype == jnp.bfloat16 else 4
+        bytes_fwd = (
+            pcsr.num_pairs * page * hd * 2 * el
+            + pcsr.num_flat * hd * el
+            + 2 * n * hd * el
+        )
+        if mode == "fwd":
+            from anemoi_tpu.utils.costs import chip_peaks
+
+            gbs = bytes_fwd / (ms / 1e3) / 1e9
+            # MXU bound: the one-hot iota-compare gathers ARE matmuls —
+            # per slot: k,v gathers 2*(2*r*page*HD), dst scatter 2*bd*r*HD,
+            # qk/weight ~2*2*r*HD (small)
+            flops_fwd = pcsr.num_slots * (
+                2 * (2 * r * page * hd) + 2 * bd * r * hd
+            )
+            tfs = flops_fwd / (ms / 1e3) / 1e12
+            peaks = chip_peaks(jax.devices()[0].device_kind)
+            extra = ""
+            if peaks:
+                extra = (f" = {gbs / (peaks[1] / 1e9) * 100:.0f}% HBM-peak, "
+                         f"{tfs / (peaks[0] / 1e12) * 100:.0f}% MXU-peak")
+            print(f"  paged {mode}: {ms:.3f} ms  "
+                  f"(pairs={pcsr.num_pairs}, min-DMA {bytes_fwd / 1e6:.0f} MB "
+                  f"@ {gbs:.0f} GB/s, gather-matmul {flops_fwd / 1e9:.0f} GF "
+                  f"@ {tfs:.0f} TF/s{extra})")
+        else:
+            print(f"  paged {mode}: {ms:.3f} ms")
 
     if mode == "fwd":
         ms = time_fn(jax.jit(padded_fwd), q, k, v, e_dev)
