@@ -17,10 +17,14 @@ Two index spaces:
 
 from __future__ import annotations
 
-import operator
 from typing import Dict, List, Optional
 
 from anemoi_tpu.data_indices.tensor import InputTensorIndex, OutputTensorIndex
+
+
+def _by_index(name_to_index: Dict[str, int]) -> List[str]:
+    """Variable names ordered by their dataset index."""
+    return sorted(name_to_index, key=name_to_index.__getitem__)
 
 
 class SpaceIndex:
@@ -40,13 +44,15 @@ class SpaceIndex:
 
 
 def _contiguous_span(indices: List[int]):
+    """(is_contiguous, start, length) of an ascending run; (False, 0, 0) when
+    the positions are not one unbroken range (the jit output-projection then
+    falls back to a gather instead of a static slice)."""
     if not indices:
         return True, 0, 0
-    start = indices[0]
-    for offset, index in enumerate(indices):
-        if index != start + offset:
-            return False, 0, 0
-    return True, start, len(indices)
+    lo = indices[0]
+    if indices == list(range(lo, lo + len(indices))):
+        return True, lo, len(indices)
+    return False, 0, 0
 
 
 class IndexCollection:
@@ -59,35 +65,28 @@ class IndexCollection:
         diagnostic: Optional[List[str]] = None,
         target: Optional[List[str]] = None,
     ) -> None:
-        self.name_to_index = dict(sorted(name_to_index.items(), key=operator.itemgetter(1)))
+        ordered = _by_index(name_to_index)
+        self.name_to_index = {n: name_to_index[n] for n in ordered}
         self.forcing = list(forcing or [])
         self.diagnostic = list(diagnostic or [])
         self.target = list(target or [])
 
         defined = set(self.forcing) | set(self.diagnostic) | set(self.target)
-        self.prognostic = [v for v in self.name_to_index if v not in defined]
+        self.prognostic = [v for v in ordered if v not in defined]
 
-        assert set(self.diagnostic).isdisjoint(self.forcing), (
-            f"Diagnostic and forcing variables overlap: "
-            f"{set(self.diagnostic) & set(self.forcing)}."
-        )
-        assert set(self.diagnostic).isdisjoint(self.target), (
-            f"Diagnostic and target variables overlap: "
-            f"{set(self.diagnostic) & set(self.target)}."
-        )
+        for role, names in (("forcing", self.forcing), ("target", self.target)):
+            clash = set(self.diagnostic) & set(names)
+            assert not clash, (
+                f"a variable cannot be both diagnostic and {role}: {sorted(clash)}"
+            )
 
-        name_to_index_model_input = {
-            n: i
-            for i, n in enumerate(
-                k for k in self.name_to_index if k in self.forcing or k in self.prognostic
-            )
-        }
-        name_to_index_model_output = {
-            n: i
-            for i, n in enumerate(
-                k for k in self.name_to_index if k in self.prognostic or k in self.diagnostic
-            )
-        }
+        def packed(*roles: List[str]) -> Dict[str, int]:
+            # model-space enumeration: dataset order, restricted to the roles
+            keep = set().union(*roles)
+            return {n: i for i, n in enumerate(k for k in ordered if k in keep)}
+
+        name_to_index_model_input = packed(self.forcing, self.prognostic)
+        name_to_index_model_output = packed(self.prognostic, self.diagnostic)
 
         self.data = SpaceIndex(
             InputTensorIndex(
@@ -126,9 +125,7 @@ class IndexCollection:
             ),
         )
 
-        self.data_full_ordered_names = [
-            n for n, _ in sorted(self.name_to_index.items(), key=operator.itemgetter(1))
-        ]
+        self.data_full_ordered_names = ordered
         self.data_full_name_to_position = {
             n: p for p, n in enumerate(self.data_full_ordered_names)
         }

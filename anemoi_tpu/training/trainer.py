@@ -589,6 +589,12 @@ class AnemoiTrainer:
         self.save_inference_checkpoint()
         for lg in self.loggers:
             lg.finalize()
+        # drain outstanding background precompiles: a daemon thread killed at
+        # interpreter exit mid-XLA-compile aborts the process (pthread
+        # forced-unwind inside native code -> "FATAL: exception not rethrown")
+        for t in list(self._precompile_threads.values()):
+            t.join()
+        self._precompile_threads.clear()
         return {"final_loss": last_loss, "steps": global_step}
 
     # ------------------------------------------------------------------
