@@ -72,3 +72,37 @@ def test_gather_provenance_info():
     assert "git" in info and len(info["git"]["commit"]) == 40
     full = gather_provenance_info(full_pip=True)
     assert len(full["pip_freeze"]) > 20
+
+
+def test_chip_peaks_and_analytic_flops(monkeypatch):
+    from anemoi_tpu.utils.costs import chip_peaks, estimate_train_step_flops
+
+    # longest-prefix device-kind match + env override
+    f, b = chip_peaks("TPU v5 lite0")
+    assert f == 197e12 and b == 819e9
+    assert chip_peaks("cpu") is None
+    monkeypatch.setenv("BENCH_PEAK_TFLOPS", "100")
+    monkeypatch.setenv("BENCH_PEAK_HBM_GBS", "500")
+    assert chip_peaks("anything") == (100e12, 500e9)
+
+    class _N:
+        def __init__(self, n):
+            self.num_nodes = n
+
+    class _E:
+        def __init__(self, e):
+            self.num_edges = e
+
+    graph = {
+        "data": _N(40320), "hidden": _N(10242),
+        ("data", "hidden"): _E(300000),
+        ("hidden", "hidden"): _E(90000),
+        ("hidden", "data"): _E(120000),
+    }
+    f16 = estimate_train_step_flops(graph, 512, 16)
+    f32 = estimate_train_step_flops(graph, 512, 32)
+    assert f16 > 0
+    # processor flops dominate and scale ~linearly in layers
+    assert 1.5 < f32 / f16 < 2.0
+    # rollout multiplies the whole step
+    assert estimate_train_step_flops(graph, 512, 16, rollout=2) == 2 * f16
