@@ -54,14 +54,22 @@ class FeedForwardLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # tagged so remat_policy=save_attention_mlp can save the [N, ratio*C]
+        # hidden activation (the biggest matmul input the backward replays)
+        from jax.ad_checkpoint import checkpoint_name
+
         if self.implementation == "mlp":
             x = nn.Dense(self.out_features, dtype=self.dtype, name="linear")(x)
-            return get_activation(self.activation)(x)
+            return checkpoint_name(
+                get_activation(self.activation)(x), "mlp_hidden"
+            )
         if self.implementation not in GATING:
             raise ValueError(f"Unknown mlp implementation '{self.implementation}'")
         gate = nn.Dense(self.out_features, dtype=self.dtype, name="gate_proj")(x)
         value = nn.Dense(self.out_features, dtype=self.dtype, name="value_proj")(x)
-        return GATING[self.implementation](gate) * value
+        return checkpoint_name(
+            GATING[self.implementation](gate) * value, "mlp_hidden"
+        )
 
 
 class MLP(nn.Module):

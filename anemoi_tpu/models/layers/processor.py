@@ -51,7 +51,7 @@ class GraphTransformerProcessor(nn.Module):
     mlp_implementation: str = "mlp"
     conditional: bool = False
     gradient_checkpointing: bool = True
-    # full | save_attention | dots (see resolve_remat_policy); the default
+    # full | save_attention | save_attention_mlp | dots (resolve_remat_policy);
     # keeps the attention kernels' out/lse (measured: o160 896->680 ms,
     # n320 1207->1046 ms vs full remat) at ~out+lse per layer extra HBM
     remat_policy: Optional[str] = "save_attention"
@@ -164,7 +164,7 @@ class GNNProcessor(nn.Module):
     edge_trainable_size: int = 0
     mlp_implementation: str = "mlp"
     gradient_checkpointing: bool = True
-    # full | save_attention | dots (see resolve_remat_policy); the default
+    # full | save_attention | save_attention_mlp | dots (resolve_remat_policy);
     # keeps the attention kernels' out/lse (measured: o160 896->680 ms,
     # n320 1207->1046 ms vs full remat) at ~out+lse per layer extra HBM
     remat_policy: Optional[str] = "save_attention"
@@ -309,7 +309,7 @@ class TransformerProcessor(nn.Module):
     mlp_implementation: str = "mlp"
     conditional: bool = False
     gradient_checkpointing: bool = True
-    # full | save_attention | dots (see resolve_remat_policy); the default
+    # full | save_attention | save_attention_mlp | dots (resolve_remat_policy);
     # keeps the attention kernels' out/lse (measured: o160 896->680 ms,
     # n320 1207->1046 ms vs full remat) at ~out+lse per layer extra HBM
     remat_policy: Optional[str] = "save_attention"

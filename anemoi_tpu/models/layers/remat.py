@@ -40,6 +40,9 @@ def resolve_remat_policy(name: Optional[str]):
     - "save_attention": save only the attention kernels' out/lse (a few
       [N, HD] tensors per layer) so the backward never re-runs the forward
       kernel; every matmul/norm is still rematerialised.
+    - "save_attention_mlp": save_attention + the [N, ratio*C] MLP hidden
+      activation (tagged in layers/mlp.py) -- the backward replays neither
+      the kernels nor the expansion matmul; one extra big tensor per layer.
     - "dots": XLA-level `dots_with_no_batch_dims_saveable` -- save matmul
       outputs, recompute elementwise only (highest memory short of no remat).
     """
@@ -49,10 +52,15 @@ def resolve_remat_policy(name: Optional[str]):
 
     if name == "save_attention":
         return jax.checkpoint_policies.save_only_these_names(*ATTN_SAVE_NAMES)
+    if name == "save_attention_mlp":
+        return jax.checkpoint_policies.save_only_these_names(
+            *ATTN_SAVE_NAMES, "mlp_hidden"
+        )
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     raise ValueError(
-        f"unknown remat_policy {name!r}: expected full|save_attention|dots"
+        f"unknown remat_policy {name!r}: "
+        "expected full|save_attention|save_attention_mlp|dots"
     )
 
 

@@ -109,9 +109,9 @@ class ProcessorConfig(ComponentConfig):
     @field_validator("remat_policy")
     @classmethod
     def _remat_policy(cls, v: Optional[str]) -> Optional[str]:
-        assert v in (None, "full", "save_attention", "dots"), (
-            f"unknown remat_policy '{v}'"
-        )
+        assert v in (
+            None, "full", "save_attention", "save_attention_mlp", "dots"
+        ), f"unknown remat_policy '{v}'"
         return v
 
     _name = field_validator("name")(_check_registry("processor"))

@@ -296,6 +296,10 @@ def main() -> None:
         ) and jax.devices()[0].platform == "tpu"
         if not flagship:
             tag = f"{grid}-L{mesh_level}-{channels}ch-{layers}l-{backend}-r{rollout}"
+            if os.environ.get("BENCH_REMAT", "0") == "1":
+                tag += "-remat." + os.environ.get(
+                    "BENCH_REMAT_POLICY", "save_attention"
+                )
             metrics_flat = {f"{tag}/{k}": v for k, v in metrics_flat.items()}
         cmp = store.compare(metrics_flat) if base_commit else None
         commit = store.push(metrics_flat)
