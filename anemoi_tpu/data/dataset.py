@@ -2,9 +2,11 @@
 
 Equivalent of the reference's data readers
 (/root/reference/training/src/anemoi/training/data/data_reader.py:86-464),
-which wrap zarr-backed anemoi-datasets.  zarr is not available in this image,
-so the native on-disk format is a directory of npy/npz files with the same
-logical layout as an anemoi dataset:
+which wrap zarr-backed anemoi-datasets.  Anemoi-layout zarr v2 stores are
+read natively through the pure-numpy reader in `data/zarr_reader.py`
+(`ZarrDataset`; the zarr package itself is absent from the image, and blosc-
+compressed stores need a blosc module).  The npy format below is the
+memmap-friendly alternative with the same logical layout:
 
     <dir>/data.npy            [time, variable, ensemble, grid]  (memmap-able)
     <dir>/coords.npz          latitudes, longitudes (degrees)
@@ -209,6 +211,67 @@ class TrajectoryDataset(BaseDataset):
         return np.transpose(w, (2, 1, 3, 0))  # [T, E, G, V]
 
 
+class ZarrDataset(BaseDataset):
+    """Anemoi-layout zarr v2 store (the reference's native dataset format,
+    read through anemoi-datasets there; here via the pure-numpy reader in
+    `data/zarr_reader.py` because the zarr package is absent from the image).
+
+    Group layout: ``data`` [time, variable, ensemble, cell] (time-chunked),
+    ``latitudes``/``longitudes`` (degrees), ``mean``/``stdev``/``minimum``/
+    ``maximum`` [variable]; `.zattrs`: ``variables`` (ordered names, or a
+    ``name_to_index`` map), ``frequency`` ("6h"), ``missing`` (time indices).
+    Codecs: raw/zlib/gzip natively; blosc only if a blosc module is present.
+    """
+
+    def __init__(self, path: str) -> None:
+        from anemoi_tpu.data.zarr_reader import ZarrGroup
+
+        self.path = path
+        group = ZarrGroup(path)
+        attrs = group.attrs
+        if "variables" in attrs:
+            self.variables = list(attrs["variables"])
+        elif "name_to_index" in attrs:
+            n2i = attrs["name_to_index"]
+            self.variables = sorted(n2i, key=n2i.__getitem__)
+        else:
+            raise ValueError(f"{path}: .zattrs has neither variables nor name_to_index")
+        self.timestep_hours = _parse_frequency_hours(attrs.get("frequency", "6h"))
+        self.missing = set(int(i) for i in attrs.get("missing", []))
+        self.latitudes = np.deg2rad(np.asarray(group["latitudes"], np.float64))
+        self.longitudes = np.deg2rad(np.asarray(group["longitudes"], np.float64))
+        self.statistics = {
+            k: np.asarray(group[k], np.float32)
+            for k in ("mean", "stdev", "minimum", "maximum")
+            if k in group
+        }
+        self.statistics_tendencies = None
+        self.data = group["data"]
+        assert self.data.ndim == 4, "zarr data must be [time, variable, ensemble, cell]"
+        assert self.data.shape[1] == len(self.variables), (
+            f"{self.data.shape[1]} data variables != {len(self.variables)} names"
+        )
+
+    def __len__(self) -> int:
+        return self.data.shape[0]
+
+    def get_window(self, start: int, length: int, grid_slice: slice = slice(None)) -> np.ndarray:
+        w = self.data[start : start + length, slice(None), slice(None), grid_slice]
+        # [T, V, E, G] -> [T, E, G, V]
+        return np.transpose(np.asarray(w, np.float32), (0, 2, 3, 1))
+
+
+def _parse_frequency_hours(freq) -> float:
+    """'6h' / '30m' / '1d' / plain numbers -> hours."""
+    if isinstance(freq, (int, float)):
+        return float(freq)
+    s = str(freq).strip().lower()
+    unit = {"h": 1.0, "m": 1.0 / 60.0, "d": 24.0, "s": 1.0 / 3600.0}
+    if s and s[-1] in unit:
+        return float(s[:-1]) * unit[s[-1]]
+    return float(s)
+
+
 class SyntheticDataset(BaseDataset):
     """Deterministic synthetic weather-like fields: per-variable sums of
     rotating spherical harmonics-ish waves so that consecutive steps are
@@ -282,11 +345,15 @@ class SyntheticDataset(BaseDataset):
 
 def open_dataset(path_or_config) -> BaseDataset:
     if isinstance(path_or_config, str):
+        if path_or_config.rstrip("/").endswith(".zarr"):
+            return ZarrDataset(path_or_config)
         return NpyDataset(path_or_config)
     cfg = dict(path_or_config)
     kind = cfg.pop("kind", "npy")
     if kind == "npy":
         return NpyDataset(cfg["path"])
+    if kind == "zarr":
+        return ZarrDataset(cfg["path"])
     if kind == "trajectory":
         return TrajectoryDataset(cfg["path"])
     if kind == "synthetic":

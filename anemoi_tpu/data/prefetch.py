@@ -64,6 +64,16 @@ def prefetch_to_device(
             yield item
     finally:
         stop.set()
+        # actually JOIN the worker: a daemon thread still running inside
+        # native code (zlib chunk decode, device put) when the interpreter
+        # exits aborts the whole process ("FATAL: exception not rethrown").
+        # stop is set, so the worker exits after at most one item.
+        while not q.empty():  # unblock a worker mid-put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=30.0)
 
 
 def maybe_prefetch(

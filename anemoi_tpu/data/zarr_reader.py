@@ -1,0 +1,274 @@
+"""Pure-numpy zarr v2 reader + the anemoi-datasets zarr dataset adapter.
+
+The reference reads training data through the anemoi-datasets package, whose
+on-disk format is a zarr v2 group (ref
+training/src/anemoi/training/data/data_reader.py:86-330 wraps it;
+tests reference `*.zarr` stores throughout).  The zarr package is absent
+from this image, but zarr v2 is only JSON metadata + one file per chunk, so
+this module implements the subset the anemoi layout needs with numpy alone:
+
+- `.zgroup` / `.zattrs` / `.zarray` JSON metadata (+ optional consolidated
+  `.zmetadata`),
+- C-order chunk grids with `.`-separated chunk keys,
+- codecs: uncompressed (``compressor: null``), ``zlib``, ``gzip``, and
+  ``blosc`` when a blosc module is importable (it is not baked into this
+  image -- a clear error names the codec otherwise),
+- fill_value for missing chunk files,
+- basic-slice `__getitem__` (per-axis slices/ints, no fancy indexing).
+
+Anemoi layout adapted by `ZarrDataset` (group arrays): ``data``
+[time, variable, ensemble, cell], ``latitudes``/``longitudes`` (degrees),
+``mean``/``stdev``/``minimum``/``maximum`` [variable], and `.zattrs` with
+``variables`` (ordered names), ``frequency`` ("6h"), ``missing`` (indices).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _decompress(raw: bytes, compressor: Optional[dict]) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.decompress(raw)
+    if cid == "gzip":
+        import gzip
+
+        return gzip.decompress(raw)
+    if cid == "blosc":
+        try:
+            import blosc  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "this zarr store uses the blosc codec, which needs the "
+                "blosc package (not in this image); re-write the store with "
+                "compressor=zlib/gzip/None"
+            ) from e
+        return blosc.decompress(raw)
+    raise ValueError(f"unsupported zarr compressor {compressor!r}")
+
+
+def _compress(raw: bytes, compressor: Optional[dict]) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.compress(raw, compressor.get("level", 1))
+    if cid == "gzip":
+        import gzip
+
+        return gzip.compress(raw, compressor.get("level", 1))
+    raise ValueError(f"unsupported zarr compressor for writing: {compressor!r}")
+
+
+class ZarrV2Array:
+    """Lazy reader for one zarr v2 array directory."""
+
+    def __init__(self, path: str, meta: Optional[dict] = None) -> None:
+        self.path = path
+        if meta is None:
+            with open(os.path.join(path, ".zarray")) as f:
+                meta = json.load(f)
+        if int(meta.get("zarr_format", 2)) != 2:
+            raise ValueError(f"{path}: only zarr v2 is supported")
+        self.shape: Tuple[int, ...] = tuple(meta["shape"])
+        self.chunks: Tuple[int, ...] = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        self.order = meta.get("order", "C")
+        self.compressor = meta.get("compressor")
+        if meta.get("filters"):
+            raise ValueError(f"{path}: zarr filters are not supported")
+        fv = meta.get("fill_value", 0)
+        self.fill_value = self.dtype.type(0 if fv is None else fv)
+        self.sep = meta.get("dimension_separator", ".")
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def _chunk(self, idx: Tuple[int, ...]) -> np.ndarray:
+        fname = os.path.join(self.path, self.sep.join(map(str, idx)))
+        if not os.path.exists(fname):
+            return np.full(self.chunks, self.fill_value, self.dtype)
+        with open(fname, "rb") as f:
+            raw = _decompress(f.read(), self.compressor)
+        arr = np.frombuffer(raw, dtype=self.dtype)
+        return arr.reshape(self.chunks, order=self.order)
+
+    def __getitem__(self, key) -> np.ndarray:
+        if not isinstance(key, tuple):
+            key = (key,)
+        key = key + (slice(None),) * (self.ndim - len(key))
+        if len(key) != self.ndim:
+            raise IndexError(f"too many indices for shape {self.shape}")
+        sel, squeeze = [], []
+        for ax, k in enumerate(key):
+            n = self.shape[ax]
+            if isinstance(k, (int, np.integer)):
+                k = int(k) + (n if k < 0 else 0)
+                if not 0 <= k < n:
+                    raise IndexError(f"index {k} out of range axis {ax} ({n})")
+                sel.append((k, k + 1, 1))
+                squeeze.append(ax)
+            elif isinstance(k, slice):
+                start, stop, step = k.indices(n)
+                if step != 1:
+                    raise IndexError("strided zarr slicing is not supported")
+                sel.append((start, stop, 1))
+            else:
+                raise IndexError(f"unsupported zarr index {k!r}")
+        out_shape = tuple(max(0, b - a) for a, b, _ in sel)
+        out = np.empty(out_shape, self.dtype)
+        if out.size:
+            ranges = [
+                range(a // c, (b - 1) // c + 1) if b > a else range(0)
+                for (a, b, _), c in zip(sel, self.chunks)
+            ]
+            import itertools
+
+            for idx in itertools.product(*ranges):
+                chunk = self._chunk(idx)
+                src, dst = [], []
+                for ax, ci in enumerate(idx):
+                    a, b, _ = sel[ax]
+                    c = self.chunks[ax]
+                    lo = max(a, ci * c)
+                    hi = min(b, (ci + 1) * c, self.shape[ax])
+                    src.append(slice(lo - ci * c, hi - ci * c))
+                    dst.append(slice(lo - a, hi - a))
+                out[tuple(dst)] = chunk[tuple(src)]
+        return out.reshape(
+            tuple(s for ax, s in enumerate(out_shape) if ax not in squeeze)
+        )
+
+    def __array__(self, dtype=None) -> np.ndarray:
+        full = self[(slice(None),) * self.ndim]
+        return full.astype(dtype) if dtype is not None else full
+
+
+class ZarrGroup:
+    """A zarr v2 group directory: attrs + named member arrays/groups."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        zmeta = os.path.join(path, ".zmetadata")
+        self._consolidated = None
+        if os.path.exists(zmeta):
+            with open(zmeta) as f:
+                self._consolidated = json.load(f).get("metadata", {})
+        self.attrs: dict = {}
+        if self._consolidated and ".zattrs" in self._consolidated:
+            self.attrs = dict(self._consolidated[".zattrs"])
+        elif os.path.exists(os.path.join(path, ".zattrs")):
+            with open(os.path.join(path, ".zattrs")) as f:
+                self.attrs = json.load(f)
+
+    def array_keys(self) -> List[str]:
+        if self._consolidated is not None:
+            return sorted(
+                k.split("/")[0]
+                for k in self._consolidated
+                if k.endswith("/.zarray")
+            )
+        return sorted(
+            name
+            for name in os.listdir(self.path)
+            if os.path.exists(os.path.join(self.path, name, ".zarray"))
+        )
+
+    def __contains__(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path, name, ".zarray"))
+
+    def __getitem__(self, name: str) -> ZarrV2Array:
+        meta = None
+        if self._consolidated is not None:
+            meta = self._consolidated.get(f"{name}/.zarray")
+        return ZarrV2Array(os.path.join(self.path, name), meta)
+
+
+def write_zarr_array(
+    path: str,
+    data: np.ndarray,
+    chunks: Optional[Tuple[int, ...]] = None,
+    compressor: Optional[dict] = None,
+) -> None:
+    """Write one zarr v2 array (used by save_zarr_dataset and tests)."""
+    os.makedirs(path, exist_ok=True)
+    chunks = tuple(chunks or data.shape)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(data.shape),
+        "chunks": list(chunks),
+        "dtype": data.dtype.str,
+        "order": "C",
+        "compressor": compressor,
+        "filters": None,
+        "fill_value": 0,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    import itertools
+
+    grid = [range((s + c - 1) // c) for s, c in zip(data.shape, chunks)]
+    for idx in itertools.product(*grid):
+        block = np.zeros(chunks, data.dtype)
+        src = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, data.shape)
+        )
+        dst = tuple(slice(0, sl.stop - sl.start) for sl in src)
+        block[dst] = data[src]
+        with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
+            f.write(_compress(block.tobytes(), compressor))
+
+
+def save_zarr_dataset(
+    path: str,
+    data: np.ndarray,  # [T, V, E, G]
+    variables: List[str],
+    latitudes_deg: np.ndarray,
+    longitudes_deg: np.ndarray,
+    timestep_hours: float = 6.0,
+    missing: Optional[List[int]] = None,
+    chunks_per_time: int = 1,
+    compressor: Optional[dict] = {"id": "zlib", "level": 1},
+) -> None:
+    """Write an anemoi-layout zarr v2 store (pure numpy; zlib by default)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(
+            {
+                "variables": list(variables),
+                "frequency": f"{timestep_hours:g}h",
+                "missing": sorted(missing or []),
+                "ensemble_dimension": data.shape[2],
+                "resolution": "unknown",
+            },
+            f,
+        )
+    t_chunk = max(1, chunks_per_time)
+    write_zarr_array(
+        os.path.join(path, "data"),
+        data.astype(np.float32),
+        chunks=(t_chunk,) + data.shape[1:],
+        compressor=compressor,
+    )
+    write_zarr_array(os.path.join(path, "latitudes"), np.asarray(latitudes_deg, np.float64))
+    write_zarr_array(os.path.join(path, "longitudes"), np.asarray(longitudes_deg, np.float64))
+    flat = data.reshape(data.shape[0], data.shape[1], -1)
+    for name, arr in (
+        ("mean", flat.mean(axis=(0, 2))),
+        ("stdev", flat.std(axis=(0, 2)) + 1e-12),
+        ("minimum", flat.min(axis=(0, 2))),
+        ("maximum", flat.max(axis=(0, 2))),
+    ):
+        write_zarr_array(os.path.join(path, name), arr.astype(np.float64))

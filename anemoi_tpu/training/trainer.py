@@ -500,6 +500,9 @@ class AnemoiTrainer:
                 self._put_batch,
                 int(self.config.get("dataloader", {}).get("prefetch", 2)),
             )
+            # closed explicitly after the loop: an early break (max_steps,
+            # time limit, callback stop) must stop + join the prefetch thread
+            # rather than leave it to die inside native code at exit
             for batch in batch_iter:
                 self.state, metrics = train_step(self.state, batch)
                 last_metrics = metrics
@@ -560,6 +563,8 @@ class AnemoiTrainer:
                     LOGGER.info("Callback requested stop")
                     stop = True
                     break
+            if hasattr(batch_iter, "close"):
+                batch_iter.close()  # stop + join the prefetch thread
             if n_batches:
                 self._log(
                     {

@@ -176,3 +176,100 @@ def test_prefetch_to_device_order_and_close():
 
     # size=0 disables threading
     assert list(maybe_prefetch(iter([1, 2]), lambda x: x + 1, 0)) == [2, 3]
+
+
+# --- zarr v2 (pure-numpy reader, data/zarr_reader.py) --------------------
+
+
+def _make_zarr(tmp_path, rng, compressor={"id": "zlib", "level": 1}, missing=()):
+    from anemoi_tpu.data.zarr_reader import save_zarr_dataset
+
+    T, V, E, G = 10, 3, 1, 17
+    data = rng.normal(size=(T, V, E, G)).astype(np.float32)
+    path = str(tmp_path / "ds.zarr")
+    save_zarr_dataset(
+        path, data, ["t2m", "msl", "z500"],
+        latitudes_deg=np.linspace(-80, 80, G),
+        longitudes_deg=np.linspace(0, 350, G),
+        timestep_hours=6.0, missing=list(missing),
+        chunks_per_time=3,  # deliberately not dividing T
+        compressor=compressor,
+    )
+    return path, data
+
+
+@pytest.mark.parametrize("compressor", [None, {"id": "zlib", "level": 1},
+                                        {"id": "gzip", "level": 1}])
+def test_zarr_dataset_roundtrip(tmp_path, rng, compressor):
+    from anemoi_tpu.data.dataset import ZarrDataset, open_dataset
+
+    path, data = _make_zarr(tmp_path, rng, compressor=compressor, missing=[4])
+    ds = ZarrDataset(path)
+    assert ds.variables == ["t2m", "msl", "z500"]
+    assert ds.timestep_hours == 6.0
+    assert ds.missing == {4}
+    assert len(ds) == 10 and ds.num_grid_points == 17
+    np.testing.assert_allclose(ds.statistics["mean"],
+                               data.reshape(10, 3, -1).mean(axis=(0, 2)), rtol=1e-5)
+    # windows across chunk boundaries (chunk=3) + grid slicing
+    w = ds.get_window(2, 5, grid_slice=slice(3, 12))
+    expect = np.transpose(data[2:7, :, :, 3:12], (0, 2, 3, 1))
+    np.testing.assert_array_equal(w, expect)
+    # suffix auto-detection + explicit kind
+    assert isinstance(open_dataset(path), ZarrDataset)
+    assert isinstance(open_dataset({"kind": "zarr", "path": path}), ZarrDataset)
+
+
+def test_zarr_array_indexing_and_fill(tmp_path, rng):
+    import json
+    import os
+
+    from anemoi_tpu.data.zarr_reader import ZarrGroup, ZarrV2Array, write_zarr_array
+
+    a = rng.normal(size=(7, 5)).astype(np.float32)
+    path = str(tmp_path / "arr")
+    write_zarr_array(path, a, chunks=(3, 2), compressor={"id": "zlib", "level": 1})
+    z = ZarrV2Array(path)
+    np.testing.assert_array_equal(np.asarray(z), a)
+    np.testing.assert_array_equal(z[2:6, 1:4], a[2:6, 1:4])
+    np.testing.assert_array_equal(z[4], a[4])       # int index squeezes
+    np.testing.assert_array_equal(z[-1, 2], a[-1, 2])
+    # deleting a chunk file -> fill_value zeros, not an error
+    os.remove(os.path.join(path, "0.0"))
+    np.testing.assert_array_equal(z[0:3, 0:2], np.zeros((3, 2), np.float32))
+
+    # blosc-compressed stores fail with a clear codec message
+    meta = json.load(open(os.path.join(path, ".zarray")))
+    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    json.dump(meta, open(os.path.join(path, ".zarray"), "w"))
+    zb = ZarrV2Array(path)
+    with pytest.raises((ImportError, Exception), match="blosc"):
+        zb[3:4, 0:1]
+
+    # consolidated metadata route
+    root = str(tmp_path / "g.zarr")
+    write_zarr_array(os.path.join(root, "x"), a, chunks=(7, 5))
+    json.dump({"zarr_format": 2}, open(os.path.join(root, ".zgroup"), "w"))
+    json.dump(
+        {"metadata": {
+            ".zattrs": {"variables": ["a"]},
+            "x/.zarray": json.load(open(os.path.join(root, "x", ".zarray"))),
+        }},
+        open(os.path.join(root, ".zmetadata"), "w"),
+    )
+    g = ZarrGroup(root)
+    assert g.attrs == {"variables": ["a"]}
+    assert g.array_keys() == ["x"]
+    np.testing.assert_array_equal(np.asarray(g["x"]), a)
+
+
+def test_datamodule_over_zarr(tmp_path, rng):
+    from anemoi_tpu.data.dataset import open_dataset
+
+    path, data = _make_zarr(tmp_path, rng)
+    dm = DataModule({"data": open_dataset({"kind": "zarr", "path": path})},
+                    n_step_input=2, n_step_output=1, rollout=1, batch_size=1)
+    batch = next(iter(dm.train_batches(epoch=0)))
+    arr = batch["data"]
+    assert arr.shape[1] == 3 and arr.ndim == 5  # [B, T, E, G, V]
+    assert np.isfinite(arr).all()
