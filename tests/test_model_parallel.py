@@ -75,7 +75,7 @@ def _graph():
 
 
 def _build_interface(shard_strategy="none", n_shards=1, processor="gt",
-                     backend="padded", paged_block=None):
+                     backend="padded", paged_block=None, halo_overlap=True):
     graph = _graph()
     indices = {
         "data": IndexCollection(
@@ -107,6 +107,7 @@ def _build_interface(shard_strategy="none", n_shards=1, processor="gt",
             "n_step_output": 1,
             "graph_attention_backend": backend,
             **({"paged_block": list(paged_block)} if paged_block else {}),
+            "halo_overlap": halo_overlap,
             "shard_strategy": shard_strategy,
             "num_model_shards": n_shards,
             "encoder": {"name": "GraphTransformerForwardMapper", **gt},
@@ -311,3 +312,16 @@ def test_zero_optimizer_state_sharding(tmp_path):
     result = trainer.train()
     assert np.isfinite(result["final_loss"])
     assert sharded_leaves(trainer.state.opt_state), "sharding lost after step"
+
+
+def test_gt_edges_no_overlap_parity(reference_run):
+    """model.halo_overlap=false keeps the plain (non-split) halo path alive:
+    full-train-step losses match the single-device reference, and no split
+    tables are built."""
+    _, params, batch, ref_losses = reference_run
+    iface = _build_interface(shard_strategy="edges", n_shards=4,
+                             halo_overlap=False)
+    ed = iface.graph_inputs["processor"]
+    assert "ib_split_idx" not in ed.halo_tables
+    got = _run(iface, params, batch, mesh=_mesh(4))
+    np.testing.assert_allclose(got, ref_losses, rtol=5e-5, atol=1e-6)
