@@ -92,7 +92,13 @@ class GraphTransformerProcessor(nn.Module):
             edge_data = edge_data.replace(edge_attr=e_perm)
             if n_pad > n_orig:
                 x = jnp.pad(x, ((0, 0), (0, n_pad - n_orig), (0, 0)))
+                if cond is not None and cond.ndim == 3 and cond.shape[1] == n_orig:
+                    # per-node conditioning (diffusion noise embedding /
+                    # ensemble noise) must follow the node padding
+                    cond = jnp.pad(cond, ((0, 0), (0, n_pad - n_orig), (0, 0)))
             x = maybe_shard(x, (None, "model", None))
+            if cond is not None and cond.ndim == 3:
+                cond = maybe_shard(cond, (None, "model", None))
         elif self.shard_strategy == "heads":
             # Ulysses: pad the node axis to a multiple of the model-axis size
             # (shard_map needs even shards); attention masks the pad rows
@@ -103,7 +109,13 @@ class GraphTransformerProcessor(nn.Module):
                 n_pad = -(-n_orig // S) * S
                 if n_pad > n_orig:
                     x = jnp.pad(x, ((0, 0), (0, n_pad - n_orig), (0, 0)))
+                    if cond is not None and cond.ndim == 3 and cond.shape[1] == n_orig:
+                        cond = jnp.pad(
+                            cond, ((0, 0), (0, n_pad - n_orig), (0, 0))
+                        )
                 x = maybe_shard(x, (None, "model", None))
+                if cond is not None and cond.ndim == 3:
+                    cond = maybe_shard(cond, (None, "model", None))
         block_kwargs = dict(
             num_heads=self.num_heads,
             hidden_dim=compute_mlp_hidden_dim(self.num_channels, self.mlp_hidden_ratio),

@@ -325,3 +325,85 @@ def test_gt_edges_no_overlap_parity(reference_run):
     assert "ib_split_idx" not in ed.halo_tables
     got = _run(iface, params, batch, mesh=_mesh(4))
     np.testing.assert_allclose(got, ref_losses, rtol=5e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["edges", "heads"])
+def test_transport_shard_parity(strategy):
+    """The generative (EDM transport) training step under model parallelism
+    matches unsharded execution: partitionable threefry noise is
+    sharding-invariant, and the per-node noise conditioning follows the
+    processor's node padding (the bug this test gates). The transport model
+    inherits the EncProcDec mapper/processor shard machinery."""
+    import optax
+
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from anemoi_tpu.training.losses import get_loss_function
+    from anemoi_tpu.training.optimizers import build_optimizer
+    from anemoi_tpu.training.step import TrainState
+    from anemoi_tpu.training.transport_step import make_transport_step_fns
+
+    def build(shard_strategy="none", n_shards=1):
+        cfg = {
+            "name": "AnemoiTransportModelEncProcDec",
+            "num_channels": 16,
+            "n_step_input": 2,
+            "n_step_output": 1,
+            "noise_embed_dim": 8,
+            "shard_strategy": shard_strategy,
+            "num_model_shards": n_shards,
+            "encoder": {"name": "GraphTransformerForwardMapper", "num_heads": 4,
+                        "mlp_hidden_ratio": 2.0},
+            "processor": {"name": "GraphTransformerProcessor", "num_layers": 2,
+                          "num_heads": 4, "mlp_hidden_ratio": 2.0,
+                          "conditional": True, "gradient_checkpointing": False},
+            "decoder": {"name": "GraphTransformerBackwardMapper", "num_heads": 4,
+                        "mlp_hidden_ratio": 2.0},
+        }
+        return AnemoiModelInterface(
+            config={"model": cfg, "data": {"processors": [
+                {"name": "InputNormalizer", "default": "mean-std"}]}},
+            graph=_graph(),
+            data_indices={"data": IndexCollection(
+                {n: i for i, n in enumerate(VARIABLES)}, forcing=["cos_lat"])},
+            statistics={"data": {
+                "mean": np.zeros(len(VARIABLES), np.float32),
+                "stdev": np.ones(len(VARIABLES), np.float32),
+                "minimum": -np.ones(len(VARIABLES), np.float32),
+                "maximum": np.ones(len(VARIABLES), np.float32),
+            }},
+        )
+
+    def run(iface, params, batch_np, mesh=None):
+        losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": []}, {})}
+        tx = build_optimizer({}, schedule=optax.constant_schedule(1e-3))
+        rng = jax.random.PRNGKey(11)
+        ctx = jax.set_mesh(mesh) if mesh is not None else nullcontext()
+        out = []
+        with ctx:
+            state = TrainState.create(params, tx)
+            if mesh is not None:
+                state = jax.device_put(state, NamedSharding(mesh, P()))
+            train_step, _ = make_transport_step_fns(
+                iface, losses, objective="edm", base_rng=rng
+            )
+            for _ in range(2):
+                if mesh is not None:
+                    batch = {ds: jax.device_put(v, batch_sharding(mesh, shard_grid=True))
+                             for ds, v in batch_np.items()}
+                else:
+                    batch = {ds: jnp.asarray(v) for ds, v in batch_np.items()}
+                state, metrics = train_step(state, batch)
+                out.append(float(metrics["loss"]))
+        return out
+
+    ref_iface = build()
+    params = ref_iface.init_params()
+    rng = np.random.default_rng(5)
+    n_grid = ref_iface.model_graph.num_nodes["data"]
+    batch = {"data": rng.normal(size=(2, 3, 1, n_grid, len(VARIABLES))).astype(np.float32)}
+
+    ref = run(ref_iface, params, batch)
+    sharded = build(shard_strategy=strategy, n_shards=4)
+    got = run(sharded, params, batch, mesh=_mesh(4))
+    assert all(np.isfinite(ref)) and all(np.isfinite(got))
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
