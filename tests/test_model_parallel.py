@@ -407,3 +407,70 @@ def test_transport_shard_parity(strategy):
     got = run(sharded, params, batch, mesh=_mesh(4))
     assert all(np.isfinite(ref)) and all(np.isfinite(got))
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
+
+
+def test_hierarchical_gspmd_mesh_parity():
+    """The hierarchical V-cycle trains on the device mesh via GSPMD
+    propagation from the grid-sharded batch (no explicit halo tables for the
+    multi-level hierarchy yet — documented GSPMD-only), matching unsharded
+    losses."""
+    from anemoi_tpu.graphs.create import GraphCreator
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from tests.test_models import make_indices, make_statistics
+
+    attrs = {"attributes": {"edge_length": {"name": "EdgeLength"},
+                            "edge_dirs": {"name": "EdgeDirection"}}}
+    recipe = {
+        "nodes": {
+            "data": {"node_builder": {"name": "ReducedGaussianGridNodes", "grid": "o8"}},
+            "hidden_1": {"node_builder": {"name": "TriNodes", "resolution": 2}},
+            "hidden_2": {"node_builder": {"name": "TriNodes", "resolution": 1}},
+        },
+        "edges": [
+            {"source_name": "data", "target_name": "hidden_1",
+             "edge_builder": {"name": "CutOffEdges", "cutoff_factor": 0.9}, **attrs},
+            {"source_name": "hidden_1", "target_name": "hidden_1",
+             "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1}, **attrs},
+            {"source_name": "hidden_2", "target_name": "hidden_2",
+             "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1}, **attrs},
+            {"source_name": "hidden_1", "target_name": "hidden_2",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3}, **attrs},
+            {"source_name": "hidden_2", "target_name": "hidden_1",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3}, **attrs},
+            {"source_name": "hidden_1", "target_name": "data",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3}, **attrs},
+        ],
+    }
+    graph = GraphCreator(recipe).create()
+    cfg = {
+        "name": "AnemoiModelEncProcDecHierarchical",
+        "num_channels": 16,
+        "n_step_input": 2,
+        "n_step_output": 1,
+        "hidden_names": ["hidden_1", "hidden_2"],
+        "level_process": True,
+        "encoder": {"name": "GraphTransformerForwardMapper", "num_heads": 4,
+                    "mlp_hidden_ratio": 2.0,
+                    "sub_graph_edge_attributes": ["edge_dirs", "edge_length"]},
+        "processor": {"name": "GraphTransformerProcessor", "num_layers": 1,
+                      "num_heads": 4, "mlp_hidden_ratio": 2.0,
+                      "gradient_checkpointing": False,
+                      "sub_graph_edge_attributes": ["edge_dirs", "edge_length"]},
+        "decoder": {"name": "GraphTransformerBackwardMapper", "num_heads": 4,
+                    "mlp_hidden_ratio": 2.0,
+                    "sub_graph_edge_attributes": ["edge_dirs", "edge_length"]},
+    }
+    iface = AnemoiModelInterface(
+        config={"model": cfg, "data": {"processors": [
+            {"name": "InputNormalizer", "default": "mean-std"}]}},
+        graph=graph,
+        data_indices={"data": make_indices()},
+        statistics={"data": make_statistics()},
+    )
+    params = iface.init_params()
+    rng = np.random.default_rng(9)
+    n_grid = graph["data"].num_nodes
+    batch = {"data": rng.normal(size=(2, 3, 1, n_grid, 6)).astype(np.float32)}
+    ref = _run(iface, params, batch)
+    got = _run(iface, params, batch, mesh=_mesh(4))
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
