@@ -474,3 +474,26 @@ def test_hierarchical_gspmd_mesh_parity():
     ref = _run(iface, params, batch)
     got = _run(iface, params, batch, mesh=_mesh(4))
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
+
+
+def test_predict_step_edges_shard_parity(reference_run):
+    """Sharded serving: predict_step (pre -> bf16 forward -> post) under the
+    edges strategy on the mesh matches single-device output — the multi-chip
+    inference path of docs/serving.md. Inference tables are the same halo
+    tables the training step used."""
+    iface_ref, params, batch, _ = reference_run
+    xb = {ds: jnp.asarray(v) for ds, v in batch.items()}
+    ref = np.asarray(iface_ref.predict_step(params, xb)["data"])
+
+    iface = _build_interface(shard_strategy="edges", n_shards=4)
+    mesh = _mesh(4)
+    with jax.set_mesh(mesh):
+        xs = {ds: jax.device_put(v, batch_sharding(mesh, shard_grid=True))
+              for ds, v in batch.items()}
+        gi = iface.inference_graph_inputs
+        got = np.asarray(
+            jax.jit(iface.predict_step)(params, xs, gi)["data"]
+        )
+    # bf16 forward on both sides; identical math up to reduction order
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(got.mean(), ref.mean(), atol=1e-4)
