@@ -78,7 +78,33 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         g = self.graph
         levels = self.hidden_names
 
-        def _mapper_entry(sub, base_ed):
+        # "edges" strategy: every hierarchy sub-graph gets its own halo
+        # tables (level processors: square partition; enc/dec/down/up
+        # mappers: bipartite partition), exactly like the flat model's
+        # build_graph_inputs — the paged kernel then runs per shard inside
+        # each halo shard_map
+        n_model_shards = int(self.config.get("num_model_shards", 1))
+        halo = (
+            self.shard_strategy == "edges"
+            and n_model_shards > 1
+            and bool(self.config.get("halo_mappers", True))
+        )
+        overlap = bool(self.config.get("halo_overlap", True))
+        paged_any = self.attention_backend == "paged"
+
+        def _is_gt(block_cfg) -> bool:
+            return str((block_cfg or {}).get("name", "")).startswith(
+                "GraphTransformer"
+            )
+
+        def _mapper_entry(sub, base_ed, gt=True):
+            if halo and gt:
+                if base_ed is not None and base_ed.halo_tables is not None:
+                    return base_ed  # halo tables identical train vs serve
+                return sub.sharded_edge_data(
+                    n_model_shards, dtype=dtype, paged=paged_any,
+                    paged_block=mb, overlap=overlap,
+                )
             if base_ed is None:
                 return sub.edge_data(dtype=dtype, padded=padded, paged=paged,
                                      paged_block=mb, paged_fused_bwd=mfb)
@@ -107,11 +133,13 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
                 }
             ),
             "encoder": {
-                ds: _mapper_entry(sub, _base("encoder", ds))
+                ds: _mapper_entry(sub, _base("encoder", ds),
+                                  gt=_is_gt(self.config.get("encoder")))
                 for ds, sub in g.encoder.items()
             },
             "decoder": {
-                ds: _mapper_entry(sub, _base("decoder", ds))
+                ds: _mapper_entry(sub, _base("decoder", ds),
+                                  gt=_is_gt(self.config.get("decoder")))
                 for ds, sub in g.decoder.items()
             },
             "down": {},
@@ -121,13 +149,21 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         source = g.source_graph
         for i, name in enumerate(levels):
             if (name, name) in source:
+                lvl_sub = None if base is not None else extract_subgraph(
+                    source, name, name,
+                    self.config["processor"].get("sub_graph_edge_attributes"),
+                )
                 out["level"][name] = (
-                    _base("level", name) if base is not None else
-                    extract_subgraph(
-                        source, name, name,
-                        self.config["processor"].get("sub_graph_edge_attributes"),
-                    ).edge_data(dtype=dtype, padded=padded, paged=paged,
-                                paged_block=pb, paged_fused_bwd=fb)
+                    _base("level", name) if base is not None else (
+                        lvl_sub.sharded_edge_data(
+                            n_model_shards, dtype=dtype, paged=paged_any,
+                            paged_block=pb, overlap=overlap,
+                        )
+                        if halo else
+                        lvl_sub.edge_data(dtype=dtype, padded=padded,
+                                          paged=paged, paged_block=pb,
+                                          paged_fused_bwd=fb)
+                    )
                 )
             if i + 1 < len(levels):
                 nxt = levels[i + 1]
@@ -137,6 +173,7 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
                         self.config["encoder"].get("sub_graph_edge_attributes"),
                     ),
                     _base("down", name),
+                    gt=_is_gt(self.config.get("encoder")),
                 )
                 out["up"][nxt] = _mapper_entry(
                     extract_subgraph(
@@ -144,6 +181,7 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
                         self.config["decoder"].get("sub_graph_edge_attributes"),
                     ),
                     _base("up", nxt),
+                    gt=_is_gt(self.config.get("decoder")),
                 )
         return out
 
@@ -207,7 +245,8 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         for i, name in enumerate(levels):
             if self.level_process and name in graph_inputs["level"]:
                 state = _build_processor(
-                    self.config["processor"], self.num_channels, self.attention_backend
+                    self.config["processor"], self.num_channels,
+                    self.attention_backend, shard_strategy=self.shard_strategy,
                 )(state, graph_inputs["level"][name], cond)
             down_states[name] = state
             if i + 1 < len(levels):
@@ -229,7 +268,8 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
             state = state + down_states[name]  # skip connection across the V
             if self.level_process and name in graph_inputs["level"]:
                 state = _build_processor(
-                    self.config["processor"], self.num_channels, self.attention_backend
+                    self.config["processor"], self.num_channels,
+                    self.attention_backend, shard_strategy=self.shard_strategy,
                 )(state, graph_inputs["level"][name], cond)
 
         # ---- decode h1 -> data ---------------------------------------

@@ -409,11 +409,13 @@ def test_transport_shard_parity(strategy):
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
 
 
-def test_hierarchical_gspmd_mesh_parity():
-    """The hierarchical V-cycle trains on the device mesh via GSPMD
-    propagation from the grid-sharded batch (no explicit halo tables for the
-    multi-level hierarchy yet — documented GSPMD-only), matching unsharded
-    losses."""
+@pytest.mark.parametrize("strategy", ["gspmd", "edges"])
+def test_hierarchical_mesh_parity(strategy):
+    """The hierarchical V-cycle trains on the device mesh matching unsharded
+    losses: via GSPMD propagation from the grid-sharded batch, and via the
+    edges strategy (every hierarchy sub-graph gets its own halo tables —
+    level processors square-partitioned, enc/dec/down/up mappers bipartite,
+    round 3)."""
     from anemoi_tpu.graphs.create import GraphCreator
     from anemoi_tpu.models.interface import AnemoiModelInterface
     from tests.test_models import make_indices, make_statistics
@@ -449,6 +451,8 @@ def test_hierarchical_gspmd_mesh_parity():
         "n_step_output": 1,
         "hidden_names": ["hidden_1", "hidden_2"],
         "level_process": True,
+        "shard_strategy": "none",
+        "num_model_shards": 1,
         "encoder": {"name": "GraphTransformerForwardMapper", "num_heads": 4,
                     "mlp_hidden_ratio": 2.0,
                     "sub_graph_edge_attributes": ["edge_dirs", "edge_length"]},
@@ -460,18 +464,26 @@ def test_hierarchical_gspmd_mesh_parity():
                     "mlp_hidden_ratio": 2.0,
                     "sub_graph_edge_attributes": ["edge_dirs", "edge_length"]},
     }
-    iface = AnemoiModelInterface(
-        config={"model": cfg, "data": {"processors": [
-            {"name": "InputNormalizer", "default": "mean-std"}]}},
-        graph=graph,
-        data_indices={"data": make_indices()},
-        statistics={"data": make_statistics()},
-    )
+    def make(cfg):
+        return AnemoiModelInterface(
+            config={"model": cfg, "data": {"processors": [
+                {"name": "InputNormalizer", "default": "mean-std"}]}},
+            graph=graph,
+            data_indices={"data": make_indices()},
+            statistics={"data": make_statistics()},
+        )
+
+    iface = make(cfg)
     params = iface.init_params()
     rng = np.random.default_rng(9)
     n_grid = graph["data"].num_nodes
     batch = {"data": rng.normal(size=(2, 3, 1, n_grid, 6)).astype(np.float32)}
     ref = _run(iface, params, batch)
+    if strategy == "edges":
+        iface = make({**cfg, "shard_strategy": "edges", "num_model_shards": 4})
+        for group in ("level", "down", "up"):
+            for ed in iface.graph_inputs[group].values():
+                assert ed.halo_tables is not None, f"{group} not halo-sharded"
     got = _run(iface, params, batch, mesh=_mesh(4))
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
 
