@@ -409,7 +409,7 @@ def test_transport_shard_parity(strategy):
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("strategy", ["gspmd", "edges"])
+@pytest.mark.parametrize("strategy", ["gspmd", "edges", "edges-paged"])
 def test_hierarchical_mesh_parity(strategy):
     """The hierarchical V-cycle trains on the device mesh matching unsharded
     losses: via GSPMD propagation from the grid-sharded batch, and via the
@@ -479,12 +479,26 @@ def test_hierarchical_mesh_parity(strategy):
     n_grid = graph["data"].num_nodes
     batch = {"data": rng.normal(size=(2, 3, 1, n_grid, 6)).astype(np.float32)}
     ref = _run(iface, params, batch)
-    if strategy == "edges":
-        iface = make({**cfg, "shard_strategy": "edges", "num_model_shards": 4})
+    interpret = strategy == "edges-paged"
+    if strategy.startswith("edges"):
+        iface = make({**cfg, "shard_strategy": "edges", "num_model_shards": 4,
+                      **({"graph_attention_backend": "paged",
+                          "paged_block": [8, 16, 8],
+                          "paged_mapper_block": [8, 16, 8]} if interpret else {})})
         for group in ("level", "down", "up"):
             for ed in iface.graph_inputs[group].values():
                 assert ed.halo_tables is not None, f"{group} not halo-sharded"
-    got = _run(iface, params, batch, mesh=_mesh(4))
+                if interpret:
+                    assert ed.halo_paged_meta is not None, f"{group} not paged"
+    if interpret:
+        from anemoi_tpu.ops.pallas import paged_gt
+
+        paged_gt.set_interpret(True)
+    try:
+        got = _run(iface, params, batch, mesh=_mesh(4))
+    finally:
+        if interpret:
+            paged_gt.set_interpret(False)
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-6)
 
 
