@@ -44,6 +44,10 @@ class BaseDataset:
     statistics_tendencies: Optional[Dict[str, np.ndarray]]
     timestep_hours: float
     missing: set
+    # per-variable metadata (units, mars param/levtype, ...) as written by
+    # anemoi-datasets; feeds variable-group extraction + compat checks
+    # (utils/variables_metadata.py)
+    variables_metadata: Optional[Dict[str, dict]] = None
 
     @property
     def name_to_index(self) -> Dict[str, int]:
@@ -112,6 +116,7 @@ class NpyDataset(BaseDataset):
         with open(os.path.join(path, "metadata.json")) as f:
             meta = json.load(f)
         self.variables = list(meta["variables"])
+        self.variables_metadata = meta.get("variables_metadata")
         self.timestep_hours = float(meta.get("timestep_hours", 6))
         self.missing = set(meta.get("missing", []))
         coords = np.load(os.path.join(path, "coords.npz"))
@@ -159,6 +164,7 @@ class TrajectoryDataset(BaseDataset):
         with open(os.path.join(path, "metadata.json")) as f:
             meta = json.load(f)
         self.variables = list(meta["variables"])
+        self.variables_metadata = meta.get("variables_metadata")
         # step frequency comes from the dataset itself (ref data_reader.py:378:
         # passing data.frequency is rejected there; here it is simply ignored)
         self.timestep_hours = float(
@@ -236,6 +242,7 @@ class ZarrDataset(BaseDataset):
             self.variables = sorted(n2i, key=n2i.__getitem__)
         else:
             raise ValueError(f"{path}: .zattrs has neither variables nor name_to_index")
+        self.variables_metadata = attrs.get("variables_metadata")
         self.timestep_hours = _parse_frequency_hours(attrs.get("frequency", "6h"))
         self.missing = set(int(i) for i in attrs.get("missing", []))
         self.latitudes = np.deg2rad(np.asarray(group["latitudes"], np.float64))

@@ -177,6 +177,41 @@ class RolloutEvalCallback(Callback):
             val_metrics[k] = float(np.mean(vals))
 
 
+@callback_registry.register("PerTimestepMetrics")
+class PerTimestepMetrics(Callback):
+    """Validation metrics broken down by model OUTPUT timestep, for tasks
+    that predict several timesteps per forward (temporal downscaling);
+    ref diagnostics/callbacks/per_timestep_metrics.py:24. Logs
+    ``rmse/<dataset>/<group>/t_<k>`` alongside the regular rollout keys."""
+
+    def __init__(self, every_n_validations: int = 1, max_batches: int = 2):
+        self.every = max(1, every_n_validations)
+        self.max_batches = max_batches
+        self._fn = None
+        self._n = 0
+
+    def on_validation(self, trainer, step, val_metrics):
+        self._n += 1
+        if self._n % self.every:
+            return
+        if trainer.interface.model.n_step_output <= 1:
+            return  # single-output-step tasks have nothing to break down
+        from anemoi_tpu.training.metrics import make_rollout_eval_fn
+
+        if self._fn is None:
+            self._fn = make_rollout_eval_fn(trainer.interface, rollout=1, per_timestep=True)
+        agg: Dict[str, list] = {}
+        for i, batch_np in enumerate(trainer.datamodule.val_batches()):
+            if i >= self.max_batches:
+                break
+            out = self._fn(trainer.state.params, jax.device_put(batch_np))
+            for k, v in out.items():
+                if "/t_" in k:
+                    agg.setdefault(k, []).append(float(v))
+        for k, vals in agg.items():
+            val_metrics[k] = float(np.mean(vals))
+
+
 def build_callbacks(configs) -> list:
     out = []
     for cfg in configs or []:
@@ -223,7 +258,21 @@ class BasePlotCallback(Callback):
         pred = np.asarray(out[ds])[0, 0, 0]  # [G, V_out]
         coords = trainer.graph[ds].coords
         names = idx.model.output.ordered_names
+        self._last_members = np.asarray(out[ds])[0, 0]  # [E, G, V_out]
+        self._last_dataset = ds
         return coords[:, 0], coords[:, 1], pred, truth, names
+
+    def _focus(self, trainer, lats, lons, *fields):
+        """Apply the configured focus-area mask (ref geospatial/focus_area.py)
+        to latlons + [..., G, V] fields; no-op without a ``focus_area`` config."""
+        mask = getattr(self, "_spatial_mask", None)
+        if mask is None:
+            from anemoi_tpu.training.plots import build_spatial_mask
+
+            mask = self._spatial_mask = build_spatial_mask(
+                **(getattr(self, "focus_area", None) or {})
+            )
+        return mask.apply(trainer.graph, self._last_dataset, lats, lons, *fields), mask.tag
 
 
 @callback_registry.register("PlotSample")
@@ -232,10 +281,12 @@ class PlotSample(BasePlotCallback):
     validation (ref BatchOutputPlot, plot.py:917)."""
 
     def __init__(self, variables: Optional[list] = None, max_vars: int = 4,
-                 every_n_validations: int = 1, async_plots: bool = True):
+                 every_n_validations: int = 1, async_plots: bool = True,
+                 focus_area: Optional[dict] = None):
         super().__init__(every_n_validations, async_plots)
         self.variables = variables
         self.max_vars = max_vars
+        self.focus_area = focus_area
 
     def on_validation(self, trainer, step, val_metrics):
         if not self._due():
@@ -245,10 +296,11 @@ class PlotSample(BasePlotCallback):
         from anemoi_tpu.training.plots import plot_sample_maps, save_figure
 
         lats, lons, pred, truth, names = self._sample(trainer)
+        (lats, lons, pred, truth), tag = self._focus(trainer, lats, lons, pred, truth)
         sel = [names.index(v) for v in self.variables] if self.variables else (
             list(range(min(self.max_vars, len(names))))
         )
-        path = os.path.join(self._plot_dir(trainer), f"sample_step{step:07d}.png")
+        path = os.path.join(self._plot_dir(trainer), f"sample{tag}_step{step:07d}.png")
         self.executor.schedule(
             lambda: save_figure(
                 plot_sample_maps(lats, lons, pred[:, sel], truth[:, sel],
@@ -256,6 +308,49 @@ class PlotSample(BasePlotCallback):
                 path,
             )
         )
+
+
+@callback_registry.register("PlotEnsembleSample")
+class PlotEnsembleSample(BasePlotCallback):
+    """Per-member / ensemble-mean / spread maps for ensemble models
+    (ref evaluation/plotting/ensemble.py plot_predicted_ensemble)."""
+
+    def __init__(self, variables: Optional[list] = None, max_vars: int = 2,
+                 max_members: int = 4, every_n_validations: int = 1,
+                 async_plots: bool = True, focus_area: Optional[dict] = None):
+        super().__init__(every_n_validations, async_plots)
+        self.variables = variables
+        self.max_vars = max_vars
+        self.max_members = max_members
+        self.focus_area = focus_area
+
+    def on_validation(self, trainer, step, val_metrics):
+        if not self._due():
+            return
+        import os
+
+        from anemoi_tpu.training.plots import plot_ensemble_maps, save_figure
+
+        lats, lons, _, truth, names = self._sample(trainer)
+        members = self._last_members  # [E, G, V]
+        if members.shape[0] <= 1:
+            return  # deterministic model: nothing ensemble-ish to show
+        (lats, lons, members, truth), tag = self._focus(
+            trainer, lats, lons, members, truth
+        )
+        sel = [names.index(v) for v in self.variables] if self.variables else (
+            list(range(min(self.max_vars, len(names))))
+        )
+        for i in sel:
+            path = os.path.join(
+                self._plot_dir(trainer),
+                f"ensemble_{names[i]}{tag}_step{step:07d}.png",
+            )
+            self.executor.schedule(
+                lambda m=members[:, :, i], t=truth[:, i], n=names[i], p=path: save_figure(
+                    plot_ensemble_maps(lats, lons, m, t, n, self.max_members), p
+                )
+            )
 
 
 @callback_registry.register("PlotSpectrum")
@@ -321,10 +416,12 @@ class PlotHistogram(BasePlotCallback):
     """Predicted-vs-truth value histograms (ref HistogramPlot)."""
 
     def __init__(self, variables: Optional[list] = None, max_vars: int = 4,
-                 every_n_validations: int = 1, async_plots: bool = True):
+                 every_n_validations: int = 1, async_plots: bool = True,
+                 focus_area: Optional[dict] = None):
         super().__init__(every_n_validations, async_plots)
         self.variables = variables
         self.max_vars = max_vars
+        self.focus_area = focus_area
 
     def on_validation(self, trainer, step, val_metrics):
         if not self._due():
@@ -334,10 +431,11 @@ class PlotHistogram(BasePlotCallback):
         from anemoi_tpu.training.plots import plot_histograms, save_figure
 
         lats, lons, pred, truth, names = self._sample(trainer)
+        (lats, lons, pred, truth), tag = self._focus(trainer, lats, lons, pred, truth)
         sel = [names.index(v) for v in self.variables] if self.variables else (
             list(range(min(self.max_vars, len(names))))
         )
-        path = os.path.join(self._plot_dir(trainer), f"histogram_step{step:07d}.png")
+        path = os.path.join(self._plot_dir(trainer), f"histogram{tag}_step{step:07d}.png")
         self.executor.schedule(
             lambda: save_figure(
                 plot_histograms(pred[:, sel], truth[:, sel],

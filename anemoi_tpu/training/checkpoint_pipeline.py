@@ -179,6 +179,10 @@ class LocalSource:
                 }
                 if any(n2i.values()):
                     ctx.metadata["name_to_index"] = n2i
+                # full bundle metadata (provenance, per-dataset
+                # variables_metadata) for downstream compat checks
+                if bundle_meta.get("metadata"):
+                    ctx.metadata["bundle_metadata"] = bundle_meta["metadata"]
         with open(path, "rb") as f:
             blob = f.read()
         template = jax.device_get(ctx.params)

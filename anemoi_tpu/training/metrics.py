@@ -36,9 +36,15 @@ def make_rollout_eval_fn(
     interface,
     rollout: int,
     metrics: Tuple[str, ...] = ("rmse",),
+    per_timestep: bool = False,
 ) -> Callable:
     """Jitted fn(params, batch) -> {metric_name: scalar} running an extended
-    autoregressive rollout and scoring every step in physical units."""
+    autoregressive rollout and scoring every step in physical units.
+
+    With ``per_timestep=True`` (ref callbacks/per_timestep_metrics.py:24) the
+    first rollout step's prediction is additionally broken down along the
+    model's OUTPUT-time dimension — ``<metric>/<ds>/<group>/t_<k>`` keys —
+    for tasks predicting several timesteps at once (temporal downscaler)."""
     model = interface.model
     pre = interface.pre_processors
     indices = interface.data_indices
@@ -74,6 +80,17 @@ def make_rollout_eval_fn(
                 sq = jnp.where(valid, sq, 0.0)
                 denom = jnp.maximum(valid.sum(axis=(0, 1, 2, 3)), 1)
                 per_var_mse = sq.sum(axis=(0, 1, 2, 3)) / denom  # [V]
+                if per_timestep and step == 0 and n_out > 1:
+                    # [T, V] breakdown over the model's output timesteps
+                    denom_t = jnp.maximum(valid.sum(axis=(0, 2, 3)), 1)
+                    mse_tv = sq.sum(axis=(0, 2, 3)) / denom_t
+                    for gname, idxs in groups[ds].items():
+                        g_tv = jnp.mean(mse_tv[:, jnp.asarray(idxs)], axis=1)
+                        for t in range(n_out):
+                            if "rmse" in metrics:
+                                out[f"rmse/{ds}/{gname}/t_{t + 1}"] = jnp.sqrt(g_tv[t])
+                            if "mse" in metrics:
+                                out[f"mse/{ds}/{gname}/t_{t + 1}"] = g_tv[t]
                 for gname, idxs in groups[ds].items():
                     g_mse = jnp.mean(per_var_mse[jnp.asarray(idxs)])
                     if "rmse" in metrics:

@@ -71,6 +71,115 @@ def plot_sample_maps(
     return fig
 
 
+def plot_ensemble_maps(
+    lats, lons, members: np.ndarray, truth: np.ndarray, name: str, max_members: int = 4
+):
+    """Truth / ensemble-mean / spread / first-K-member maps for one variable
+    (ref evaluation/plotting/ensemble.py plot_predicted_ensemble)."""
+    plt = _plt()
+    members = np.asarray(members)  # [M, G]
+    k = min(max_members, members.shape[0])
+    n_cols = 3 + k
+    fig, axes = plt.subplots(1, n_cols, figsize=(5 * n_cols, 3), squeeze=False)
+    plot_field_map(lats, lons, truth, f"{name} truth", ax=axes[0, 0])
+    plot_field_map(lats, lons, members.mean(0), f"{name} ens mean", ax=axes[0, 1])
+    plot_field_map(
+        lats, lons, members.std(0), f"{name} ens spread", ax=axes[0, 2], cmap="magma"
+    )
+    for m in range(k):
+        plot_field_map(lats, lons, members[m], f"{name} member {m}", ax=axes[0, 3 + m])
+    fig.tight_layout()
+    return fig
+
+
+# ----------------------------------------------------------------------
+# focus-area spatial masks (ref diagnostics/evaluation/geospatial/focus_area.py)
+# ----------------------------------------------------------------------
+class SpatialMask:
+    """Restrict plots to a sub-area. ``apply`` masks latlons plus any number
+    of [..., G, V] fields along their node axis."""
+
+    def __init__(self, tag: str = "") -> None:
+        self.tag = tag
+        self.focus_mask: Optional[np.ndarray] = None
+
+    def compute_mask(self, graph, nodes_name: str, lats, lons) -> None: ...
+
+    def apply(self, graph, nodes_name: str, lats, lons, *fields):
+        self.compute_mask(graph, nodes_name, lats, lons)
+        if self.focus_mask is None:
+            return (lats, lons, *fields)
+        m = self.focus_mask
+        return (np.asarray(lats)[m], np.asarray(lons)[m],
+                *[np.asarray(f)[..., m, :] for f in fields])
+
+
+class NoOpSpatialMask(SpatialMask):
+    pass
+
+
+class NodeAttributeSpatialMask(SpatialMask):
+    """Focus on nodes flagged by a boolean graph node attribute (e.g. a
+    CutOutMask / LimitedAreaMask); ref focus_area.py:55."""
+
+    def __init__(self, node_attribute_name: str, name: Optional[str] = None) -> None:
+        super().__init__(name if name is not None else f"_{node_attribute_name}")
+        self.node_attribute_name = node_attribute_name
+
+    def compute_mask(self, graph, nodes_name, lats, lons) -> None:
+        attrs = graph[nodes_name].attributes
+        if self.node_attribute_name not in attrs:
+            raise KeyError(
+                f"Spatial mask {self.node_attribute_name!r} not found in graph nodes "
+                f"{nodes_name!r}. Available attributes: {sorted(attrs)}"
+            )
+        vals = np.asarray(attrs[self.node_attribute_name]).reshape(-1)
+        n = len(np.asarray(lats))
+        if vals.dtype == np.bool_ and len(vals) == n:
+            self.focus_mask = vals
+        else:  # index list form (reference layout)
+            mask = np.zeros(n, dtype=bool)
+            mask[vals.astype(np.int64)] = True
+            self.focus_mask = mask
+
+
+class BoundingBoxSpatialMask(SpatialMask):
+    """Focus on a (lat_min, lon_min, lat_max, lon_max) degree box;
+    ref focus_area.py:75."""
+
+    def __init__(self, bbox, name: Optional[str] = None) -> None:
+        lat_min, lon_min, lat_max, lon_max = bbox
+        if not (lat_min < lat_max and lon_min < lon_max):
+            raise ValueError(f"invalid bbox {bbox}: need lat_min<lat_max, lon_min<lon_max")
+        super().__init__(
+            name if name is not None else f"_bbox_lat-{lat_min}-{lat_max}_lon-{lon_min}-{lon_max}"
+        )
+        self.bbox = tuple(float(v) for v in bbox)
+
+    def compute_mask(self, graph, nodes_name, lats, lons) -> None:
+        lat_min, lon_min, lat_max, lon_max = self.bbox
+        lat = np.rad2deg(np.asarray(lats))
+        lon = np.rad2deg(np.asarray(lons))
+        lon = np.where(lon > 180.0, lon - 360.0, lon)
+        self.focus_mask = (
+            (lat >= lat_min) & (lat <= lat_max) & (lon >= lon_min) & (lon <= lon_max)
+        )
+
+
+def build_spatial_mask(
+    node_attribute_name: Optional[str] = None,
+    latlon_bbox=None,
+    name: Optional[str] = None,
+) -> SpatialMask:
+    """Config entry point (ref focus_area.py:94): node-attribute mask wins,
+    then bbox, else no-op."""
+    if node_attribute_name is not None:
+        return NodeAttributeSpatialMask(node_attribute_name, name)
+    if latlon_bbox is not None:
+        return BoundingBoxSpatialMask(latlon_bbox, name)
+    return NoOpSpatialMask()
+
+
 def plot_power_spectra(spectra: Dict[str, np.ndarray], title: str = "power spectrum"):
     """Log-log per-degree power spectra, one line per label (ref
     plots.py plot_power_spectrum)."""

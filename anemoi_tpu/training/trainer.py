@@ -182,6 +182,8 @@ class AnemoiTrainer:
                 data_indices=self.data_indices[name],
                 statistics=ds.statistics,
                 statistics_tendencies=ds.statistics_tendencies,
+                variable_groups=training_cfg.get("variable_groups"),
+                metadata_variables=getattr(ds, "variables_metadata", None),
             )
             if name in self.output_masks:
                 # score only inside the area of interest
@@ -223,6 +225,22 @@ class AnemoiTrainer:
             # variable order recorded by the loaded checkpoint, if any --
             # consumed by the CheckVariableOrder sanity callback
             self.ckpt_name_to_index = ctx.metadata.get("name_to_index")
+            # unit/processing compatibility of checkpoint vs dataset variables
+            # (ref utils/variables_metadata.py:38; raises on mismatched units)
+            from anemoi_tpu.utils.variables_metadata import (
+                check_variables_metadata_compatibility,
+                extract_variables_metadata_from_checkpoint,
+            )
+
+            check_variables_metadata_compatibility(
+                extract_variables_metadata_from_checkpoint(
+                    ctx.metadata.get("bundle_metadata", {}), datasets.keys()
+                ),
+                {
+                    name: {"variables_metadata": getattr(ds, "variables_metadata", None)}
+                    for name, ds in datasets.items()
+                },
+            )
             if ctx.trainable_mask is not None:
                 frozen_mask = jax.tree_util.tree_map(
                     lambda trainable: not trainable, ctx.trainable_mask
@@ -657,5 +675,13 @@ class AnemoiTrainer:
             self.config if isinstance(self.config, dict) else dict(self.config),
             di_config,
             self.datamodule.statistics,
-            metadata={"num_params": int(self.num_params)},
+            metadata={
+                "num_params": int(self.num_params),
+                # per-dataset variable metadata for load-time unit compat
+                # checks (ref variables_metadata.py:23-35 layout)
+                "dataset": {
+                    name: {"variables_metadata": getattr(ds, "variables_metadata", None)}
+                    for name, ds in self.datamodule.datasets.items()
+                },
+            },
         )

@@ -162,3 +162,81 @@ def test_anomaly_detection_flag(tmp_path):
         assert jax.config.jax_debug_nans
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_rollout_eval_per_timestep(tiny_graph, rng):
+    """Per-output-timestep breakdown (ref callbacks/per_timestep_metrics.py):
+    t_<k> keys appear only for multi-output-step models and average back to
+    the aggregate step-1 metric."""
+    from tests.test_models import build_interface
+
+    iface = build_interface(tiny_graph, n_step_output=2)
+    params = iface.init_params(jax.random.PRNGKey(0))
+    fn = make_rollout_eval_fn(iface, rollout=1, metrics=("mse",), per_timestep=True)
+    n_grid = tiny_graph["data"].num_nodes
+    batch = {"data": jnp.asarray(rng.normal(size=(1, 4, 1, n_grid, 6)), dtype=jnp.float32)}
+    out = fn(params, batch)
+    t_keys = sorted(k for k in out if "/t_" in k)
+    assert t_keys == ["mse/data/sfc/t_1", "mse/data/sfc/t_2"]
+    per_t = np.array([float(out[k]) for k in t_keys])
+    agg = float(out["mse/data/sfc/1"])
+    np.testing.assert_allclose(per_t.mean(), agg, rtol=1e-4)
+
+    # single-output-step model: no t_ keys
+    iface1 = build_interface(tiny_graph)
+    params1 = iface1.init_params(jax.random.PRNGKey(0))
+    fn1 = make_rollout_eval_fn(iface1, rollout=1, per_timestep=True)
+    out1 = fn1(params1, batch)
+    assert not any("/t_" in k for k in out1)
+
+
+def test_spatial_masks(tiny_graph):
+    """Focus-area masks (ref geospatial/focus_area.py): bbox, node-attribute
+    and no-op forms restrict latlons + [..., G, V] fields consistently."""
+    from anemoi_tpu.training.plots import build_spatial_mask
+
+    coords = tiny_graph["data"].coords  # radians [G, 2]
+    lats, lons = coords[:, 0], coords[:, 1]
+    n = len(lats)
+    field = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+
+    noop = build_spatial_mask()
+    la, lo, f = noop.apply(tiny_graph, "data", lats, lons, field)
+    assert len(la) == n and f.shape == (n, 3) and noop.tag == ""
+
+    bbox = build_spatial_mask(latlon_bbox=(0.0, -180.0, 90.0, 180.0))
+    la, lo, f = bbox.apply(tiny_graph, "data", lats, lons, field)
+    assert 0 < len(la) < n  # northern hemisphere only
+    assert np.all(np.rad2deg(la) >= 0.0)
+    assert f.shape == (len(la), 3)
+    np.testing.assert_array_equal(f, field[bbox.focus_mask])
+
+    mask = np.zeros(n, dtype=bool)
+    mask[:5] = True
+    tiny_graph["data"].attributes["roi"] = mask
+    attr = build_spatial_mask(node_attribute_name="roi")
+    la, lo, f = attr.apply(tiny_graph, "data", lats, lons, field)
+    assert len(la) == 5 and f.shape == (5, 3) and attr.tag == "_roi"
+    with pytest.raises(KeyError):
+        build_spatial_mask(node_attribute_name="nope").apply(
+            tiny_graph, "data", lats, lons, field
+        )
+    with pytest.raises(ValueError):
+        build_spatial_mask(latlon_bbox=(50.0, 0.0, 10.0, 20.0))
+
+
+def test_plot_ensemble_maps(tiny_graph):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from anemoi_tpu.training.plots import plot_ensemble_maps
+
+    coords = tiny_graph["data"].coords
+    n = coords.shape[0]
+    members = np.random.default_rng(0).normal(size=(3, n)).astype(np.float32)
+    fig = plot_ensemble_maps(coords[:, 0], coords[:, 1], members, members[0], "2t")
+    # truth + mean + spread + 3 members
+    assert len(fig.axes) >= 6
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)

@@ -15,11 +15,12 @@ def make_indices():
     return IndexCollection(NAMES, forcing=["cos_lat", "z"], diagnostic=["tp"])
 
 
-def model_config(processor="GNNProcessor", encoder="GNNForwardMapper", decoder="GNNBackwardMapper"):
+def model_config(processor="GNNProcessor", encoder="GNNForwardMapper",
+                 decoder="GNNBackwardMapper", n_step_output=1):
     cfg = {
         "num_channels": 16,
         "n_step_input": 2,
-        "n_step_output": 1,
+        "n_step_output": n_step_output,
         "latent_skip": True,
         "trainable_parameters": {"data": 2, "hidden": 2},
         "encoder": {"name": encoder, "sub_graph_edge_attributes": ["edge_dirs", "edge_length"]},
