@@ -200,6 +200,33 @@ def build_paged_csr(
     visit_slot = walk_slots[vo].astype(np.int32)
     visit_page = walk_pages[vo].astype(np.int32)
 
+    # dst blocks with NO edges (tiny model-parallel shards of the
+    # hierarchical levels hit this) would never be visited by the fwd/bwd
+    # grids, leaving their out/lse/dq blocks uninitialised -- NaN in
+    # interpret mode, arbitrary memory on chip, and the NaNs poison every
+    # gradient reduced over padded rows.  Append one all-pad sentinel slot
+    # per missing block so every output block is written (with zeros /
+    # log-eps lse); they are excluded from the kv-reduction walk above.
+    n_blocks = _cdiv(max(num_dst, 1), bd)
+    missing_blocks = np.setdiff1d(
+        np.arange(n_blocks, dtype=np.int32), blk_ids[:sentinel]
+    )
+    if len(missing_blocks):
+        blk_ids = np.concatenate([blk_ids, missing_blocks]).astype(np.int32)
+        page_ids = np.concatenate(
+            [page_ids, np.zeros(len(missing_blocks), np.int32)]
+        )
+        pad_slots = np.zeros(
+            (len(missing_blocks),) + idx.shape[1:], dtype=idx.dtype
+        )
+        pad_slots[:, 0, :] = page
+        pad_slots[:, 1, :] = bd
+        idx = np.concatenate([idx, pad_slots], axis=0)
+        num_slots += len(missing_blocks)
+        inv_slot = np.append(
+            inv_slot, np.full(len(missing_blocks) * r, e, dtype=np.int64)
+        )
+
     return PagedCSR(
         blk_ids=blk_ids,
         page_ids=page_ids,
