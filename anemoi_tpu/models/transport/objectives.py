@@ -122,3 +122,33 @@ def fourier_time_embedding(t: jnp.ndarray, dim: int = 16, max_freq: float = 16.0
     freqs = jnp.exp(jnp.linspace(0.0, jnp.log(max_freq), half))
     ang = t[..., None] * freqs  # [..., half]
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def random_fourier_time_embedding(
+    t: jnp.ndarray, dim: int = 32, scale: float = 16.0, seed: int = 0
+) -> jnp.ndarray:
+    """Random Fourier noise-level embedding (ref layers/diffusion.py:15
+    RandomFourierEmbeddings): frequencies ~ N(0, scale^2), fixed by seed (the
+    reference freezes them as a buffer at init)."""
+    half = dim // 2
+    freqs = jax.random.normal(jax.random.PRNGKey(seed), (half,)) * scale
+    ang = t[..., None] * freqs * (2.0 * jnp.pi)
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def sinusoidal_time_embedding(
+    t: jnp.ndarray, dim: int = 32, max_period: float = 10000.0
+) -> jnp.ndarray:
+    """Transformer-style sinusoidal noise-level embedding (ref
+    layers/diffusion.py:28 SinusoidalEmbeddings)."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half) / half)
+    ang = t[..., None] * freqs
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+TIME_EMBEDDINGS = {
+    "fourier": fourier_time_embedding,
+    "random_fourier": random_fourier_time_embedding,
+    "sinusoidal": sinusoidal_time_embedding,
+}

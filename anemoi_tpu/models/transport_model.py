@@ -27,7 +27,7 @@ from anemoi_tpu.models.encoder_processor_decoder import (
     _build_processor,
 )
 from anemoi_tpu.models.layers.embed import TrainableNodeAttributes
-from anemoi_tpu.models.transport.objectives import fourier_time_embedding
+from anemoi_tpu.models.transport.objectives import TIME_EMBEDDINGS
 
 
 @model_registry.register("AnemoiTransportModelEncProcDec")
@@ -68,8 +68,11 @@ class AnemoiTransportModelEncProcDec(AnemoiModelEncProcDec):
         bflat = batch * ens
         compute_dtype = some.dtype
 
-        # noise conditioning vector, broadcast per node later
-        cond_vec = fourier_time_embedding(
+        # noise conditioning vector, broadcast per node later; the embedding
+        # family is configurable (ref layers/diffusion.py: RandomFourier /
+        # Sinusoidal; default matches the previous fourier behaviour)
+        embed_fn = TIME_EMBEDDINGS[self.config.get("noise_embedding", "fourier")]
+        cond_vec = embed_fn(
             noise_level.reshape(bflat), self.noise_embed_dim
         ).astype(compute_dtype)  # [bflat, emb]
 

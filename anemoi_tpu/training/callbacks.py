@@ -282,29 +282,36 @@ class PlotSample(BasePlotCallback):
 
     def __init__(self, variables: Optional[list] = None, max_vars: int = 4,
                  every_n_validations: int = 1, async_plots: bool = True,
-                 focus_area: Optional[dict] = None):
+                 focus_area: Optional[dict] = None,
+                 colormaps: Optional[list] = None):
         super().__init__(every_n_validations, async_plots)
         self.variables = variables
         self.max_vars = max_vars
         self.focus_area = focus_area
+        self.colormaps = colormaps
 
     def on_validation(self, trainer, step, val_metrics):
         if not self._due():
             return
         import os
 
-        from anemoi_tpu.training.plots import plot_sample_maps, save_figure
+        from anemoi_tpu.training.plots import (
+            build_colormaps,
+            plot_sample_maps,
+            save_figure,
+        )
 
         lats, lons, pred, truth, names = self._sample(trainer)
         (lats, lons, pred, truth), tag = self._focus(trainer, lats, lons, pred, truth)
         sel = [names.index(v) for v in self.variables] if self.variables else (
             list(range(min(self.max_vars, len(names))))
         )
+        cmaps = build_colormaps(self.colormaps)
         path = os.path.join(self._plot_dir(trainer), f"sample{tag}_step{step:07d}.png")
         self.executor.schedule(
             lambda: save_figure(
                 plot_sample_maps(lats, lons, pred[:, sel], truth[:, sel],
-                                 [names[i] for i in sel]),
+                                 [names[i] for i in sel], cmaps=cmaps),
                 path,
             )
         )

@@ -18,12 +18,17 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
+import logging
+
 import flax
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
 from anemoi_tpu.utils.registry import Registry
+
+LOGGER = logging.getLogger(__name__)
 
 source_registry = Registry("checkpoint source")
 strategy_registry = Registry("loading strategy")
@@ -384,7 +389,7 @@ class CheckpointPipeline:
                     {"available": sorted(registry.names())},
                 )
             kinds.append(kind)
-            self.stages.append(registry.build_from_config(cfg))
+            self.stages.append((kind, str(name), registry.build_from_config(cfg)))
         # a non-cold-start strategy cannot run without a source stage
         needs_source = any(
             c.get("stage") == "loading" and c.get("name") != "cold_start"
@@ -397,6 +402,69 @@ class CheckpointPipeline:
             )
 
     def run(self, ctx: CheckpointContext) -> CheckpointContext:
-        for stage in self.stages:
-            ctx = stage(ctx)
+        for i, (kind, name, stage) in enumerate(self.stages):
+            marker = f"stage_{i}_{kind}"
+            try:
+                ctx = stage(ctx)
+            except Exception:
+                ctx.metadata[marker] = f"{name}: failed"
+                raise
+            ctx.metadata[marker] = f"{name}: completed"
         return ctx
+
+
+class CheckpointValidationError(CheckpointError):
+    """Post-run pipeline health check failed; ``details['issues']`` lists
+    each problem (ref checkpoint/exceptions.py + validation.py:214)."""
+
+
+def validate_pipeline_health(
+    ctx: CheckpointContext, *, raise_on_error: bool = True
+) -> bool:
+    """Check that a finished pipeline left the context in a sane state
+    (ref checkpoint/validation.py:214-324, adapted to the JAX context):
+
+    - every ``stage_<i>_*`` marker records completion, none failed,
+    - a source stage implies a loaded payload AND a loading strategy ran,
+    - params contain no non-finite leaves after loading,
+    - a trainable mask (freezing) matches the params tree structure.
+    """
+    issues: List[str] = []
+    markers = {k: v for k, v in ctx.metadata.items() if k.startswith("stage_")}
+    if not ctx.metadata:
+        issues.append("context metadata is empty; pipeline did not execute")
+    for key, value in markers.items():
+        if not isinstance(value, str):
+            issues.append(f"stage entry {key!r} has non-string value {value!r}")
+        elif "failed" in value:
+            issues.append(f"stage {key!r} did not complete: {value}")
+    source_ran = any("_source" in k for k in markers)
+    if source_ran:
+        if ctx.loaded is None and "loading" not in ctx.metadata:
+            issues.append("a source stage executed but nothing was loaded")
+        if not any("_loading" in k for k in markers):
+            issues.append("a source stage executed without a loading strategy")
+    if ctx.params is not None:
+        bad = [
+            jax.tree_util.keystr(path)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(ctx.params)
+            if hasattr(leaf, "dtype")
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and not bool(jnp.isfinite(leaf).all())
+        ]
+        if bad:
+            issues.append(f"non-finite params after loading: {bad[:5]}")
+    if ctx.trainable_mask is not None:
+        if (
+            jax.tree_util.tree_structure(ctx.trainable_mask)
+            != jax.tree_util.tree_structure(ctx.params)
+        ):
+            issues.append("trainable_mask tree structure does not match params")
+    if not issues:
+        return True
+    if raise_on_error:
+        raise CheckpointValidationError(
+            "pipeline health check failed", {"issues": issues}
+        )
+    LOGGER.warning("pipeline health check found %d issue(s): %s", len(issues), issues)
+    return False

@@ -49,18 +49,22 @@ def plot_field_map(lats, lons, values, title: str = "", ax=None, cmap="viridis")
 
 
 def plot_sample_maps(
-    lats, lons, pred: np.ndarray, truth: np.ndarray, names: Sequence[str]
+    lats, lons, pred: np.ndarray, truth: np.ndarray, names: Sequence[str],
+    cmaps: Optional[Dict[str, object]] = None,
 ):
     """Per-variable rows of (truth, prediction, error) maps (ref
-    callbacks/plot.py BatchOutputPlot)."""
+    callbacks/plot.py BatchOutputPlot).  ``cmaps`` maps variable names to
+    custom colormaps (ref utils/custom_colormaps.py)."""
     plt = _plt()
     n = len(names)
+    cmaps = cmaps or {}
     fig, axes = plt.subplots(n, 3, figsize=(15, 3 * n), squeeze=False)
     for i, name in enumerate(names):
         t, p = np.asarray(truth[..., i]), np.asarray(pred[..., i])
         lim = max(np.nanmax(np.abs(t)), np.nanmax(np.abs(p)), 1e-12)
-        plot_field_map(lats, lons, t, f"{name} truth", ax=axes[i, 0])
-        plot_field_map(lats, lons, p, f"{name} prediction", ax=axes[i, 1])
+        cmap = cmaps.get(name, "viridis")
+        plot_field_map(lats, lons, t, f"{name} truth", ax=axes[i, 0], cmap=cmap)
+        plot_field_map(lats, lons, p, f"{name} prediction", ax=axes[i, 1], cmap=cmap)
         err = p - t
         plot_field_map(
             lats, lons, err, f"{name} error (max {np.nanmax(np.abs(err)):.3g})",
@@ -90,6 +94,48 @@ def plot_ensemble_maps(
         plot_field_map(lats, lons, members[m], f"{name} member {m}", ax=axes[0, 3 + m])
     fig.tight_layout()
     return fig
+
+
+# ----------------------------------------------------------------------
+# per-variable custom colormaps (ref utils/custom_colormaps.py)
+# ----------------------------------------------------------------------
+def build_colormaps(configs: Optional[List[dict]]) -> Dict[str, object]:
+    """Variable -> matplotlib colormap map from config entries
+    (ref utils/custom_colormaps.py:19-106):
+
+    - {"name": "viridis", "variables": [...]} — a named matplotlib colormap
+    - {"clevels": ["#aabbcc", ...], "variables": [...]} — a ListedColormap
+    - {"distinctipy": N, "variables": [...]} — N distinct colors
+      (needs the distinctipy package; gated)
+    """
+    out: Dict[str, object] = {}
+    for cfg in configs or []:
+        cfg = dict(cfg)
+        variables = cfg.pop("variables", None) or []
+        if "clevels" in cfg:
+            from matplotlib.colors import ListedColormap
+
+            cmap = ListedColormap(cfg["clevels"])
+        elif "distinctipy" in cfg:
+            try:
+                from distinctipy import distinctipy
+            except ImportError as err:
+                raise ImportError(
+                    "distinctipy package is not available; install it to use "
+                    "distinctipy colormaps"
+                ) from err
+            cmap = distinctipy.get_colormap(
+                distinctipy.get_colors(
+                    int(cfg["distinctipy"]), colorblind_type=cfg.get("colorblind_type")
+                )
+            )
+        else:
+            import matplotlib
+
+            cmap = matplotlib.colormaps.get_cmap(cfg["name"])
+        for var in variables:
+            out[var] = cmap
+    return out
 
 
 # ----------------------------------------------------------------------

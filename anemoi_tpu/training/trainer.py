@@ -221,6 +221,11 @@ class AnemoiTrainer:
             ctx = CheckpointPipeline(list(pipeline_cfg)).run(
                 CheckpointContext(params=params)
             )
+            from anemoi_tpu.training.checkpoint_pipeline import (
+                validate_pipeline_health,
+            )
+
+            validate_pipeline_health(ctx)
             params = jax.device_put(ctx.params)
             # variable order recorded by the loaded checkpoint, if any --
             # consumed by the CheckVariableOrder sanity callback

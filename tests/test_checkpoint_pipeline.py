@@ -240,3 +240,55 @@ def test_default_migrator_stamps_version():
     ckpt = MIGRATOR.migrate({"params": {}})
     assert ckpt["metadata"]["format_version"] == 1
     assert ckpt["metadata"]["migrations"]
+
+
+def test_pipeline_health_validation(tmp_path):
+    """validate_pipeline_health (ref checkpoint/validation.py:214): completed
+    pipelines pass; failure markers / NaN params / structure mismatches are
+    reported as issues."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from anemoi_tpu.training.checkpoint_pipeline import (
+        CheckpointContext,
+        CheckpointPipeline,
+        CheckpointValidationError,
+        validate_pipeline_health,
+    )
+
+    params = {"params": {"w": jnp.ones((3,), jnp.float32)}}
+    # healthy cold start records completion markers
+    ctx = CheckpointPipeline([{"stage": "loading", "name": "cold_start"}]).run(
+        CheckpointContext(params=params)
+    )
+    assert ctx.metadata["stage_0_loading"] == "cold_start: completed"
+    assert validate_pipeline_health(ctx)
+
+    # empty metadata -> pipeline never executed
+    with pytest.raises(CheckpointValidationError, match="did not execute"):
+        validate_pipeline_health(CheckpointContext(params=params))
+
+    # failure marker
+    bad = CheckpointContext(params=params)
+    bad.metadata["stage_0_source"] = "local: failed"
+    assert not validate_pipeline_health(bad, raise_on_error=False)
+
+    # source without a loading strategy
+    srconly = CheckpointContext(params=params, loaded={"params": params})
+    srconly.metadata["stage_0_source"] = "local: completed"
+    with pytest.raises(CheckpointValidationError, match="loading strategy"):
+        validate_pipeline_health(srconly)
+
+    # non-finite params
+    nan_ctx = CheckpointContext(
+        params={"params": {"w": jnp.asarray([1.0, np.nan, 3.0])}}
+    )
+    nan_ctx.metadata["stage_0_loading"] = "cold_start: completed"
+    with pytest.raises(CheckpointValidationError, match="non-finite"):
+        validate_pipeline_health(nan_ctx)
+
+    # trainable mask structure mismatch
+    mctx = CheckpointContext(params=params, trainable_mask={"params": {"v": True}})
+    mctx.metadata["stage_0_loading"] = "cold_start: completed"
+    with pytest.raises(CheckpointValidationError, match="trainable_mask"):
+        validate_pipeline_health(mctx)

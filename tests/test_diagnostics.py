@@ -240,3 +240,22 @@ def test_plot_ensemble_maps(tiny_graph):
     import matplotlib.pyplot as plt
 
     plt.close(fig)
+
+
+def test_build_colormaps():
+    """Custom colormap configs (ref utils/custom_colormaps.py): named
+    matplotlib maps and explicit color-level lists, bound per variable."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib.colors import ListedColormap
+
+    from anemoi_tpu.training.plots import build_colormaps
+
+    cmaps = build_colormaps([
+        {"name": "RdBu_r", "variables": ["t_850", "t_500"]},
+        {"clevels": ["#ffffff", "#88ccee", "#332288"], "variables": ["tp"]},
+    ])
+    assert cmaps["t_850"].name == "RdBu_r" and cmaps["t_500"].name == "RdBu_r"
+    assert isinstance(cmaps["tp"], ListedColormap) and cmaps["tp"].N == 3
+    assert build_colormaps(None) == {}

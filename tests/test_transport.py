@@ -280,3 +280,63 @@ def test_transport_forecast_cli(tmp_path):
     fields = [fc[k] for k in fc.files if k.endswith("|forecast")]
     assert fields and all(np.isfinite(a).all() for a in fields)
     assert fields[0].shape[1] == 2  # two sampled rollout steps
+
+
+def test_noise_embedding_variants(tiny_graph, rng):
+    """Configurable noise-level embeddings (ref models/layers/diffusion.py:
+    RandomFourierEmbeddings / SinusoidalEmbeddings)."""
+    from anemoi_tpu.models.transport.objectives import (
+        TIME_EMBEDDINGS,
+        random_fourier_time_embedding,
+        sinusoidal_time_embedding,
+    )
+
+    t = jnp.asarray([0.0, 0.5, 1.0])
+    for name, fn in TIME_EMBEDDINGS.items():
+        emb = fn(t, 8)
+        assert emb.shape == (3, 8), name
+        assert np.isfinite(np.asarray(emb)).all(), name
+    # sinusoidal at t=0: sin=0, cos=1
+    emb0 = sinusoidal_time_embedding(t, 8)[0]
+    np.testing.assert_allclose(np.asarray(emb0[:4]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(emb0[4:]), 1.0, atol=1e-7)
+    # random fourier frequencies are deterministic in the seed
+    np.testing.assert_array_equal(
+        np.asarray(random_fourier_time_embedding(t, 8, seed=3)),
+        np.asarray(random_fourier_time_embedding(t, 8, seed=3)),
+    )
+    assert not np.allclose(
+        np.asarray(random_fourier_time_embedding(t, 8, seed=3)),
+        np.asarray(random_fourier_time_embedding(t, 8, seed=4)),
+    )
+
+    # model-level wiring: the embedding family is a config switch
+
+    cfg2 = {
+        "name": "AnemoiTransportModelEncProcDec",
+        "num_channels": 16,
+        "n_step_input": 2,
+        "n_step_output": 1,
+        "noise_embed_dim": 8,
+        "encoder": {"name": "GNNForwardMapper"},
+        "processor": {"name": "GraphTransformerProcessor", "num_layers": 2,
+                      "num_heads": 4, "mlp_hidden_ratio": 2.0, "conditional": True},
+        "decoder": {"name": "GNNBackwardMapper"},
+    }
+    n_grid = tiny_graph["data"].num_nodes
+    x = {"data": jnp.asarray(rng.normal(size=(1, 2, 1, n_grid, 5)), dtype=jnp.float32)}
+    y = {"data": jnp.zeros((1, 1, 1, n_grid, 4))}
+    noise = jnp.full((1, 1), 0.7)
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    for kind in ("random_fourier", "sinusoidal"):
+        iface_k = AnemoiModelInterface(
+            config={"model": {**cfg2, "noise_embedding": kind},
+                    "data": {"processors": []}},
+            graph=tiny_graph,
+            data_indices={"data": make_indices()},
+            statistics={"data": make_statistics()},
+        )
+        gi = iface_k.graph_inputs
+        params = jax.jit(iface_k.model.init)(jax.random.PRNGKey(0), x, y, noise, gi)
+        out = iface_k.model.apply(params, x, y, noise, gi)
+        assert np.isfinite(np.asarray(out["data"])).all(), kind
