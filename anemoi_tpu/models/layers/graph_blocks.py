@@ -146,12 +146,44 @@ class GraphTransformerAttention(nn.Module):
 
             tab = edge_data.paged_tables
             e = to_slot_layout(e, tab.slot_gather, tab.edge_slot)
-        if self.edge_pre_mlp:
-            e = MLP(
-                hidden_dim=e.shape[-1], out_features=e.shape[-1], layer_norm=False,
-                name="edge_pre_mlp",
-            )(e)
-        edges = nn.Dense(hd, name="lin_edge")(e)
+        # fuse the lin_edge projection INTO the paged kernel where it composes
+        # (single-device / GSPMD paged path): the projected [num_flat, HD]
+        # edge tensor never exists in HBM; same lin_edge param names
+        import os as _os
+
+        use_fe = (
+            use_paged
+            and not self.edge_pre_mlp
+            and edge_data.halo_tables is None
+            and _os.environ.get("ANEMOI_PAGED_FUSE_EDGE", "1") == "1"
+        )
+        if use_fe and self.shard_strategy == "heads":
+            from anemoi_tpu.parallel.mesh import model_axis_size as _mas
+
+            use_fe = _mas() <= 1
+        raw_p = w_aug = None
+        if use_fe:
+            from anemoi_tpu.ops.pallas.paged_gt import (
+                augment_edge_weights,
+                pad_raw_edge_features,
+            )
+
+            lin_edge = nn.Dense(hd, name="lin_edge")
+            _ = lin_edge(e[:1])  # create/bind the params (output unused)
+            raw_p = pad_raw_edge_features(e)
+            w_aug = augment_edge_weights(
+                lin_edge.variables["params"]["kernel"],
+                lin_edge.variables["params"]["bias"],
+                raw_p.shape[-1],
+            )
+            edges = None
+        else:
+            if self.edge_pre_mlp:
+                e = MLP(
+                    hidden_dim=e.shape[-1], out_features=e.shape[-1], layer_norm=False,
+                    name="edge_pre_mlp",
+                )(e)
+            edges = nn.Dense(hd, name="lin_edge")(e)
 
         if edge_data.halo_tables is not None:
             # model-parallel "edges" strategy: flat [B, N_pad, HD] activations
@@ -197,7 +229,10 @@ class GraphTransformerAttention(nn.Module):
             # the (small, static) batch axis
             import os
 
-            from anemoi_tpu.ops.pallas.paged_gt import paged_gt_attention_flat
+            from anemoi_tpu.ops.pallas.paged_gt import (
+                paged_gt_attention_flat,
+                paged_gt_attention_flat_fe,
+            )
 
             if self.qk_norm:
                 query = QKNorm(self.qk_norm_type, name="q_norm")(
@@ -208,15 +243,26 @@ class GraphTransformerAttention(nn.Module):
                 ).reshape(batch, n_src, hd)
             tab = edge_data.paged_tables
             stab = os.environ.get("ANEMOI_PAGED_STABILIZE", "1") == "1"
-            out = jnp.stack(
-                [
-                    paged_gt_attention_flat(
-                        query[b], key[b], value[b], edges, h, tab, stab
-                    )
-                    for b in range(batch)
-                ],
-                axis=0,
-            )
+            if use_fe:
+                out = jnp.stack(
+                    [
+                        paged_gt_attention_flat_fe(
+                            query[b], key[b], value[b], raw_p, w_aug, h, tab, stab
+                        )
+                        for b in range(batch)
+                    ],
+                    axis=0,
+                )
+            else:
+                out = jnp.stack(
+                    [
+                        paged_gt_attention_flat(
+                            query[b], key[b], value[b], edges, h, tab, stab
+                        )
+                        for b in range(batch)
+                    ],
+                    axis=0,
+                )
             return out
 
         query = query.reshape(batch, n_dst, h, d)

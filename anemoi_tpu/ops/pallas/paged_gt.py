@@ -356,13 +356,15 @@ def _fwd_kernel(
     idx_ref,  # [1, 2, r] int32
     q_ref,  # [bd, HD]
     kv_ref,  # [page, 2HD]
-    e_ref,  # [r, HD]
-    out_ref,  # [bd, HD] numerator, fp32 (revolving)
-    lse_ref,  # [bd, 2H] = [log-sum-exp | denominator] (revolving)
-    acc_ref, den_ref, stat_ref, shift_ref,  # scratch
-    *, hd: int, h: int, bd: int, page: int, r: int, scale: float,
-    nd: int, ns: int, stabilize: bool,
+    e_ref,  # [r, HD] projected edge rows, OR [r, Fp] raw (fuse_edge)
+    *refs,  # (w_ref [Fp, HD] when fuse_edge,) out_ref, lse_ref, scratch...
+    hd: int, h: int, bd: int, page: int, r: int, scale: float,
+    nd: int, ns: int, stabilize: bool, fuse_edge: bool = False,
 ):
+    if fuse_edge:
+        w_ref, out_ref, lse_ref, acc_ref, den_ref, stat_ref, shift_ref = refs
+    else:
+        out_ref, lse_ref, acc_ref, den_ref, stat_ref, shift_ref = refs
     s = pl.program_id(0)
     n_s = pl.num_programs(0)
     blk_here = blk_ref[s]
@@ -394,7 +396,13 @@ def _fwd_kernel(
     kv_rows = _dot(og, _clean_rows(kv_ref, pg_ref[s], page, ns)).astype(
         cdtype
     )  # exact gather (one-hot)
-    e_rows = e_ref[:]
+    if fuse_edge:
+        # lin_edge fused in: raw [r, Fp] slot features (incl. the bias ones-
+        # lane) x resident [Fp, HD] weights -- the projected [num_flat, HD]
+        # edge tensor never exists in HBM
+        e_rows = _dot(e_ref[:], w_ref[:]).astype(cdtype)
+    else:
+        e_rows = e_ref[:]
     keff = kv_rows[:, :hd] + e_rows
     veff = kv_rows[:, hd:] + e_rows
     qrows = _dot(oq, _clean_rows(q_ref, blk_here, bd, nd)).astype(cdtype)
@@ -449,17 +457,26 @@ def _fwd_kernel(
 def _bwd_kernel(
     blk_ref, pg_ref,
     idx_ref, q_ref, kv_ref, e_ref, g_ref, lse_ref, delta_ref,
-    *refs,  # dq_ref [bd, HD] revolving; (dkv_ref [r, 2HD] per slot unless
-    #         fused backward); de_ref [r, HD] per slot = edge-feature grads;
-    #         dq_acc scratch [bd, HD] fp32
+    *refs,  # (w_ref [Fp, HD], wt_ref [HD, Fp] when fuse_edge;)
+    #         dq_ref [bd, HD] revolving; (dkv_ref [r, 2HD] per slot unless
+    #         fused backward); de_ref [r, HD] per slot = edge-feature grads
+    #         (raw-feature grads [r, Fp] when fuse_edge); (dw_ref [Fp, HD]
+    #         when fuse_edge); dq_acc scratch [bd, HD] fp32; (dw_acc scratch)
     hd: int, h: int, bd: int, page: int, r: int, scale: float,
-    nd: int, ns: int, emit_dkv: bool = True,
+    nd: int, ns: int, emit_dkv: bool = True, fuse_edge: bool = False,
 ):
-    if emit_dkv:
+    w_ref = wt_ref = dw_ref = dw_acc = dkv_ref = None
+    if fuse_edge:
+        w_ref, wt_ref = refs[:2]
+        refs = refs[2:]
+        if emit_dkv:
+            dq_ref, dkv_ref, de_ref, dw_ref, dq_acc, dw_acc = refs
+        else:
+            dq_ref, de_ref, dw_ref, dq_acc, dw_acc = refs
+    elif emit_dkv:
         dq_ref, dkv_ref, de_ref, dq_acc = refs
     else:
         dq_ref, de_ref, dq_acc = refs
-        dkv_ref = None
     s = pl.program_id(0)
     n_s = pl.num_programs(0)
     blk_here = blk_ref[s]
@@ -473,6 +490,12 @@ def _bwd_kernel(
     def _():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
+    if fuse_edge:
+
+        @pl.when(s == 0)
+        def _():
+            dw_acc[:] = jnp.zeros_like(dw_acc)
+
     cols = idx_ref[0, 0, :]
     drows = idx_ref[0, 1, :]
     cdtype = q_ref.dtype
@@ -485,7 +508,11 @@ def _bwd_kernel(
     valid = (cols[:, None] < page)
 
     kv_rows = _dot(og, _clean_rows(kv_ref, pg_ref[s], page, ns)).astype(cdtype)
-    e_rows = e_ref[:]
+    e_raw = e_ref[:]
+    if fuse_edge:
+        e_rows = _dot(e_raw, w_ref[:]).astype(cdtype)
+    else:
+        e_rows = e_raw
     keff = kv_rows[:, :hd] + e_rows
     veff = kv_rows[:, hd:] + e_rows
     qrows = _dot(oq, _clean_rows(q_ref, blk_here, bd, nd)).astype(cdtype)
@@ -512,11 +539,24 @@ def _bwd_kernel(
         dkv_ref[:, hd:] = dveff.astype(dkv_ref.dtype)
     # edge grads fused here: d_e = d_keff + d_veff (both add e_rows), so the
     # XLA side never re-reads the [num_flat, 2HD] dkv buffer to form them
-    de_ref[:] = (dkeff + dveff).astype(de_ref.dtype)
+    de = (dkeff + dveff).astype(cdtype)
+    if fuse_edge:
+        # chain through the in-kernel projection: raw-feature grads per slot
+        # and the weight grad accumulated across the whole grid
+        de_ref[:] = _dot(de, wt_ref[:]).astype(de_ref.dtype)
+        dw_acc[:] += _dot_t(e_raw.astype(cdtype), de)
+    else:
+        de_ref[:] = de
 
     @pl.when(last)
     def _():
         dq_ref[:] = dq_acc[:].astype(dq_ref.dtype)
+
+    if fuse_edge:
+
+        @pl.when(s == n_s - 1)
+        def _():
+            dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
 
 
 def _reduce_kernel(
@@ -559,13 +599,16 @@ def _fused_reduce_kernel(
     idx_ref,  # [1, 2, r] of the visited slot
     q_ref,  # [bd, HD] (dst block of the visited slot)
     kv_ref,  # [page, 2HD] (revolving: each page DMA'd once)
-    e_ref,  # [r, HD] of the visited slot
+    e_ref,  # [r, HD] of the visited slot ([r, Fp] raw when fuse_edge)
     g_ref, lse_ref, delta_ref,  # [bd, HD], [bd, H], [bd, H]
-    out_ref,  # [page, 2HD] (revolving over pages)
-    acc_ref,  # scratch [page, 2HD] fp32
-    *, hd: int, h: int, bd: int, page: int, r: int, scale: float,
-    nd: int, ns: int,
+    *refs,  # (w_ref [Fp, HD] when fuse_edge,) out_ref, acc_ref
+    hd: int, h: int, bd: int, page: int, r: int, scale: float,
+    nd: int, ns: int, fuse_edge: bool = False,
 ):
+    if fuse_edge:
+        w_ref, out_ref, acc_ref = refs
+    else:
+        out_ref, acc_ref = refs
     """Fused kv-grad reduction: walk slots sorted by page, RECOMPUTE the
     per-slot kv grads from the resident kv page (the same alpha/dl math as
     the first backward pass) and accumulate them into source nodes -- the
@@ -597,7 +640,10 @@ def _fused_reduce_kernel(
     valid = (cols[:, None] < page)
 
     kv_rows = _dot(og, _clean_rows(kv_ref, pg_here, page, ns)).astype(cdtype)
-    e_rows = e_ref[:]
+    if fuse_edge:
+        e_rows = _dot(e_ref[:], w_ref[:]).astype(cdtype)
+    else:
+        e_rows = e_ref[:]
     keff = kv_rows[:, :hd] + e_rows
     veff = kv_rows[:, hd:] + e_rows
     qrows = _dot(oq, _clean_rows(q_ref, blk_here, bd, nd)).astype(cdtype)
@@ -634,25 +680,32 @@ def _cdiv(a, b):
 
 
 def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int,
-              interpret: bool, stabilize: bool = True):
+              interpret: bool, stabilize: bool = True, w_e=None):
     nd, hd = q.shape
     bd, page, r = tables.bd, tables.page, tables.r
     s_tot = tables.num_slots
     h = num_heads
     scale = 1.0 / float(np.sqrt(hd // h))
+    fuse_edge = w_e is not None
     kernel = functools.partial(
         _fwd_kernel, hd=hd, h=h, bd=bd, page=page, r=r, scale=scale,
-        nd=nd, ns=kv.shape[0], stabilize=stabilize,
+        nd=nd, ns=kv.shape[0], stabilize=stabilize, fuse_edge=fuse_edge,
     )
+    fp = e_slots.shape[-1]
+    in_specs = [
+        pl.BlockSpec((1, 2, r), lambda s, blk, pg: (s, 0, 0)),
+        pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
+        pl.BlockSpec((page, 2 * hd), lambda s, blk, pg: (pg[s], 0)),
+        pl.BlockSpec((r, fp), lambda s, blk, pg: (s, 0)),
+    ]
+    inputs = [tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots]
+    if fuse_edge:
+        in_specs.append(pl.BlockSpec((fp, hd), lambda s, blk, pg: (0, 0)))
+        inputs.append(w_e)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s_tot,),
-        in_specs=[
-            pl.BlockSpec((1, 2, r), lambda s, blk, pg: (s, 0, 0)),
-            pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
-            pl.BlockSpec((page, 2 * hd), lambda s, blk, pg: (pg[s], 0)),
-            pl.BlockSpec((r, hd), lambda s, blk, pg: (s, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
             pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
@@ -673,60 +726,80 @@ def _fwd_call(q, kv, e_slots, tables: PagedTables, num_heads: int,
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots)
+    )(*inputs)
     return out[:nd], lse[:nd]
 
 
 def _bwd_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
-              num_heads: int, interpret: bool, emit_dkv: bool = True):
+              num_heads: int, interpret: bool, emit_dkv: bool = True,
+              w_e=None, wt_e=None):
     nd, hd = q.shape
     bd, page, r = tables.bd, tables.page, tables.r
     s_tot = tables.num_slots
     h = num_heads
     scale = 1.0 / float(np.sqrt(hd // h))
+    fuse_edge = w_e is not None
+    fp = e_slots.shape[-1]
     kernel = functools.partial(
         _bwd_kernel, hd=hd, h=h, bd=bd, page=page, r=r, scale=scale,
-        nd=nd, ns=kv.shape[0], emit_dkv=emit_dkv,
+        nd=nd, ns=kv.shape[0], emit_dkv=emit_dkv, fuse_edge=fuse_edge,
     )
+    nd_pad = _cdiv(nd, bd) * bd
     out_specs = [
         pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
         pl.BlockSpec((r, 2 * hd), lambda s, blk, pg: (s, 0)),
-        pl.BlockSpec((r, hd), lambda s, blk, pg: (s, 0)),
+        pl.BlockSpec((r, fp), lambda s, blk, pg: (s, 0)),
     ]
-    nd_pad = _cdiv(nd, bd) * bd
     out_shape = [
         jax.ShapeDtypeStruct((nd_pad, hd), q.dtype),
         jax.ShapeDtypeStruct((s_tot * r, 2 * hd), q.dtype),
-        jax.ShapeDtypeStruct((s_tot * r, hd), q.dtype),
+        jax.ShapeDtypeStruct((s_tot * r, fp), q.dtype),
     ]
+    if fuse_edge:
+        out_specs.append(pl.BlockSpec((fp, hd), lambda s, blk, pg: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((fp, hd), jnp.float32))
     if not emit_dkv:
         del out_specs[1], out_shape[1]
+    in_specs = [
+        pl.BlockSpec((1, 2, r), lambda s, blk, pg: (s, 0, 0)),
+        pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
+        pl.BlockSpec((page, 2 * hd), lambda s, blk, pg: (pg[s], 0)),
+        pl.BlockSpec((r, fp), lambda s, blk, pg: (s, 0)),
+        pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
+        pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
+        pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
+    ]
+    inputs = [tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots,
+              g, lse, delta]
+    scratch = [pltpu.VMEM((bd, hd), jnp.float32)]
+    if fuse_edge:
+        in_specs.append(pl.BlockSpec((fp, hd), lambda s, blk, pg: (0, 0)))
+        in_specs.append(pl.BlockSpec((hd, fp), lambda s, blk, pg: (0, 0)))
+        inputs.extend([w_e, wt_e])
+        scratch.append(pltpu.VMEM((fp, hd), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s_tot,),
-        in_specs=[
-            pl.BlockSpec((1, 2, r), lambda s, blk, pg: (s, 0, 0)),
-            pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
-            pl.BlockSpec((page, 2 * hd), lambda s, blk, pg: (pg[s], 0)),
-            pl.BlockSpec((r, hd), lambda s, blk, pg: (s, 0)),
-            pl.BlockSpec((bd, hd), lambda s, blk, pg: (blk[s], 0)),
-            pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
-            pl.BlockSpec((bd, h), lambda s, blk, pg: (blk[s], 0)),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.VMEM((bd, hd), jnp.float32)],
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tables.blk_ids, tables.page_ids, tables.idx, q, kv, e_slots, g, lse, delta)
+    )(*inputs)
+    dw = None
+    if fuse_edge:
+        *outs, dw = outs
     if emit_dkv:
         dq, dkv, de = outs
-        return dq[:nd], dkv, de
-    dq, de = outs
-    return dq[:nd], None, de
+    else:
+        (dq, de), dkv = outs, None
+    if fuse_edge:
+        return dq[:nd], dkv, de, dw
+    return dq[:nd], dkv, de
 
 
 def _reduce_call(dkv, tables: PagedTables, interpret: bool):
@@ -756,30 +829,38 @@ def _reduce_call(dkv, tables: PagedTables, interpret: bool):
 
 
 def _fused_reduce_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
-                       num_heads: int, interpret: bool):
+                       num_heads: int, interpret: bool, w_e=None):
     """[num_src, 2HD] kv grads via the recompute-and-reduce page walk."""
     nd, hd = q.shape
     bd, page, r = tables.bd, tables.page, tables.r
     h = num_heads
     scale = 1.0 / float(np.sqrt(hd // h))
+    fuse_edge = w_e is not None
+    fp = e_slots.shape[-1]
     n_visits = int(tables.visit_slot.shape[0])
     visit_blk = jnp.take(tables.blk_ids, tables.visit_slot)
     kernel = functools.partial(
         _fused_reduce_kernel, hd=hd, h=h, bd=bd, page=page, r=r, scale=scale,
-        nd=nd, ns=kv.shape[0],
+        nd=nd, ns=kv.shape[0], fuse_edge=fuse_edge,
     )
+    in_specs = [
+        pl.BlockSpec((1, 2, r), lambda t, vs, vp, vb: (vs[t], 0, 0)),
+        pl.BlockSpec((bd, hd), lambda t, vs, vp, vb: (vb[t], 0)),
+        pl.BlockSpec((page, 2 * hd), lambda t, vs, vp, vb: (vp[t], 0)),
+        pl.BlockSpec((r, fp), lambda t, vs, vp, vb: (vs[t], 0)),
+        pl.BlockSpec((bd, hd), lambda t, vs, vp, vb: (vb[t], 0)),
+        pl.BlockSpec((bd, h), lambda t, vs, vp, vb: (vb[t], 0)),
+        pl.BlockSpec((bd, h), lambda t, vs, vp, vb: (vb[t], 0)),
+    ]
+    inputs = [tables.visit_slot, tables.visit_page, visit_blk,
+              tables.idx, q, kv, e_slots, g, lse, delta]
+    if fuse_edge:
+        in_specs.append(pl.BlockSpec((fp, hd), lambda t, vs, vp, vb: (0, 0)))
+        inputs.append(w_e)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_visits,),
-        in_specs=[
-            pl.BlockSpec((1, 2, r), lambda t, vs, vp, vb: (vs[t], 0, 0)),
-            pl.BlockSpec((bd, hd), lambda t, vs, vp, vb: (vb[t], 0)),
-            pl.BlockSpec((page, 2 * hd), lambda t, vs, vp, vb: (vp[t], 0)),
-            pl.BlockSpec((r, hd), lambda t, vs, vp, vb: (vs[t], 0)),
-            pl.BlockSpec((bd, hd), lambda t, vs, vp, vb: (vb[t], 0)),
-            pl.BlockSpec((bd, h), lambda t, vs, vp, vb: (vb[t], 0)),
-            pl.BlockSpec((bd, h), lambda t, vs, vp, vb: (vb[t], 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((page, 2 * hd), lambda t, vs, vp, vb: (vp[t], 0)),
         scratch_shapes=[pltpu.VMEM((page, 2 * hd), jnp.float32)],
     )
@@ -789,8 +870,7 @@ def _fused_reduce_call(q, kv, e_slots, g, lse, delta, tables: PagedTables,
         out_shape=jax.ShapeDtypeStruct((ns_pad, 2 * hd), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tables.visit_slot, tables.visit_page, visit_blk,
-      tables.idx, q, kv, e_slots, g, lse, delta)
+    )(*inputs)
     return out[: tables.num_src]
 
 
@@ -870,6 +950,89 @@ def _paged_bwd(num_heads, stabilize, res, g):
 
 
 paged_gt_attention_flat.defvjp(_paged_fwd_vjp, _paged_bwd)
+
+
+# --- fused-edge-projection variant --------------------------------------
+EDGE_LANES = 128  # raw slot features padded to one lane tile
+
+
+def pad_raw_edge_features(e_raw: jnp.ndarray, lanes: int = EDGE_LANES):
+    """[num_flat, F] raw slot features -> [num_flat, Fp] with a ones bias
+    lane at column F and zero padding (lanes tile for the kernel DMA)."""
+    f = e_raw.shape[-1]
+    fp = _cdiv(f + 1, lanes) * lanes
+    ones = jnp.ones(e_raw.shape[:-1] + (1,), e_raw.dtype)
+    pad = jnp.zeros(e_raw.shape[:-1] + (fp - f - 1,), e_raw.dtype)
+    return jnp.concatenate([e_raw, ones, pad], axis=-1)
+
+
+def augment_edge_weights(kernel: jnp.ndarray, bias: jnp.ndarray, fp: int):
+    """lin_edge kernel [F, HD] + bias [HD] -> [Fp, HD] matching
+    pad_raw_edge_features' layout (bias row at F, zeros after)."""
+    f, hd = kernel.shape
+    return jnp.concatenate(
+        [kernel, bias[None, :], jnp.zeros((fp - f - 1, hd), kernel.dtype)], axis=0
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 7))
+def paged_gt_attention_flat_fe(query, key, value, raw_slots, w_aug,
+                               num_heads, tables, stabilize=True):
+    """Fused-edge-projection variant: ``raw_slots`` [num_slots*r, Fp] are the
+    RAW slot-layout edge features (pad_raw_edge_features), ``w_aug`` [Fp, HD]
+    the augmented lin_edge weights (augment_edge_weights).  The projected
+    [num_flat, HD] edge tensor never exists in HBM: the kernels project the
+    [r, Fp] raw block against the resident weights (fwd + both backward
+    flavours), the backward emits raw-feature grads [num_flat, Fp] and the
+    accumulated weight grad [Fp, HD] directly."""
+    out, _ = _paged_fe_fwd_impl(query, key, value, raw_slots, w_aug,
+                                num_heads, tables, stabilize)
+    return out
+
+
+def _paged_fe_fwd_impl(query, key, value, raw_slots, w_aug, num_heads,
+                       tables, stabilize):
+    kv = jnp.concatenate([key, value], axis=-1)
+    w_c = w_aug.astype(query.dtype)
+    out, lse = _fwd_call(query, kv, raw_slots, tables, num_heads, _INTERPRET,
+                         stabilize, w_e=w_c)
+    out = checkpoint_name(out, "paged_attn_out")
+    lse = checkpoint_name(lse, "paged_attn_lse")
+    return out, (query, kv, raw_slots, w_c, out, lse, tables)
+
+
+def _paged_fe_fwd_vjp(query, key, value, raw_slots, w_aug, num_heads,
+                      tables, stabilize):
+    return _paged_fe_fwd_impl(query, key, value, raw_slots, w_aug,
+                              num_heads, tables, stabilize)
+
+
+def _paged_fe_bwd(num_heads, stabilize, res, g):
+    query, kv, raw_slots, w_c, out, lse, tables = res
+    hd = query.shape[-1]
+    g_red = _host_indicator(hd, num_heads, jnp.float32)
+    delta = jnp.dot(
+        out.astype(jnp.float32) * g.astype(jnp.float32), g_red,
+        preferred_element_type=jnp.float32,
+    )
+    gq = g.astype(query.dtype)
+    dq, dkv, draw, dw = _bwd_call(
+        query, kv, raw_slots, gq, lse, delta, tables,
+        num_heads, _INTERPRET, emit_dkv=not tables.fused_bwd,
+        w_e=w_c, wt_e=w_c.T,
+    )
+    if tables.fused_bwd:
+        dkv_src = _fused_reduce_call(
+            query, kv, raw_slots, gq, lse, delta, tables, num_heads,
+            _INTERPRET, w_e=w_c,
+        )
+    else:
+        dkv_src = _reduce_call(dkv, tables, _INTERPRET)
+    d_key, d_value = dkv_src[:, :hd], dkv_src[:, hd:]
+    return dq, d_key, d_value, draw, dw.astype(jnp.float32), None
+
+
+paged_gt_attention_flat_fe.defvjp(_paged_fe_fwd_vjp, _paged_fe_bwd)
 
 
 @jax.custom_vjp

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from anemoi_tpu.utils.registry import Registry
 
@@ -216,6 +217,7 @@ def get_loss_function(
     graph=None,
     dataset: str = "data",
     data_indices=None,
+    variables_metadata: Optional[dict] = None,
 ) -> BaseLoss:
     """Factory (ref losses/loss.py:142): build a loss from config, attaching
     the requested subset of pre-built scalers.
@@ -245,10 +247,24 @@ def get_loss_function(
         inner = get_loss_function(
             inner_cfg,
             scalers, graph=graph, dataset=dataset, data_indices=data_indices,
+            variables_metadata=variables_metadata,
         )
         if name == "LossVariableMapper":
             assert data_indices is not None, "LossVariableMapper needs data_indices"
-            return wrappers.LossVariableMapper(inner, data_indices, **cfg)
+            wrapped = wrappers.LossVariableMapper(inner, data_indices, **cfg)
+            # units of each predicted/target pair must agree when the mapper
+            # scores one variable against another (ref losses/utils.py:92)
+            from anemoi_tpu.utils.variables_metadata import (
+                check_loss_variable_units_compatibility,
+            )
+
+            if wrapped.predicted_variables != wrapped.target_variables:
+                check_loss_variable_units_compatibility(
+                    wrapped.predicted_variables,
+                    wrapped.target_variables,
+                    variables_metadata,
+                )
+            return wrapped
         return wrappers.TimeAggregateLossWrapper(inner, **cfg)
     wanted = cfg.pop("scalers", ["*"])
     st = ScaleTensor()
@@ -260,3 +276,18 @@ def get_loss_function(
             dims, arr = available[scaler_name]
             st.add_scaler(dims, arr, scaler_name)
     return loss_registry.get(name)(scalers=st, **cfg)
+
+
+def variable_scaling_summary(loss: BaseLoss, data_indices) -> Dict[str, float]:
+    """Effective per-variable loss weight: the product of every
+    variable-dim scaler attached to the loss, keyed by model-output variable
+    name (ref losses/utils.py:38 print_variable_scaling)."""
+    names = data_indices.model.output.ordered_names
+    total = np.ones(len(names), dtype=np.float64)
+    st = getattr(loss, "scalers", None)
+    for dims, arr in (st.scalers.values() if st is not None else ()):
+        if "variable" in dims:
+            a = np.asarray(arr, dtype=np.float64).reshape(-1)
+            if len(a) == len(names):
+                total *= a
+    return {name: float(total[i]) for i, name in enumerate(names)}

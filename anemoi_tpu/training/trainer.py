@@ -196,6 +196,16 @@ class AnemoiTrainer:
             self.losses[name] = get_loss_function(
                 loss_cfg, scalers, graph=self.graph, dataset=name,
                 data_indices=self.data_indices[name],
+                variables_metadata=getattr(ds, "variables_metadata", None),
+            )
+            from anemoi_tpu.training.losses.base import variable_scaling_summary
+
+            # the effective per-variable loss weighting, once at startup
+            # (ref losses/utils.py:38 print_variable_scaling)
+            LOGGER.info(
+                "variable loss scaling [%s]: %s",
+                name,
+                variable_scaling_summary(self.losses[name], self.data_indices[name]),
             )
 
         # --- optimizer / state ---------------------------------------

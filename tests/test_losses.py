@@ -383,3 +383,43 @@ def test_time_aggregate_rejects_unknown_op():
              "time_aggregation_types": ["median"],
              "loss": {"name": "WeightedMSELoss", "scalers": []}}, {},
         )
+
+
+def test_variable_scaling_summary(tiny_graph):
+    """Effective per-variable loss weighting (ref losses/utils.py:38)."""
+    from anemoi_tpu.training.losses.base import variable_scaling_summary
+
+    names = {"q": 0, "t_850": 1, "t_500": 2, "cos_lat": 3}
+    idx = IndexCollection(names, forcing=["cos_lat"])
+    scalers = create_scalers(
+        {
+            "var": {"name": "GeneralVariableLossScaler", "weights": {"q": 2.0}},
+            "level": {"name": "ReluVariableLevelScaler", "slope": 0.001,
+                      "y_intercept": 0.2},
+        },
+        data_indices=idx,
+    )
+    loss = get_loss_function(
+        {"name": "WeightedMSELoss", "scalers": ["var", "level"]}, scalers
+    )
+    summary = variable_scaling_summary(loss, idx)
+    np.testing.assert_allclose(summary["q"], 2.0)
+    np.testing.assert_allclose(summary["t_850"], 0.85, atol=1e-6)
+    np.testing.assert_allclose(summary["t_500"], 0.5, atol=1e-6)
+
+
+def test_variable_mapper_units_check():
+    """LossVariableMapper with cross-variable targets validates unit
+    compatibility from variables_metadata (ref losses/utils.py:92)."""
+    names = {"tp": 0, "imerg": 1, "2t": 2}
+    idx = IndexCollection(names, diagnostic=[])
+    vm = {"tp": {"units": "m"}, "imerg": {"units": "m"}, "2t": {"units": "K"}}
+    cfg = {"name": "LossVariableMapper", "predicted_variables": ["tp"],
+           "target_variables": ["imerg"], "target_layout": "data_output",
+           "loss": {"name": "WeightedMSELoss"}}
+    get_loss_function(dict(cfg), {}, data_indices=idx, variables_metadata=vm)
+    bad = dict(cfg, target_variables=["2t"])
+    with pytest.raises(ValueError, match="not compatible"):
+        get_loss_function(bad, {}, data_indices=idx, variables_metadata=vm)
+    # without metadata the check is skipped (warning only)
+    get_loss_function(dict(bad), {}, data_indices=idx)

@@ -459,3 +459,125 @@ def test_mapper_remat_grads_match(rng):
         ),
         grads(False), grads(True),
     )
+
+
+@pytest.mark.parametrize("fused_bwd", [False, True])
+def test_paged_fused_edge_projection(rng, fused_bwd):
+    """Fused lin_edge projection (paged_gt_attention_flat_fe): forward and
+    every gradient (q/k/v, raw edge features, projection weights incl. bias)
+    match projecting outside the kernel."""
+    from anemoi_tpu.ops.pallas.paged_gt import (
+        augment_edge_weights,
+        pad_raw_edge_features,
+        paged_gt_attention_flat_fe,
+    )
+
+    num_src, num_dst, h, d, f = 40, 29, 2, 8, 3
+    hd = h * d
+    ei = random_bipartite(rng, num_src, num_dst, dead_src=(0, 1, 17))
+    e_cnt = ei.shape[1]
+    q = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(num_src, hd)), jnp.float32)
+    raw = np.asarray(rng.normal(size=(e_cnt, f)), np.float32)
+    w_lin = jnp.asarray(rng.normal(size=(f, hd)), jnp.float32) * 0.3
+    b_lin = jnp.asarray(rng.normal(size=(hd,)), jnp.float32) * 0.1
+    cot = jnp.asarray(rng.normal(size=(num_dst, hd)), jnp.float32)
+
+    csr = build_paged_csr(ei, num_src, num_dst, bd=8, page=8, r=8)
+    tab = PagedTables.from_csr(csr, fused_bwd=fused_bwd)
+    raw_slots = jnp.asarray(csr.pad_edge_array(raw))
+    raw_p = pad_raw_edge_features(raw_slots)
+    fp = raw_p.shape[-1]
+
+    def loss_fe(q, k, v, raw_p, w_lin, b_lin):
+        w_aug = augment_edge_weights(w_lin, b_lin, fp)
+        out = paged_gt_attention_flat_fe(q, k, v, raw_p, w_aug, h, tab)
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v, raw_d, w_lin, b_lin):
+        e_d = raw_d @ w_lin + b_lin
+        return jnp.sum(_ref(q, k, v, e_d, h, ei, num_dst) * cot)
+
+    out_fe = paged_gt_attention_flat_fe(
+        q, k, v, raw_p, augment_edge_weights(w_lin, b_lin, fp), h, tab
+    )
+    out_ref = _ref(q, k, v, jnp.asarray(raw) @ w_lin + b_lin, h, ei, num_dst)
+    np.testing.assert_allclose(
+        np.asarray(out_fe), np.asarray(out_ref), rtol=3e-5, atol=3e-5
+    )
+
+    gp = jax.grad(loss_fe, argnums=(0, 1, 2, 3, 4, 5))(
+        q, k, v, raw_p, w_lin, b_lin
+    )
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        q, k, v, jnp.asarray(raw), w_lin, b_lin
+    )
+    for a, b, name in zip(gp[:3], gr[:3], "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-5,
+            err_msg=f"d{name} mismatch (fe, fused_bwd={fused_bwd})",
+        )
+    # raw-feature grads: slot layout back to edge order, first f lanes
+    draw = np.asarray(gp[3])[csr.slot_pos][:, :f]
+    np.testing.assert_allclose(draw, np.asarray(gr[3]), rtol=3e-5, atol=3e-5)
+    # ones-lane grads sum to the bias grad; lin weights match
+    np.testing.assert_allclose(
+        np.asarray(gp[4]), np.asarray(gr[4]), rtol=3e-5, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp[5]), np.asarray(gr[5]), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_attention_module_fused_edge_matches_unfused(rng):
+    """GraphTransformerAttention with the fused edge projection (default on
+    the paged path) matches the unfused path exactly: same params, same
+    output, same grads."""
+    import os
+
+    from anemoi_tpu.models.graph import SubGraphArrays
+    from anemoi_tpu.models.layers.graph_blocks import GraphTransformerAttention
+
+    num_src, n_dst, h, hd = 24, 16, 2, 16
+    ei = random_bipartite(rng, num_src, n_dst, k_mean=4).astype(np.int32)
+    e_cnt = ei.shape[1]
+    dst_ptr = np.searchsorted(ei[1], np.arange(n_dst + 1)).astype(np.int32)
+    sub = SubGraphArrays(
+        edge_index=ei,
+        edge_attr=rng.normal(size=(e_cnt, 3)).astype(np.float32),
+        dst_ptr=dst_ptr,
+        num_src=num_src,
+        num_dst=n_dst,
+    )
+    ed = sub.edge_data(paged=True, paged_block=(8, 8, 8))
+    x_src = jnp.asarray(rng.normal(size=(1, num_src, hd)), jnp.float32)
+    x_dst = jnp.asarray(rng.normal(size=(1, n_dst, hd)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(1, n_dst, hd)), jnp.float32)
+
+    def run(fuse):
+        os.environ["ANEMOI_PAGED_FUSE_EDGE"] = "1" if fuse else "0"
+        try:
+            mod = GraphTransformerAttention(
+                num_heads=h, attn_channels=hd, out_channels=hd, backend="paged"
+            )
+            params = mod.init(jax.random.PRNGKey(0), x_src, x_dst, ed)
+
+            def loss(p, xs, xd):
+                return jnp.sum(mod.apply(p, xs, xd, ed) * cot)
+
+            out = mod.apply(params, x_src, x_dst, ed)
+            grads = jax.grad(loss, argnums=(0, 1, 2))(params, x_src, x_dst)
+            return params, out, grads
+        finally:
+            os.environ.pop("ANEMOI_PAGED_FUSE_EDGE", None)
+
+    p1, out1, g1 = run(True)
+    p0, out0, g0 = run(False)
+    # identical param trees (lin_edge kernel/bias names preserved)
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p0)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
