@@ -147,34 +147,53 @@ class GraphTransformerAttention(nn.Module):
             tab = edge_data.paged_tables
             e = to_slot_layout(e, tab.slot_gather, tab.edge_slot)
         # fuse the lin_edge projection INTO the paged kernel where it composes
-        # (single-device / GSPMD paged path): the projected [num_flat, HD]
-        # edge tensor never exists in HBM; same lin_edge param names
+        # (single-device / GSPMD paged path, AND per-shard inside the halo
+        # shard_map): the projected [*, HD] edge tensor never exists in HBM;
+        # same lin_edge param names
         import os as _os
 
+        fuse_env = _os.environ.get("ANEMOI_PAGED_FUSE_EDGE", "1") == "1"
         use_fe = (
             use_paged
             and not self.edge_pre_mlp
             and edge_data.halo_tables is None
-            and _os.environ.get("ANEMOI_PAGED_FUSE_EDGE", "1") == "1"
+            and fuse_env
         )
         if use_fe and self.shard_strategy == "heads":
             from anemoi_tpu.parallel.mesh import model_axis_size as _mas
 
             use_fe = _mas() <= 1
+        use_fe_halo = (
+            self.backend == "paged"
+            and not self.edge_pre_mlp
+            and fuse_env
+            and edge_data.halo_tables is not None
+            and edge_data.halo_paged_meta is not None
+            and (
+                "pg_blk_ids" in edge_data.halo_tables
+                or "int_pg_blk_ids" in edge_data.halo_tables
+            )
+        )
         raw_p = w_aug = None
-        if use_fe:
+        if use_fe or use_fe_halo:
             from anemoi_tpu.ops.pallas.paged_gt import (
+                EDGE_LANES,
                 augment_edge_weights,
                 pad_raw_edge_features,
             )
 
             lin_edge = nn.Dense(hd, name="lin_edge")
-            _ = lin_edge(e[:1])  # create/bind the params (output unused)
-            raw_p = pad_raw_edge_features(e)
+            _ = lin_edge(e[..., :1, :])  # create/bind the params (unused)
+            if use_fe:
+                raw_p = pad_raw_edge_features(e)
+                fp = raw_p.shape[-1]
+            else:
+                # halo path pads per shard AFTER the slot gather
+                fp = -(-(e.shape[-1] + 1) // EDGE_LANES) * EDGE_LANES
             w_aug = augment_edge_weights(
                 lin_edge.variables["params"]["kernel"],
                 lin_edge.variables["params"]["bias"],
-                raw_p.shape[-1],
+                fp,
             )
             edges = None
         else:
@@ -200,8 +219,11 @@ class GraphTransformerAttention(nn.Module):
                     key.reshape(batch, n_src, h, d)
                 ).reshape(batch, n_src, hd)
             return halo_gt_attention(
-                query, key, value, edges, edge_data.halo_tables, h,
+                query, key, value,
+                e if use_fe_halo else edges,
+                edge_data.halo_tables, h,
                 paged_meta=edge_data.halo_paged_meta,
+                w_aug=w_aug if use_fe_halo else None,
             )
 
         if self.shard_strategy == "heads":

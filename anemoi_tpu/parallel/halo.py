@@ -372,11 +372,13 @@ def halo_gt_attention(
     query: jnp.ndarray,  # [B, N_pad, HD], node axis GSPMD-sharded over 'model'
     key: jnp.ndarray,
     value: jnp.ndarray,
-    edges: Optional[jnp.ndarray],  # [S, E_loc, HD] per-shard edge projections
+    edges: Optional[jnp.ndarray],  # [S, E_loc, HD] projections, or [S, E_loc, F]
+    #   RAW per-shard edge attrs when ``w_aug`` is given (fused projection)
     tables: dict,  # stacked shard tables (leading [S] axis on every array)
     num_heads: int,
     axis_name: str = "model",
     paged_meta: Optional[tuple] = None,  # (bd, page, r) when pg_* tables exist
+    w_aug: Optional[jnp.ndarray] = None,  # [Fp, HD] augmented lin_edge weights
 ) -> jnp.ndarray:
     """The model-facing halo ("edges" shard-strategy) graph attention.
 
@@ -387,7 +389,13 @@ def halo_gt_attention(
     paged Pallas kernel over the [local | halo] source space (the multi-chip
     fast path).  This is the TPU-native equivalent of the reference's
     edges-strategy processor forward
-    (/root/reference/models/src/anemoi/models/layers/block.py:1148-1183)."""
+    (/root/reference/models/src/anemoi/models/layers/block.py:1148-1183).
+
+    With ``w_aug`` (paged tables only) the lin_edge projection is fused into
+    the per-shard kernels: ``edges`` carries the RAW [S, E_loc, F] attrs, the
+    kernels project [r, Fp] slot blocks against the resident weights, and the
+    replicated weight cotangent is psummed over the model axis by shard_map's
+    transpose (verified: check_vma=False still inserts the psum)."""
     import os
 
     from jax.sharding import PartitionSpec as P
@@ -402,10 +410,12 @@ def halo_gt_attention(
 
     overlap = "ib_split_idx" in tables
 
-    def _paged_attn(q_b, k_b, v_b, e0, tbl, prefix=""):
+    def _paged_attn(q_b, k_b, v_b, e0, w0, tbl, prefix=""):
         from anemoi_tpu.ops.pallas.paged_gt import (
             PagedTables,
+            pad_raw_edge_features,
             paged_gt_attention_flat as paged_flat,
+            paged_gt_attention_flat_fe as paged_flat_fe,
             to_slot_layout,
         )
 
@@ -422,6 +432,17 @@ def halo_gt_attention(
             num_src=k_b.shape[1], num_dst=q_b.shape[1],
         )
         e_slots = to_slot_layout(e0, tab.slot_gather, tab.edge_slot)
+        if w0 is not None:
+            # fused lin_edge: raw slot features + resident augmented weights
+            raw = pad_raw_edge_features(e_slots)
+            return jnp.stack(
+                [
+                    paged_flat_fe(q_b[b], k_b[b], v_b[b], raw, w0, num_heads,
+                                  tab, stabilize)
+                    for b in range(q_b.shape[0])
+                ],
+                axis=0,
+            )
         return jnp.stack(
             [
                 paged_flat(q_b[b], k_b[b], v_b[b], e_slots, num_heads,
@@ -431,7 +452,7 @@ def halo_gt_attention(
             axis=0,
         )
 
-    def _padded_attn(q_b, k_b, v_b, e0, tbl, prefix=""):
+    def _padded_attn(q_b, k_b, v_b, e0, w0, tbl, prefix=""):
         pt = _tables_to_padded({kk: tbl[f"{prefix}{kk}"] for kk in _HALO_TABLE_KEYS})
 
         def one(q1, k1, v1):
@@ -440,8 +461,12 @@ def halo_gt_attention(
         return jax.vmap(one)(q_b, k_b, v_b)
 
     attn = _paged_attn if use_paged else _padded_attn
+    if w_aug is not None and not use_paged:
+        raise ValueError("fused lin_edge (w_aug) requires paged halo tables")
 
-    def kernel(q, k, v, e, tbl):
+    # n_int differs between processor/mapper calls; shard_map's overlap split
+    # reads it from the int_ table shapes, which is static per call site
+    def kernel(q, k, v, e, w, tbl):
         tbl = {kk: a[0] for kk, a in tbl.items()}  # strip the [1] shard axis
         send_tbl = {
             kk: tbl[kk]
@@ -459,24 +484,26 @@ def halo_gt_attention(
             k_ext = halo_exchange_b(k, send_tbl, axis_name)
             v_ext = halo_exchange_b(v, send_tbl, axis_name)
             q_split = route_rows_b(q, split_idx, combine_idx)
-            out_int = attn(q_split[:, :n_int], k, v, e0, tbl, "int_")
-            out_bnd = attn(q_split[:, n_int:], k_ext, v_ext, e0, tbl, "bnd_")
+            out_int = attn(q_split[:, :n_int], k, v, e0, w, tbl, "int_")
+            out_bnd = attn(q_split[:, n_int:], k_ext, v_ext, e0, w, tbl, "bnd_")
             combined = jnp.concatenate([out_int, out_bnd], axis=1)
             return route_rows_b(combined, combine_idx, split_idx)
 
         k_ext = halo_exchange_b(k, send_tbl, axis_name)
         v_ext = halo_exchange_b(v, send_tbl, axis_name)
-        return attn(q, k_ext, v_ext, e0, tbl, "")
+        return attn(q, k_ext, v_ext, e0, w, tbl, "")
 
     in_specs = (node_spec, node_spec, node_spec,
-                None if edges is None else shard_spec, table_specs)
+                None if edges is None else shard_spec,
+                None if w_aug is None else P(),
+                table_specs)
     return jax.shard_map(
         kernel,
         in_specs=in_specs,
         out_specs=node_spec,
         axis_names={axis_name},
         check_vma=False,
-    )(query, key, value, edges, tables)
+    )(query, key, value, edges, w_aug, tables)
 
 
 @jax.custom_vjp

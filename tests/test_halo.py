@@ -270,6 +270,113 @@ def test_halo_paged_kernel_matches_unsharded(setup):
                                err_msg="d_edge")
 
 
+def test_halo_paged_fused_edge_projection_matches(setup):
+    """Fused lin_edge inside the halo shard_map (w_aug path): forward and
+    gradients -- including the REPLICATED weight/bias cotangents, which
+    shard_map's transpose must psum over the model axis -- match the
+    unsharded segment reference with the projection applied outside."""
+    from anemoi_tpu.ops.pallas import paged_gt
+    from anemoi_tpu.ops.pallas.paged_gt import EDGE_LANES, augment_edge_weights
+    from anemoi_tpu.ops.segment import graph_transformer_attention
+    from anemoi_tpu.parallel.halo import (
+        halo_gt_attention,
+        permute_rows,
+        shard_paged_tables,
+    )
+
+    ei, dst_ptr, n, sg, tables, q, k, v, _ = setup
+    rng = np.random.default_rng(3)
+    F = 5
+    e_cnt = ei.shape[1]
+    ea_raw = jnp.asarray(rng.normal(size=(e_cnt, F)).astype(np.float32))
+    W = jnp.asarray(
+        (rng.normal(size=(F, H * D)) / np.sqrt(F)).astype(np.float32)
+    )
+    b = jnp.asarray(rng.normal(size=(H * D,)).astype(np.float32))
+    w_rand = jnp.asarray(
+        rng.normal(size=(1, sg.n_total_padded, H * D)).astype(np.float32)
+    )
+
+    num_src_ext = sg.n_local + sg.n_shards * sg.h_pair
+    pg_tables, meta = shard_paged_tables(sg, num_src_ext, bd=16, page=32, r=16)
+    all_tables = {**tables, **pg_tables}
+
+    devices = np.asarray(jax.devices()[:N_SHARDS]).reshape(N_SHARDS)
+    mesh = Mesh(devices, axis_names=("model",))
+    qp = jnp.asarray(pad_nodes(q, sg))[None]
+    kp = jnp.asarray(pad_nodes(k, sg))[None]
+    vp = jnp.asarray(pad_nodes(v, sg))[None]
+
+    # the production edge routing (processor.py): differentiable permute of
+    # the global raw attrs into the per-shard [S, E_loc, F] layout
+    perm = jnp.asarray(sg.edge_attr_perm)
+    inv = np.zeros(e_cnt, dtype=np.int32)
+    flat = np.arange(sg.edge_attr_perm.size, dtype=np.int32).reshape(
+        sg.edge_attr_perm.shape
+    )
+    inv[sg.edge_attr_perm[sg.edge_pad_mask]] = flat[sg.edge_pad_mask]
+    inv = jnp.asarray(inv)
+    fp = -(-(F + 1) // EDGE_LANES) * EDGE_LANES
+
+    def fused_fwd(kp_in, ea, w_in, b_in):
+        eap = permute_rows(ea, perm, inv).reshape(sg.n_shards, -1, F)
+        w_aug = augment_edge_weights(w_in, b_in, fp)
+        return halo_gt_attention(
+            qp, kp_in, vp, eap, all_tables, H, paged_meta=meta, w_aug=w_aug
+        )
+
+    def ref_fwd(kk, ea, w_in, b_in):
+        proj = ea @ w_in + b_in
+        out = graph_transformer_attention(
+            jnp.asarray(q).reshape(n, H, D), kk.reshape(n, H, D),
+            jnp.asarray(v).reshape(n, H, D), proj.reshape(-1, H, D),
+            jnp.asarray(ei), num_dst=n,
+        )
+        return out.reshape(n, H * D)
+
+    paged_gt.set_interpret(True)
+    try:
+        with jax.set_mesh(mesh):
+            out = np.asarray(jax.jit(fused_fwd)(kp, ea_raw, W, b))[0, :n]
+
+            def loss(kp_in, ea, w_in, b_in):
+                return jnp.sum(fused_fwd(kp_in, ea, w_in, b_in) * w_rand)
+
+            grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+                kp, ea_raw, W, b
+            )
+    finally:
+        paged_gt.set_interpret(False)
+
+    ref = np.asarray(ref_fwd(jnp.asarray(k), ea_raw, W, b))
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+    w_real = np.asarray(w_rand)[0, :n]
+
+    def ref_loss(kk, ea, w_in, b_in):
+        return jnp.sum(ref_fwd(kk, ea, w_in, b_in) * jnp.asarray(w_real))
+
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(
+        jnp.asarray(k), ea_raw, W, b
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads[0])[0, :n], np.asarray(ref_grads[0]), atol=5e-5,
+        err_msg="dk",
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads[1]), np.asarray(ref_grads[1]), atol=5e-5,
+        err_msg="d_edge_raw",
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads[2]), np.asarray(ref_grads[2]), atol=2e-4,
+        err_msg="d_weight (psum over model axis)",
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads[3]), np.asarray(ref_grads[3]), atol=2e-4,
+        err_msg="d_bias (psum over model axis)",
+    )
+
+
 def test_partition_scales_to_n320_class_graphs():
     """The vectorised partitioner handles BASELINE.md's north-star scale
     (~550k nodes, ~5M edges, 16 shards) in seconds -- the round-1 review
