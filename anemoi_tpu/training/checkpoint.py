@@ -165,6 +165,24 @@ def load_inference_checkpoint(path: str):
     }
     config = bundle["config"]
 
+    # The recorded shard_strategy/num_model_shards are training-time
+    # EXECUTION details, not part of the model's math: reconcile them with
+    # the serving environment.  Multi-chip serving enters a mesh first
+    # (docs/serving.md, test_predict_step_edges_shard_parity); without a
+    # 'model' mesh axis the halo/Ulysses shard_maps cannot run, so degrade
+    # to the single-device fast path (ref analogue: Lightning strategies are
+    # dropped when the pickled inference model is loaded standalone).
+    from anemoi_tpu.parallel.mesh import model_axis_size
+
+    s = model_axis_size()
+    mcfg = config.setdefault("model", {})
+    if str(mcfg.get("shard_strategy", "none")) != "none":
+        if s <= 1:
+            mcfg["shard_strategy"] = "none"
+            mcfg.pop("num_model_shards", None)
+        else:
+            mcfg["num_model_shards"] = s
+
     # the graph must be rebuilt/loaded from config
     from anemoi_tpu.graphs.create import GraphCreator
 

@@ -84,6 +84,9 @@ def main(argv=None) -> int:
     p_pred.add_argument("--output", default="forecast.npz")
     p_pred.add_argument("--seed", type=int, default=0,
                         help="RNG seed for generative (transport) forecasts")
+    p_pred.add_argument("--platform", default=None,
+                        help="Force the JAX platform for serving (e.g. cpu); "
+                             "default: the environment's backend")
 
     p_mlf = sub.add_parser("mlflow", help="Offline-run sync and server auth")
     mlf_sub = p_mlf.add_subparsers(dest="mlflow_command", required=True)
@@ -111,6 +114,8 @@ def main(argv=None) -> int:
     if args.command == "predict":
         from anemoi_tpu.inference import run_forecast_cli
 
+        if args.platform:
+            _apply_hardware_platform({"platform": args.platform})
         return run_forecast_cli(args)
 
     if args.command == "mlflow":

@@ -523,3 +523,47 @@ def test_predict_step_edges_shard_parity(reference_run):
     # bf16 forward on both sides; identical math up to reduction order
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(got.mean(), ref.mean(), atol=1e-4)
+
+
+def test_edges_bundle_serves_on_single_device(reference_run, tmp_path):
+    """An inference bundle recorded under shard_strategy=edges must load and
+    predict WITHOUT a mesh: the strategy is a training-time execution detail,
+    so load_inference_checkpoint degrades it to the single-device path (the
+    reference's Lightning strategy is likewise dropped when the pickled
+    inference model is loaded standalone)."""
+    from anemoi_tpu.training.checkpoint import (
+        load_inference_checkpoint,
+        save_inference_checkpoint,
+    )
+
+    iface_ref, params, batch, _ = reference_run
+    ref = np.asarray(
+        iface_ref.predict_step(params, {ds: jnp.asarray(v) for ds, v in batch.items()})["data"]
+    )
+
+    iface = _build_interface(shard_strategy="edges", n_shards=4)
+    gpath = tmp_path / "g.npz"
+    _graph().save(str(gpath))
+    config = dict(iface.config)
+    config["graph"] = {"save_path": str(gpath)}
+    di_config = {
+        ds: {
+            "name_to_index": idx.name_to_index,
+            "forcing": idx.forcing,
+            "diagnostic": idx.diagnostic,
+            "target": idx.target,
+        }
+        for ds, idx in iface.data_indices.items()
+    }
+    save_inference_checkpoint(
+        str(tmp_path / "bundle"), params, config, di_config, iface.statistics
+    )
+
+    loaded_iface, loaded_params = load_inference_checkpoint(str(tmp_path / "bundle"))
+    assert loaded_iface.model.shard_strategy == "none"
+    got = np.asarray(
+        loaded_iface.predict_step(
+            loaded_params, {ds: jnp.asarray(v) for ds, v in batch.items()}
+        )["data"]
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
