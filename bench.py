@@ -291,15 +291,23 @@ def main() -> None:
             metrics_flat["hbm_util"] = hbm_util
         # non-flagship configs store under a config-tag prefix so the
         # ancestor comparison never mixes different benchmark configs
-        flagship = (grid, mesh_level, channels, layers, backend, rollout) == (
-            "o96", 5, 512, 16, "paged", 1
-        ) and jax.devices()[0].platform == "tpu"
+        flagship = (
+            (grid, mesh_level, channels, layers, backend, rollout)
+            == ("o96", 5, 512, 16, "paged", 1)
+            and jax.devices()[0].platform == "tpu"
+            # kernel-tuning sweeps must not overwrite the flagship series
+            and not os.environ.get("BENCH_PAGED_BLOCK")
+            and not os.environ.get("BENCH_PAGED_MAPPER_BLOCK")
+        )
         if not flagship:
             tag = f"{grid}-L{mesh_level}-{channels}ch-{layers}l-{backend}-r{rollout}"
             if os.environ.get("BENCH_REMAT", "0") == "1":
                 tag += "-remat." + os.environ.get(
                     "BENCH_REMAT_POLICY", "save_attention"
                 )
+            for var in ("BENCH_PAGED_BLOCK", "BENCH_PAGED_MAPPER_BLOCK"):
+                if os.environ.get(var):
+                    tag += f"-{var.rsplit('_', 1)[-1].lower()}.{os.environ[var]}"
             metrics_flat = {f"{tag}/{k}": v for k, v in metrics_flat.items()}
         cmp = store.compare(metrics_flat) if base_commit else None
         commit = store.push(metrics_flat)
