@@ -304,6 +304,10 @@ class TrainingSchema(BaseModel):
     # rollout-checkpoint remat selectivity (full | save_attention | dots):
     # save_attention keeps the Pallas kernels' out/lse across rollout steps
     remat_policy: Optional[str] = None
+    # donate the train state to the step executable (in/out aliasing) at the
+    # cost of the caller's right to reuse the pre-step state pytree; measured
+    # neutral on speed and NOT a reliable peak-HBM lever (see step.py note)
+    donate_state: bool = False
     transport: Optional[Dict[str, Any]] = None
 
     @field_validator("transport")

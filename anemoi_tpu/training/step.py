@@ -14,6 +14,7 @@ W = n_step_input + rollout * n_step_output.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -117,6 +118,7 @@ def make_step_fns(
     precision: str = "fp32",
     fp32_head: bool = False,
     task: str = "forecaster",
+    donate_state: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build jitted (train_step, eval_step) closures.
 
@@ -304,11 +306,15 @@ def make_step_fns(
     graph_inputs = interface.graph_inputs
 
     # NOTE on buffer donation: donate_argnums=(0,) was measured on chip and
-    # bought nothing (o96 176 -> 175 ms, n320 within run variance -- XLA
-    # already overlaps the state output copies with compute), while deleting
-    # the caller's right to reuse the initial params pytree (e.g. training
-    # the same init at two precisions).  Deliberately NOT donated.
-    @jax.jit
+    # bought nothing on SPEED (o96 176 -> 175 ms, n320 within run variance --
+    # XLA already overlaps the state output copies with compute), while
+    # deleting the caller's right to reuse the initial params pytree (e.g.
+    # training the same init at two precisions).  Off by default; opt in via
+    # ``training.donate_state``.  It is NOT a reliable HBM lever on this
+    # toolchain either: 1024ch non-remat OOMs at 16.03 GB undonated and
+    # 17.00 GB donated -- input/output aliasing pushed the scheduler to a
+    # WORSE peak (measured round 4), so treat it as semantics, not memory.
+    @partial(jax.jit, donate_argnums=(0,) if donate_state else ())
     def _train_step(state: TrainState, batch, graph_inputs):
         rng = jax.random.fold_in(base_rng, state.step)
         loss_val, grads = jax.value_and_grad(rollout_loss)(

@@ -488,6 +488,7 @@ class AnemoiTrainer:
             precision=str(training_cfg.get("precision", "fp32")),
             fp32_head=bool(training_cfg.get("fp32_head", False)),
             task=str(training_cfg.get("task", "forecaster")),
+            donate_state=bool(training_cfg.get("donate_state", False)),
         )
 
     def _log(self, record: Dict[str, Any]) -> None:

@@ -137,6 +137,9 @@ def main() -> None:
         fp32_head=os.environ.get("BENCH_FP32_HEAD", "0") == "1",
         # BENCH_ENSEMBLE=k: k-member CRPS training step (EnsembleTraining)
         ensemble_size=int(os.environ.get("BENCH_ENSEMBLE", "1")),
+        # BENCH_DONATE=1: donate the train state (aliasing experiment; see
+        # the measured-neutral note in step.py)
+        donate_state=os.environ.get("BENCH_DONATE", "0") == "1",
     )
 
     rng = np.random.default_rng(0)

@@ -246,6 +246,45 @@ def test_temporal_downscaler_task(tiny_graph, rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_donated_train_step(tiny_graph, rng):
+    """training.donate_state=True: the state buffers are donated to the step
+    (frees the ~2x fp32 params+opt live set -- what lets 1024ch train without
+    per-layer remat on one chip); stepping must still thread state correctly
+    and match the undonated trajectory."""
+    import optax
+
+    from anemoi_tpu.training.losses import get_loss_function
+    from anemoi_tpu.training.optimizers import build_optimizer
+    from anemoi_tpu.training.step import TrainState, make_step_fns
+    from tests.test_models import make_indices, make_statistics, model_config
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+
+    iface = AnemoiModelInterface(
+        config={"model": model_config(), "data": {"processors": []}},
+        graph=tiny_graph,
+        data_indices={"data": make_indices()},
+        statistics={"data": make_statistics()},
+    )
+    params = iface.init_params(jax.random.PRNGKey(0))
+    losses = {"data": get_loss_function({"name": "WeightedMSELoss", "scalers": []}, {})}
+    n_grid = tiny_graph["data"].num_nodes
+    batch = {"data": jnp.asarray(rng.normal(size=(1, 3, 1, n_grid, 6)), dtype=jnp.float32)}
+
+    results = []
+    for donate in (False, True):
+        tx = build_optimizer({}, schedule=optax.constant_schedule(1e-3))
+        state = TrainState.create(params, tx)
+        train_step, _ = make_step_fns(
+            iface, losses, rollout=1, remat_rollout=False, donate_state=donate
+        )
+        ls = []
+        for _ in range(3):
+            state, metrics = train_step(state, batch)
+            ls.append(float(metrics["loss"]))
+        results.append(ls)
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+
 def test_multi_dataset_model(rng):
     """Two datasets on different grids sharing one hidden mesh (the reference's
     multi-dataset/fused-graph capability, test_multidatasets.yaml)."""
