@@ -58,6 +58,15 @@ def main() -> None:
     # the fused paged Pallas kernel is the flagship path (13.1x anchor);
     # BENCH_BACKEND=padded measures the XLA gather path
     backend = os.environ.get("BENCH_BACKEND", "paged")
+    model_kind = os.environ.get("BENCH_MODEL", "encprocdec")
+    # per-layer remat with the save_attention policy is FASTER than the full
+    # scan-residual stash at the flagship scale (157.8 vs 161.6 ms, round 4:
+    # the backward replays matmuls/norms but the [16, N, 4C] MLP stash never
+    # exists) -- on by default there; other shapes keep explicit control
+    flagship_shape = (grid, mesh_level, channels, layers, backend, rollout,
+                      model_kind) == ("o96", 5, 512, 16, "paged", 1,
+                                      "encprocdec")
+    remat_default = "1" if flagship_shape else "0"
 
     from __graft_entry__ import _build_interface
     from anemoi_tpu.training.losses import get_loss_function
@@ -74,9 +83,9 @@ def main() -> None:
         num_layers=layers,
         num_heads=heads,
         attention_backend=backend,
-        # per-layer remat trades ~10% step time for fitting bigger grids
-        # (o160/ico-6 OOMs without it); off at the default benchmark scale
-        remat_layers=os.environ.get("BENCH_REMAT", "0") == "1",
+        # per-layer remat: required above o96 scale (o160/ico-6 OOMs without
+        # it) and faster than the full scan stash AT flagship scale
+        remat_layers=os.environ.get("BENCH_REMAT", remat_default) == "1",
         # BENCH_REMAT_MAPPERS=1: remat the mapper blocks too (drops the big
         # [num_flat, HD] edge-slot residuals from HBM at n320-class grids)
         remat_mappers=os.environ.get("BENCH_REMAT_MAPPERS", "0") == "1",
@@ -295,19 +304,25 @@ def main() -> None:
         # non-flagship configs store under a config-tag prefix so the
         # ancestor comparison never mixes different benchmark configs
         flagship = (
-            (grid, mesh_level, channels, layers, backend, rollout)
-            == ("o96", 5, 512, 16, "paged", 1)
+            flagship_shape
             and jax.devices()[0].platform == "tpu"
-            # kernel-tuning sweeps must not overwrite the flagship series
+            # non-default execution knobs must not overwrite the flagship
+            # series (kernel-block sweeps, remat experiments)
             and not os.environ.get("BENCH_PAGED_BLOCK")
             and not os.environ.get("BENCH_PAGED_MAPPER_BLOCK")
+            and os.environ.get("BENCH_REMAT", remat_default) == remat_default
+            and os.environ.get("BENCH_REMAT_POLICY", "save_attention")
+            == "save_attention"
+            and os.environ.get("BENCH_SCAN", "1") == "1"
         )
         if not flagship:
             tag = f"{grid}-L{mesh_level}-{channels}ch-{layers}l-{backend}-r{rollout}"
-            if os.environ.get("BENCH_REMAT", "0") == "1":
+            if os.environ.get("BENCH_REMAT", remat_default) == "1":
                 tag += "-remat." + os.environ.get(
                     "BENCH_REMAT_POLICY", "save_attention"
                 )
+            if os.environ.get("BENCH_SCAN", "1") != "1":
+                tag += "-unrolled"
             for var in ("BENCH_PAGED_BLOCK", "BENCH_PAGED_MAPPER_BLOCK"):
                 if os.environ.get(var):
                     tag += f"-{var.rsplit('_', 1)[-1].lower()}.{os.environ[var]}"
