@@ -74,11 +74,6 @@ def estimate_train_step_flops(
       MLP (ratio r)         2*2*r*C^2*N_dst
     """
     C = channels
-    n_data = graph[data_name].num_nodes
-    n_hidden = graph[hidden_name].num_nodes
-    e_enc = graph[(data_name, hidden_name)].num_edges
-    e_proc = graph[(hidden_name, hidden_name)].num_edges
-    e_dec = graph[(hidden_name, data_name)].num_edges
 
     def gt_block(n_dst: int, n_src: int, e: int) -> float:
         proj = 2 * C * C * (n_dst + 2 * n_src)  # q on dst; k,v on src
@@ -87,10 +82,26 @@ def estimate_train_step_flops(
         mlp = 2 * 2 * mlp_ratio * C * C * n_dst
         return proj + attn + out + mlp
 
-    fwd = (
-        gt_block(n_hidden, n_data, e_enc)  # encoder mapper
-        + num_layers * gt_block(n_hidden, n_hidden, e_proc)  # processor
-        + gt_block(n_data, n_hidden, e_dec)  # decoder mapper
-    )
+    if hidden_name in getattr(graph, "nodes", {}):
+        n_data = graph[data_name].num_nodes
+        n_hidden = graph[hidden_name].num_nodes
+        e_enc = graph[(data_name, hidden_name)].num_edges
+        e_proc = graph[(hidden_name, hidden_name)].num_edges
+        e_dec = graph[(hidden_name, data_name)].num_edges
+        fwd = (
+            gt_block(n_hidden, n_data, e_enc)  # encoder mapper
+            + num_layers * gt_block(n_hidden, n_hidden, e_proc)  # processor
+            + gt_block(n_data, n_hidden, e_dec)  # decoder mapper
+        )
+    else:
+        # multi-level graph (hierarchical V-cycle: hidden_0..hidden_k):
+        # same-level edge sets carry a num_layers-deep processor stack,
+        # every other edge set one mapper block
+        fwd = 0.0
+        for (src, dst), es in graph.edges.items():
+            mult = num_layers if src == dst else 1
+            fwd += mult * gt_block(
+                graph[dst].num_nodes, graph[src].num_nodes, es.num_edges
+            )
     # backward ~ 2x forward; rollout multiplies everything
     return 3.0 * fwd * rollout * batch * ensemble
