@@ -50,6 +50,12 @@ class EdgeData:
     # a space-filling-curve node order; edge_attr stays canonical -- the
     # runtime slot-layout transform is a gather pair inside the op
     paged_tables: Optional[object] = None  # PagedTables pytree
+    # STATIC edge attrs pre-gathered into the kernel slot layout at build
+    # time: the in-step [E, F] -> [num_flat, F] narrow-lane gather is slow
+    # on chip (~9 ms/step for the n320 decoder alone) and pure table math.
+    # Blocks use it only when their (possibly trainable-augmented) edge
+    # width still matches -- TrainableEdgeFeatures widen and so fall back
+    edge_attr_slots: Optional[jnp.ndarray] = None  # [num_flat, F]
 
     @property
     def num_edges(self) -> int:
@@ -117,9 +123,10 @@ class SubGraphArrays:
                 bucket_tables = bucket_spans = src_tables = src_spans = None
                 src_rank = None
         paged_tables = None
+        edge_attr_slots = None
         if paged:
             from anemoi_tpu.ops.pallas.paged_gt import (
-                PagedTables, build_paged_csr,
+                PagedTables, build_paged_csr, to_slot_layout,
             )
 
             bd, page, r = paged_block
@@ -128,8 +135,13 @@ class SubGraphArrays:
                 bd=bd, page=page, r=r,
             )
             paged_tables = PagedTables.from_csr(csr, fused_bwd=paged_fused_bwd)
+            edge_attr_slots = to_slot_layout(
+                jnp.asarray(self.edge_attr, dtype=dtype),
+                paged_tables.slot_gather, paged_tables.edge_slot,
+            )
         return EdgeData(
             edge_attr=jnp.asarray(self.edge_attr, dtype=dtype),
+            edge_attr_slots=edge_attr_slots,
             edge_index=jnp.asarray(self.edge_index),
             tables=tables,
             bucket_tables=bucket_tables,

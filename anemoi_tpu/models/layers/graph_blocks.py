@@ -142,10 +142,20 @@ class GraphTransformerAttention(nn.Module):
             # AFTER: row-selection and the row-wise projection commute, the
             # gather moves ~HD/F fewer bytes, and the backward needs no
             # slot->edge gather at all (lin_edge grads contract in slot space)
-            from anemoi_tpu.ops.pallas.paged_gt import to_slot_layout
+            if (
+                edge_data.edge_attr_slots is not None
+                and e.shape[-1] == edge_data.edge_attr_slots.shape[-1]
+                and e.shape[:-1] == edge_data.edge_attr.shape[:-1]
+            ):
+                # STATIC attrs (no trainable widening): use the slot layout
+                # precomputed at graph-input build time -- the narrow-lane
+                # in-step gather is measurable (n320 decoder ~9 ms/step)
+                e = edge_data.edge_attr_slots.astype(x_src.dtype)
+            else:
+                from anemoi_tpu.ops.pallas.paged_gt import to_slot_layout
 
-            tab = edge_data.paged_tables
-            e = to_slot_layout(e, tab.slot_gather, tab.edge_slot)
+                tab = edge_data.paged_tables
+                e = to_slot_layout(e, tab.slot_gather, tab.edge_slot)
         # fuse the lin_edge projection INTO the paged kernel where it composes
         # (single-device / GSPMD paged path, AND per-shard inside the halo
         # shard_map): the projected [*, HD] edge tensor never exists in HBM;

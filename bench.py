@@ -314,6 +314,8 @@ def main() -> None:
             and os.environ.get("BENCH_REMAT_POLICY", "save_attention")
             == "save_attention"
             and os.environ.get("BENCH_SCAN", "1") == "1"
+            and not os.environ.get("BENCH_PAGED_FUSED")
+            and not os.environ.get("BENCH_PAGED_MAPPER_FUSED")
         )
         if not flagship:
             tag = f"{grid}-L{mesh_level}-{channels}ch-{layers}l-{backend}-r{rollout}"
@@ -323,6 +325,10 @@ def main() -> None:
                 )
             if os.environ.get("BENCH_SCAN", "1") != "1":
                 tag += "-unrolled"
+            for var, label in (("BENCH_PAGED_FUSED", "fusedbwd"),
+                               ("BENCH_PAGED_MAPPER_FUSED", "mfusedbwd")):
+                if os.environ.get(var):
+                    tag += f"-{label}.{os.environ[var]}"
             for var in ("BENCH_PAGED_BLOCK", "BENCH_PAGED_MAPPER_BLOCK"):
                 if os.environ.get(var):
                     tag += f"-{var.rsplit('_', 1)[-1].lower()}.{os.environ[var]}"

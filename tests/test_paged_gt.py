@@ -317,6 +317,58 @@ def test_attention_module_paged_matches_padded(rng):
     )
 
 
+def test_precomputed_edge_slots_match_runtime_gather(rng):
+    """The build-time edge_attr_slots (static attrs pre-gathered into the
+    kernel slot layout) must match the runtime to_slot_layout path exactly,
+    values AND parameter grads; trainable edge widening must fall back."""
+    from anemoi_tpu.models.graph import SubGraphArrays
+    from anemoi_tpu.models.layers.graph_blocks import GraphTransformerAttention
+
+    num_src, num_dst, h, hd = 24, 16, 2, 16
+    ei = random_bipartite(rng, num_src, num_dst, k_mean=4).astype(np.int32)
+    dst_ptr = np.searchsorted(ei[1], np.arange(num_dst + 1)).astype(np.int32)
+    sub = SubGraphArrays(
+        edge_index=ei,
+        edge_attr=rng.normal(size=(ei.shape[1], 3)).astype(np.float32),
+        dst_ptr=dst_ptr,
+        num_src=num_src,
+        num_dst=num_dst,
+    )
+    ed = sub.edge_data(paged=True, paged_block=(8, 8, 8))
+    assert ed.edge_attr_slots is not None
+    ed_stripped = ed.replace(edge_attr_slots=None)
+
+    x_src = jnp.asarray(rng.normal(size=(1, num_src, 8)), jnp.float32)
+    x_dst = jnp.asarray(rng.normal(size=(1, num_dst, 8)), jnp.float32)
+    mod = GraphTransformerAttention(
+        num_heads=h, attn_channels=hd, out_channels=hd, backend="paged"
+    )
+    params = mod.init(jax.random.PRNGKey(0), x_src, x_dst, ed)
+
+    def loss(p, e):
+        return jnp.sum(mod.apply(p, x_src, x_dst, e) ** 2)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(
+            (loss(params, ed), jax.grad(loss)(params, ed))
+        ),
+        jax.tree_util.tree_leaves(
+            (loss(params, ed_stripped), jax.grad(loss)(params, ed_stripped))
+        ),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # width mismatch (e.g. TrainableEdgeFeatures appended) -> runtime gather
+    ed_wide = ed.replace(
+        edge_attr=jnp.concatenate(
+            [ed.edge_attr, jnp.zeros((ed.edge_attr.shape[0], 1))], axis=-1
+        )
+    )
+    params_w = mod.init(jax.random.PRNGKey(0), x_src, x_dst, ed_wide)
+    out = mod.apply(params_w, x_src, x_dst, ed_wide)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_paged_large_logit_spread(rng):
     """The mean-shift online softmax stays exact for spread-out logits."""
     num_src, num_dst, h, d = 24, 16, 1, 8
