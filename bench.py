@@ -102,7 +102,7 @@ def main() -> None:
         paged_mapper_fused_bwd=_parse_flag("BENCH_PAGED_MAPPER_FUSED"),
         # BENCH_MODEL=hierarchical: two-level V-cycle (BENCH_LAYERS = layers
         # PER level processor; the preset default is 2)
-        model=os.environ.get("BENCH_MODEL", "encprocdec"),
+        model=model_kind,
     )
     build_s = time.time() - t0
     log(f"graph+iface built in {build_s:.1f}s")
