@@ -82,7 +82,10 @@ def estimate_train_step_flops(
         mlp = 2 * 2 * mlp_ratio * C * C * n_dst
         return proj + attn + out + mlp
 
-    if hidden_name in getattr(graph, "nodes", {}):
+    node_names = getattr(graph, "nodes", None)
+    if node_names is None:  # duck-typed mapping graph
+        node_names = [k for k in graph if isinstance(k, str)]
+    if hidden_name in node_names:
         n_data = graph[data_name].num_nodes
         n_hidden = graph[hidden_name].num_nodes
         e_enc = graph[(data_name, hidden_name)].num_edges
@@ -98,7 +101,12 @@ def estimate_train_step_flops(
         # same-level edge sets carry a num_layers-deep processor stack,
         # every other edge set one mapper block
         fwd = 0.0
-        for (src, dst), es in graph.edges.items():
+        edge_items = (
+            graph.edges.items()
+            if hasattr(graph, "edges")
+            else [(k, v) for k, v in graph.items() if isinstance(k, tuple)]
+        )
+        for (src, dst), es in edge_items:
             mult = num_layers if src == dst else 1
             fwd += mult * gt_block(
                 graph[dst].num_nodes, graph[src].num_nodes, es.num_edges

@@ -316,6 +316,7 @@ def main() -> None:
             and os.environ.get("BENCH_SCAN", "1") == "1"
             and not os.environ.get("BENCH_PAGED_FUSED")
             and not os.environ.get("BENCH_PAGED_MAPPER_FUSED")
+            and os.environ.get("BENCH_PAGED_MAPPERS", "1") == "1"
         )
         if not flagship:
             tag = f"{grid}-L{mesh_level}-{channels}ch-{layers}l-{backend}-r{rollout}"
@@ -329,6 +330,8 @@ def main() -> None:
                                ("BENCH_PAGED_MAPPER_FUSED", "mfusedbwd")):
                 if os.environ.get(var):
                     tag += f"-{label}.{os.environ[var]}"
+            if os.environ.get("BENCH_PAGED_MAPPERS", "1") != "1":
+                tag += "-paddedmappers"
             for var in ("BENCH_PAGED_BLOCK", "BENCH_PAGED_MAPPER_BLOCK"):
                 if os.environ.get(var):
                     tag += f"-{var.rsplit('_', 1)[-1].lower()}.{os.environ[var]}"
