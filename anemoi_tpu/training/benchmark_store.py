@@ -63,29 +63,63 @@ class BenchmarkStore:
         with open(path) as f:
             return json.load(f)
 
-    def find_latest_shared_commit(self, exclude_head: bool = True) -> Optional[str]:
-        """Most recent ancestor commit with stored results (ref :194-216)."""
+    def find_latest_shared_commit(
+        self, exclude_head: bool = True, required_keys=None
+    ) -> Optional[str]:
+        """Most recent ancestor commit with stored results (ref :194-216).
+
+        With ``required_keys``, ancestors whose stored file lacks ALL of the
+        requested metric keys are skipped: a sweep run that stored only
+        config-tagged keys (e.g. ``o96-...-block.256,256,256/step_time_ms``)
+        must not shadow the older flagship series it didn't touch.
+        """
         ancestry = commit_ancestry(self.repo)
         if exclude_head and ancestry:
             ancestry = ancestry[1:]
+        required = set(required_keys) if required_keys else None
         for commit in ancestry:
-            if os.path.exists(self._path(commit)):
+            if not os.path.exists(self._path(commit)):
+                continue
+            if required is None:
+                return commit
+            data = BenchmarkStore.get(self, commit) or {}
+            if required & set(data):
                 return commit
         return None
 
     def compare(
         self, metrics: Dict[str, float], higher_is_better: bool = True
     ) -> Dict[str, Dict[str, float]]:
-        """Compare metrics against the latest stored ancestor's values."""
-        base_commit = self.find_latest_shared_commit()
-        if base_commit is None:
-            return {k: {"value": v, "baseline": None, "ratio": None} for k, v in metrics.items()}
-        base = self.get(base_commit) or {}
+        """Compare metrics against stored ancestor values, per key.
+
+        Each key's baseline is taken from the MOST RECENT ancestor that stored
+        that key — different keys may resolve to different commits, so a
+        tagged-sweep commit in between never turns the comparison into a
+        no-op (the BENCH_r04 null-baseline failure mode).
+        """
+        # Remote stores mirror probed ancestors into the local cache here, so
+        # the per-key walk below only touches local files.
+        self.find_latest_shared_commit(required_keys=set(metrics))
+        ancestry = commit_ancestry(self.repo)
+        if ancestry:
+            ancestry = ancestry[1:]  # exclude HEAD: compare against ancestors
+        remaining = set(metrics)
+        baselines: Dict[str, tuple] = {}
+        for commit in ancestry:
+            if not remaining:
+                break
+            if not os.path.exists(self._path(commit)):
+                continue
+            data = BenchmarkStore.get(self, commit) or {}
+            for k in list(remaining):
+                if k in data:
+                    baselines[k] = (data[k], commit)
+                    remaining.discard(k)
         out = {}
         for k, v in metrics.items():
-            b = base.get(k)
+            b, bc = baselines.get(k, (None, None))
             ratio = (v / b) if (b not in (None, 0)) else None
-            out[k] = {"value": v, "baseline": b, "ratio": ratio, "baseline_commit": base_commit}
+            out[k] = {"value": v, "baseline": b, "ratio": ratio, "baseline_commit": bc}
         return out
 
 
@@ -149,18 +183,25 @@ class RemoteBenchmarkStore(BenchmarkStore):
         )
         return runs[0]["info"]["run_id"] if runs else None
 
-    def find_latest_shared_commit(self, exclude_head: bool = True) -> Optional[str]:
+    def find_latest_shared_commit(
+        self, exclude_head: bool = True, required_keys=None
+    ) -> Optional[str]:
         """Local cache first; on a fresh machine, probe the remote for each
         ancestor (mirroring hits locally) up to a bounded depth."""
-        local = super().find_latest_shared_commit(exclude_head)
+        local = super().find_latest_shared_commit(exclude_head, required_keys)
         if local is not None:
             return local
         ancestry = commit_ancestry(self.repo)
         if exclude_head and ancestry:
             ancestry = ancestry[1:]
+        required = set(required_keys) if required_keys else None
         for commit in ancestry[:25]:
-            if self.get(commit) is not None:
-                return commit
+            data = self.get(commit)  # probes remote + mirrors into local cache
+            if data is None:
+                continue
+            if required is not None and not (required & set(data)):
+                continue
+            return commit
         return None
 
     def get(self, commit: str) -> Optional[Dict[str, float]]:

@@ -290,7 +290,6 @@ def main() -> None:
         repo = os.path.dirname(os.path.abspath(__file__))
         # ANEMOI_TPU_BENCHMARK_URI=http://mlflow-host -> shared remote store
         store = open_benchmark_store(os.path.join(repo, ".bench_store"), repo=repo)
-        base_commit = store.find_latest_shared_commit()
         metrics_flat = {
             "grid_points_per_s": gps,
             "step_time_ms": step_time * 1000,
@@ -336,7 +335,9 @@ def main() -> None:
                 if os.environ.get(var):
                     tag += f"-{var.rsplit('_', 1)[-1].lower()}.{os.environ[var]}"
             metrics_flat = {f"{tag}/{k}": v for k, v in metrics_flat.items()}
-        cmp = store.compare(metrics_flat) if base_commit else None
+        # per-key ancestor search: sweep-tagged commits in between no longer
+        # null out the flagship comparison (round-4 regression)
+        cmp = store.compare(metrics_flat)
         commit = store.push(metrics_flat)
         result["store"] = {"commit": commit, "compare": cmp}
     except Exception as e:  # never fail the bench on store trouble

@@ -29,6 +29,40 @@ def test_find_latest_shared_commit(tmp_path):
     assert cmp["throughput"]["ratio"] == 1.5
 
 
+def test_compare_walks_past_keyless_ancestors(tmp_path):
+    """Reproduces the BENCH_r04 null-baseline failure: the NEAREST ancestor
+    stored only sweep-tagged keys (e.g. block-sweep runs), which used to stop
+    the ancestor search and null out every flagship comparison.  The search
+    must now resolve each key at the most recent ancestor that has IT."""
+    from anemoi_tpu.training.benchmark_store import commit_ancestry
+
+    store = BenchmarkStore(str(tmp_path / "bench"), repo="/root/repo")
+    ancestry = commit_ancestry("/root/repo")
+    near, far = ancestry[1], ancestry[2]
+    # flagship series stored two commits back ...
+    store.push({"grid_points_per_s": 1000.0, "step_time_ms": 100.0}, commit=far)
+    # ... then a block-sweep run stored ONLY tagged keys at the nearest ancestor
+    store.push({"o96-L5-512ch-16l-paged-r1-block.256,256,256/step_time_ms": 90.0},
+               commit=near)
+
+    # key-unaware search still finds the nearest file (back-compat) ...
+    assert store.find_latest_shared_commit() == near
+    # ... but the key-aware search skips it
+    assert (
+        store.find_latest_shared_commit(required_keys={"grid_points_per_s"}) == far
+    )
+
+    cmp = store.compare({"grid_points_per_s": 1200.0, "step_time_ms": 95.0})
+    assert cmp["grid_points_per_s"]["baseline"] == 1000.0
+    assert cmp["grid_points_per_s"]["baseline_commit"] == far
+    assert cmp["grid_points_per_s"]["ratio"] == pytest.approx(1.2)
+    # per-key resolution: a key stored at BOTH commits resolves to the nearest
+    store.push({"step_time_ms": 98.0}, commit=near)
+    cmp = store.compare({"step_time_ms": 49.0})
+    assert cmp["step_time_ms"]["baseline"] == 98.0
+    assert cmp["step_time_ms"]["baseline_commit"] == near
+
+
 def test_compare_without_baseline(tmp_path):
     store = BenchmarkStore(str(tmp_path / "bench"), repo="/root/repo")
     cmp = store.compare({"x": 1.0})
