@@ -11,8 +11,8 @@ this module implements the subset the anemoi layout needs with numpy alone:
   `.zmetadata`),
 - C-order chunk grids with `.`-separated chunk keys,
 - codecs: uncompressed (``compressor: null``), ``zlib``, ``gzip``, and
-  ``blosc`` when a blosc module is importable (it is not baked into this
-  image -- a clear error names the codec otherwise),
+  ``blosc`` (c-blosc 1.x frames with lz4/lz4hc or zlib inside, byte
+  shuffle -- vendored decoder in `_blosc`/`_lz4`, no external package),
 - fill_value for missing chunk files,
 - basic-slice `__getitem__` (per-axis slices/ints, no fancy indexing).
 
@@ -43,19 +43,15 @@ def _decompress(raw: bytes, compressor: Optional[dict]) -> bytes:
 
         return gzip.decompress(raw)
     if cid == "blosc":
-        try:
-            import blosc  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "this zarr store uses the blosc codec, which needs the "
-                "blosc package (not in this image); re-write the store with "
-                "compressor=zlib/gzip/None"
-            ) from e
-        return blosc.decompress(raw)
+        # vendored c-blosc 1.x frame + LZ4 block decoder (`_blosc`/`_lz4`):
+        # production anemoi-datasets stores are blosc-lz4 by default
+        from anemoi_tpu.data import _blosc
+
+        return _blosc.decompress(raw)
     raise ValueError(f"unsupported zarr compressor {compressor!r}")
 
 
-def _compress(raw: bytes, compressor: Optional[dict]) -> bytes:
+def _compress(raw: bytes, compressor: Optional[dict], itemsize: int = 1) -> bytes:
     if compressor is None:
         return raw
     cid = compressor.get("id")
@@ -65,6 +61,16 @@ def _compress(raw: bytes, compressor: Optional[dict]) -> bytes:
         import gzip
 
         return gzip.compress(raw, compressor.get("level", 1))
+    if cid == "blosc":
+        from anemoi_tpu.data import _blosc
+
+        return _blosc.compress(
+            raw,
+            typesize=itemsize,
+            cname=compressor.get("cname", "lz4"),
+            shuffle=compressor.get("shuffle", 1),
+            blocksize=compressor.get("blocksize") or None,
+        )
     raise ValueError(f"unsupported zarr compressor for writing: {compressor!r}")
 
 
@@ -226,7 +232,7 @@ def write_zarr_array(
         dst = tuple(slice(0, sl.stop - sl.start) for sl in src)
         block[dst] = data[src]
         with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
-            f.write(_compress(block.tobytes(), compressor))
+            f.write(_compress(block.tobytes(), compressor, data.dtype.itemsize))
 
 
 def save_zarr_dataset(

@@ -199,7 +199,10 @@ def _make_zarr(tmp_path, rng, compressor={"id": "zlib", "level": 1}, missing=())
 
 
 @pytest.mark.parametrize("compressor", [None, {"id": "zlib", "level": 1},
-                                        {"id": "gzip", "level": 1}])
+                                        {"id": "gzip", "level": 1},
+                                        {"id": "blosc", "cname": "lz4",
+                                         "clevel": 5, "shuffle": 1,
+                                         "blocksize": 0}])
 def test_zarr_dataset_roundtrip(tmp_path, rng, compressor):
     from anemoi_tpu.data.dataset import ZarrDataset, open_dataset
 
