@@ -79,13 +79,17 @@ def _field_filter(cls, cfg: dict) -> dict:
     return {k: v for k, v in cfg.items() if k in valid}
 
 
-def _build_encoder(cfg: dict, hidden_dim: int, backend: str) -> nn.Module:
+def _build_encoder(
+    cfg: dict, hidden_dim: int, backend: str, module_name: str | None = None
+) -> nn.Module:
     cfg = dict(cfg)
     cls = ENCODERS[cfg.pop("name", "GraphTransformerForwardMapper")]
     cfg.pop("sub_graph_edge_attributes", None)
     cfg.pop("edge_provider", None)
     trainable = cfg.pop("trainable_size", 0)
     cfg = _field_filter(cls, cfg)
+    if module_name is not None:
+        cfg["name"] = module_name
     return cls(hidden_dim=hidden_dim, edge_trainable_size=trainable, backend=backend, **cfg)
 
 
@@ -112,13 +116,18 @@ def _dynamic_edge_data(provider_cfg: dict, src_feat, dst_feat):
     )
 
 
-def _build_decoder(cfg: dict, hidden_dim: int, out_channels: int, backend: str) -> nn.Module:
+def _build_decoder(
+    cfg: dict, hidden_dim: int, out_channels: int, backend: str,
+    module_name: str | None = None,
+) -> nn.Module:
     cfg = dict(cfg)
     cls = DECODERS[cfg.pop("name", "GraphTransformerBackwardMapper")]
     cfg.pop("sub_graph_edge_attributes", None)
     cfg.pop("edge_provider", None)
     trainable = cfg.pop("trainable_size", 0)
     cfg = _field_filter(cls, cfg)
+    if module_name is not None:
+        cfg["name"] = module_name
     return cls(
         hidden_dim=hidden_dim,
         out_channels_dst=out_channels,

@@ -62,6 +62,23 @@ class EdgeData:
         return int(self.edge_index.shape[1])
 
 
+# ``edge_attr_slots`` is a build-time SNAPSHOT of edge_attr in the paged-kernel
+# slot layout: any runtime replacement of edge_attr invalidates it, so clear it
+# unless the caller explicitly supplies a matching slot tensor.  (flax's
+# struct.dataclass overwrites methods defined in the class body, hence the
+# post-hoc wrap.)
+_edge_data_replace = EdgeData.replace
+
+
+def _replace_clearing_stale_slots(self, **updates):
+    if "edge_attr" in updates and "edge_attr_slots" not in updates:
+        updates["edge_attr_slots"] = None
+    return _edge_data_replace(self, **updates)
+
+
+EdgeData.replace = _replace_clearing_stale_slots
+
+
 @dataclass
 class SubGraphArrays:
     """One directed sub-graph's static arrays (host-side)."""

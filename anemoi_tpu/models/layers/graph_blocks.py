@@ -142,10 +142,13 @@ class GraphTransformerAttention(nn.Module):
             # AFTER: row-selection and the row-wise projection commute, the
             # gather moves ~HD/F fewer bytes, and the backward needs no
             # slot->edge gather at all (lin_edge grads contract in slot space)
+            # EdgeData.replace clears edge_attr_slots on any edge_attr
+            # swap, so a non-None slot tensor is guaranteed to be the
+            # build-time gather of THIS edge_attr; the width check guards
+            # trainable widening (TrainableEdgeFeatures concatenates)
             if (
                 edge_data.edge_attr_slots is not None
                 and e.shape[-1] == edge_data.edge_attr_slots.shape[-1]
-                and e.shape[:-1] == edge_data.edge_attr.shape[:-1]
             ):
                 # STATIC attrs (no trainable widening): use the slot layout
                 # precomputed at graph-input build time -- the narrow-lane

@@ -177,10 +177,30 @@ def load_inference_checkpoint(path: str):
     s = model_axis_size()
     mcfg = config.setdefault("model", {})
     if str(mcfg.get("shard_strategy", "none")) != "none":
+        import logging
+
+        _log = logging.getLogger(__name__)
         if s <= 1:
+            # No 'model' mesh axis is visible HERE.  If you intended
+            # multi-chip serving, enter the mesh BEFORE loading the bundle
+            # (docs/serving.md) -- loading first silently serves
+            # single-device, which presents as slow/OOM, not as an error.
+            _log.warning(
+                "checkpoint was trained with shard_strategy=%s "
+                "(num_model_shards=%s) but no 'model' mesh axis is active; "
+                "degrading to single-device serving. For sharded serving, "
+                "enter the device mesh before loading the bundle "
+                "(docs/serving.md).",
+                mcfg.get("shard_strategy"), mcfg.get("num_model_shards"),
+            )
             mcfg["shard_strategy"] = "none"
             mcfg.pop("num_model_shards", None)
         else:
+            if int(mcfg.get("num_model_shards", s)) != s:
+                _log.warning(
+                    "re-basing num_model_shards %s -> %s to match the active "
+                    "'model' mesh axis", mcfg.get("num_model_shards"), s,
+                )
             mcfg["num_model_shards"] = s
 
     # the graph must be rebuilt/loaded from config

@@ -112,10 +112,13 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.command == "predict":
-        from anemoi_tpu.inference import run_forecast_cli
-
+        # platform must land before anything on the inference import chain
+        # can touch the jax backend (first backend init pins the platform)
         if args.platform:
             _apply_hardware_platform({"platform": args.platform})
+
+        from anemoi_tpu.inference import run_forecast_cli
+
         return run_forecast_cli(args)
 
     if args.command == "mlflow":

@@ -300,6 +300,11 @@ def main() -> None:
             metrics_flat["mfu"] = mfu
         if hbm_util is not None:
             metrics_flat["hbm_util"] = hbm_util
+        # flagship-default revision marker: bump when the untagged flagship
+        # series changes configuration (rev 2 = round-4 flip to per-layer
+        # save_attention remat), so a compare whose config_rev ratio != 1
+        # is flagged as a config change, not a code regression
+        metrics_flat["config_rev"] = 2.0
         # non-flagship configs store under a config-tag prefix so the
         # ancestor comparison never mixes different benchmark configs
         flagship = (

@@ -432,6 +432,228 @@ def test_short_training_trajectory_parity(rng):
     np.testing.assert_allclose(y_tpu, y_ref, rtol=5e-3, atol=5e-4)
 
 
+def _lin(sd, prefix):
+    return {
+        "kernel": sd[f"{prefix}.weight"].T,
+        **({"bias": sd[f"{prefix}.bias"]} if f"{prefix}.bias" in sd else {}),
+    }
+
+
+def _ln(sd, prefix):
+    out = {"scale": sd[f"{prefix}.weight"]}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _port_ref_mlp(sd, prefix, n_extra=0, layer_norm=True):
+    """Reference MLP (mlp.py:97, Sequential Linear/Act pairs + trailing
+    LayerNorm module) -> flax MLP {ffn_in, ffn_i..., linear_out, norm}."""
+    out = {"ffn_in": {"linear": _lin(sd, f"{prefix}.mlp.0")}}
+    for i in range(n_extra):
+        out[f"ffn_{i}"] = {"linear": _lin(sd, f"{prefix}.mlp.{2 * (i + 1)}")}
+    out["linear_out"] = _lin(sd, f"{prefix}.mlp.{2 * (n_extra + 1)}")
+    if layer_norm:
+        out["norm"] = {"ln": _ln(sd, f"{prefix}.layer_norm")}
+    return out
+
+
+def test_gnn_processor_block_parity(rng):
+    """GNN conv processor block vs the reference's own torch
+    GraphConvProcessorBlock (block.py:361-396, message function conv.py:29-81:
+    e_new = MLP([x_i, x_j, e]) + e ; out = scatter_sum; node MLP + residual),
+    weights ported."""
+    from anemoi.models.layers.block import GraphConvProcessorBlock as RefBlock
+
+    from anemoi_tpu.models.layers.graph_blocks import GraphConvProcessorBlock
+
+    C, F, n = 24, 5, 40
+    ei, dst_ptr = _random_graph(rng, n=n, deg=4)
+    x_np = rng.normal(size=(n, C)).astype(np.float32)
+    e_np = rng.normal(size=(ei.shape[1], F)).astype(np.float32)
+
+    torch.manual_seed(0)
+    ref = RefBlock(
+        in_channels=C, out_channels=C, num_chunks=1, mlp_extra_layers=0,
+        mlp_hidden_ratio=1.0, layer_kernels=reference_stubs.default_layer_kernels(),
+        edge_dim=F,
+    )
+    ref.eval()
+    with torch.no_grad():
+        nodes_ref, edges_ref = ref(
+            torch.from_numpy(x_np), torch.from_numpy(e_np), torch.from_numpy(ei),
+            shard_info=GraphShardInfo(), model_comm_group=None, size=(n, n),
+        )
+
+    sub = SubGraphArrays(
+        edge_index=ei.astype(np.int32), edge_attr=e_np, dst_ptr=dst_ptr,
+        num_src=n, num_dst=n,
+    )
+    edge_data = sub.edge_data(padded=True)
+    block = GraphConvProcessorBlock(
+        out_channels=C, mlp_extra_layers=0, mlp_hidden_ratio=1.0, edge_dim=F,
+        backend="padded",
+    )
+    xb = jnp.asarray(x_np)[None]
+    eb = jnp.asarray(e_np)
+    params0 = block.init(jax.random.PRNGKey(0), xb, eb, edge_data)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    # all three MLPs use n_extra_layers = mlp_extra_layers + 1 = 1
+    params = {"params": {
+        "emb_edges": _port_ref_mlp(sd, "emb_edges", n_extra=1),
+        "node_mlp": _port_ref_mlp(sd, "node_mlp", n_extra=1),
+        "conv": {"edge_mlp": _port_ref_mlp(sd, "conv.edge_mlp", n_extra=1)},
+    }}
+    jax.tree_util.tree_map(
+        lambda a, b: None if a.shape == b.shape else (_ for _ in ()).throw(
+            AssertionError(f"{a.shape} vs {b.shape}")
+        ),
+        params0, jax.tree_util.tree_map(jnp.asarray, params),
+    )
+    nodes_tpu, edges_tpu = block.apply(
+        jax.tree_util.tree_map(jnp.asarray, params), xb, eb, edge_data
+    )
+    np.testing.assert_allclose(
+        np.asarray(nodes_tpu)[0], nodes_ref.numpy(), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(edges_tpu)[0], edges_ref.numpy(), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_gnn_mapper_block_parity(rng):
+    """GNN conv mapper block vs the reference torch GraphConvMapperBlock
+    (block.py:398-480): bipartite conv + dst node-MLP residual + src update."""
+    from anemoi.models.distributed.shapes import BipartiteGraphShardInfo
+    from anemoi.models.layers.block import GraphConvMapperBlock as RefBlock
+
+    from anemoi_tpu.models.layers.graph_blocks import GraphConvMapperBlock
+
+    C, n_src, n_dst, deg = 24, 30, 20, 4
+    src = rng.integers(0, n_src, n_dst * deg)
+    dst = np.repeat(np.arange(n_dst), deg)
+    order = np.argsort(dst, kind="stable")
+    ei = np.stack([src[order], dst[order]]).astype(np.int64)
+    dst_ptr = np.zeros(n_dst + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ei[1], minlength=n_dst), out=dst_ptr[1:])
+
+    x_src_np = rng.normal(size=(n_src, C)).astype(np.float32)
+    x_dst_np = rng.normal(size=(n_dst, C)).astype(np.float32)
+    e_np = rng.normal(size=(ei.shape[1], C)).astype(np.float32)  # pre-embedded
+
+    torch.manual_seed(0)
+    ref = RefBlock(
+        in_channels=C, out_channels=C, num_chunks=1, mlp_extra_layers=0,
+        mlp_hidden_ratio=1.0, update_src_nodes=True,
+        layer_kernels=reference_stubs.default_layer_kernels(),
+    )
+    ref.eval()
+    with torch.no_grad():
+        (src_ref, dst_ref), edges_ref = ref(
+            (torch.from_numpy(x_src_np), torch.from_numpy(x_dst_np)),
+            torch.from_numpy(e_np), torch.from_numpy(ei),
+            shard_info=BipartiteGraphShardInfo(), model_comm_group=None,
+            size=(n_src, n_dst),
+        )
+
+    sub = SubGraphArrays(
+        edge_index=ei.astype(np.int32), edge_attr=e_np, dst_ptr=dst_ptr,
+        num_src=n_src, num_dst=n_dst,
+    )
+    edge_data = sub.edge_data(padded=True)
+    block = GraphConvMapperBlock(
+        out_channels=C, mlp_extra_layers=0, mlp_hidden_ratio=1.0,
+        update_src_nodes=True, backend="padded",
+    )
+    xs, xd = jnp.asarray(x_src_np)[None], jnp.asarray(x_dst_np)[None]
+    eb = jnp.asarray(e_np)[None]
+    params0 = block.init(jax.random.PRNGKey(0), (xs, xd), eb, edge_data)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"params": {
+        "node_mlp": _port_ref_mlp(sd, "node_mlp", n_extra=1),
+        "conv": {"edge_mlp": _port_ref_mlp(sd, "conv.edge_mlp", n_extra=1)},
+    }}
+    jax.tree_util.tree_map(
+        lambda a, b: None if a.shape == b.shape else (_ for _ in ()).throw(
+            AssertionError(f"{a.shape} vs {b.shape}")
+        ),
+        params0, jax.tree_util.tree_map(jnp.asarray, params),
+    )
+    (src_tpu, dst_tpu), edges_tpu = block.apply(
+        jax.tree_util.tree_map(jnp.asarray, params), (xs, xd), eb, edge_data
+    )
+    np.testing.assert_allclose(
+        np.asarray(dst_tpu)[0], dst_ref.numpy(), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(src_tpu)[0], src_ref.numpy(), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(edges_tpu)[0], edges_ref.numpy(), rtol=2e-4, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("qk_norm", [False, True])
+def test_transformer_processor_block_parity(rng, qk_norm):
+    """Dense TransformerProcessorBlock vs the reference torch block
+    (block.py:123-197) running its own SDPA path (attention.py:184-263),
+    global attention, weights ported (separate lin_q/k/v -> fused qkv)."""
+    from anemoi.models.layers.block import TransformerProcessorBlock as RefBlock
+
+    from anemoi_tpu.models.layers.processor import TransformerProcessorBlock
+
+    C, H, n = 32, 4, 24
+    x_np = rng.normal(size=(n, C)).astype(np.float32)
+
+    torch.manual_seed(0)
+    ref = RefBlock(
+        num_channels=C, hidden_dim=4 * C, num_heads=H, window_size=None,
+        layer_kernels=reference_stubs.default_layer_kernels(), qk_norm=qk_norm,
+        attention_implementation="scaled_dot_product_attention",
+    )
+    ref.eval()
+    with torch.no_grad():
+        (out_ref,) = ref(
+            torch.from_numpy(x_np), shard_info=GraphShardInfo(), batch_size=1,
+        )
+
+    block = TransformerProcessorBlock(
+        num_channels=C, hidden_dim=4 * C, num_heads=H, window_size=None,
+        qk_norm=qk_norm,
+    )
+    xb = jnp.asarray(x_np)[None]
+    params0 = block.init(jax.random.PRNGKey(0), xb)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    attention = {
+        # fused qkv Dense: concat along the OUTPUT axis in q,k,v order
+        "qkv": {"kernel": np.concatenate(
+            [sd["attention.lin_q.weight"].T, sd["attention.lin_k.weight"].T,
+             sd["attention.lin_v.weight"].T], axis=1,
+        )},
+        "out_proj": _lin(sd, "attention.projection"),
+    }
+    if qk_norm:
+        attention["q_norm"] = {"ln": {"scale": sd["attention.q_norm.weight"]}}
+        attention["k_norm"] = {"ln": {"scale": sd["attention.k_norm.weight"]}}
+    params = {"params": {
+        "layer_norm_attention": {"ln": _ln(sd, "layer_norm_attention")},
+        "layer_norm_mlp": {"ln": _ln(sd, "layer_norm_mlp")},
+        "attention": attention,
+        "mlp": {"ffn_in": {"linear": _lin(sd, "mlp.mlp.0")},
+                "linear_out": _lin(sd, "mlp.mlp.2")},
+    }}
+    jax.tree_util.tree_map(
+        lambda a, b: None if a.shape == b.shape else (_ for _ in ()).throw(
+            AssertionError(f"{a.shape} vs {b.shape}")
+        ),
+        params0, jax.tree_util.tree_map(jnp.asarray, params),
+    )
+    out_tpu, _ = block.apply(jax.tree_util.tree_map(jnp.asarray, params), xb)
+    np.testing.assert_allclose(
+        np.asarray(out_tpu)[0], out_ref.numpy(), rtol=2e-4, atol=2e-5
+    )
+
+
 @pytest.mark.parametrize("qk_norm", [False, True])
 def test_gt_processor_block_parity(rng, qk_norm):
     C, H, F = 32, 4, 6
