@@ -138,7 +138,8 @@ def _build_decoder(
 
 
 def _build_processor(
-    cfg: dict, num_channels: int, backend: str, shard_strategy: str = "none"
+    cfg: dict, num_channels: int, backend: str, shard_strategy: str = "none",
+    module_name: str | None = None,
 ) -> nn.Module:
     cfg = dict(cfg)
     cls = PROCESSORS[cfg.pop("name", "GraphTransformerProcessor")]
@@ -150,6 +151,8 @@ def _build_processor(
     if shard_strategy in ("edges", "heads"):
         cfg.setdefault("shard_strategy", shard_strategy)
     cfg = _field_filter(cls, cfg)
+    if module_name is not None:
+        cfg["name"] = module_name
     if cls in (PointWiseMLPProcessor, TransformerProcessor):
         return cls(num_channels=num_channels, **cfg)
     return cls(
@@ -190,10 +193,28 @@ class AnemoiModelEncProcDec(nn.Module):
         """Model-parallel strategy over the 'model' mesh axis (ref
         config/model/graphtransformer.yaml `shard_strategy`):
         none | gspmd (sharding constraints only) | edges (halo exchange in
-        the processor) | heads (Ulysses all_to_all in the processor)."""
+        the processor) | heads (Ulysses all_to_all in the processor).
+
+        gspmd + the paged backend silently UPGRADES to the halo (edges)
+        path: GSPMD cannot partition a ``pallas_call``, so staying on pure
+        constraint propagation would drop the flagship kernel for padded
+        tables (docs/design.md §7) exactly when the user picked the
+        default-looking option.  The halo path computes the identical math
+        (parity-gated) and keeps the kernel per shard.  Opt out with
+        ``gspmd_paged_upgrade: false``."""
         s = str(self.config.get("shard_strategy", "none"))
         if s == "none" and self.config.get("shard_over_mesh", False):
-            return "gspmd"  # backwards-compatible alias
+            s = "gspmd"  # backwards-compatible alias
+        if (
+            s == "gspmd"
+            and self.attention_backend == "paged"
+            and int(self.config.get("num_model_shards", 1)) > 1
+            and bool(self.config.get("gspmd_paged_upgrade", True))
+            and str(
+                (self.config.get("processor") or {}).get("name", "")
+            ).startswith("GraphTransformer")
+        ):
+            return "edges"
         return s
 
     def _maybe_shard(self, x: jnp.ndarray, spec) -> jnp.ndarray:

@@ -49,7 +49,32 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
 
     @property
     def level_process(self) -> bool:
+        # reference key: model.enable_hierarchical_level_processing
+        # (hierarchical.py:62); `level_process` kept as the short alias
+        if "enable_hierarchical_level_processing" in self.config:
+            return bool(self.config["enable_hierarchical_level_processing"])
         return bool(self.config.get("level_process", True))
+
+    @property
+    def level_channel_ratio(self) -> int:
+        """Per-level channel growth: level i runs at
+        ``num_channels * ratio**i``.  The reference architecture hard-codes
+        ratio 2 (hierarchical.py:37 ``hidden_dims = C * 2**i``); the repo
+        default is 1 (constant width -- cheaper at depth, the benched
+        V-cycle configuration)."""
+        return int(self.config.get("level_channel_ratio", 1))
+
+    def level_dims(self, levels) -> list:
+        r = self.level_channel_ratio
+        return [self.num_channels * (r ** i) for i in range(len(levels))]
+
+    @property
+    def level_process_num_layers(self):
+        """Layer count for the per-level (non-deepest) processors
+        (reference key model.level_process_num_layers); None = same as the
+        main processor's num_layers."""
+        v = self.config.get("level_process_num_layers")
+        return None if v is None else int(v)
 
     def build_graph_inputs(self, dtype=jnp.float32, inference: bool = False,
                            base: Optional[Dict] = None) -> Dict:
@@ -206,6 +231,8 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
         batch, n_time, ens = some.shape[0], some.shape[1], some.shape[2]
         bflat = batch * ens
         compute_dtype = some.dtype
+        dims = self.level_dims(levels)
+        deepest = len(levels) - 1
 
         def node_attrs(name):
             attrs = TrainableNodeAttributes(
@@ -214,6 +241,16 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
                 name=f"node_attributes_{name}",
             )(graph_inputs["node_features"][name].astype(compute_dtype))
             return jnp.broadcast_to(attrs[None], (bflat,) + attrs.shape)
+
+        def level_proc_cfg(i):
+            # non-deepest levels: reference model.level_process_num_layers
+            # (hierarchical.py:85); the deepest level runs the MAIN processor
+            # with the full processor.num_layers
+            cfg = self.config["processor"]
+            n = self.level_process_num_layers
+            if i != deepest and n is not None:
+                cfg = {**cfg, "num_layers": n}
+            return cfg
 
         # ---- encode data -> h1 ---------------------------------------
         h1 = levels[0]
@@ -234,25 +271,35 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
             )
             x_in = jnp.concatenate([flat, attrs], axis=-1)
             x_data_out, x_latent = _build_encoder(
-                self.config["encoder"], self.num_channels, self.attention_backend
+                self.config["encoder"], dims[0], self.attention_backend,
+                module_name=f"encoder_{ds}",
             )((x_in, x_h), graph_inputs["encoder"][ds])
             x_data_latent[ds] = x_data_out
             latents.append(x_latent)
         state = sum(latents)
 
         # ---- V-cycle down --------------------------------------------
+        # reference structure (hierarchical.py:292-380): per-level "down"
+        # processor, downscale mapper to the next level, MAIN processor at the
+        # deepest level with an optional latent skip (model.latent_skip)
         down_states = {}
         for i, name in enumerate(levels):
             if self.level_process and name in graph_inputs["level"]:
-                state = _build_processor(
-                    self.config["processor"], self.num_channels,
+                proc = _build_processor(
+                    level_proc_cfg(i), dims[i],
                     self.attention_backend, shard_strategy=self.shard_strategy,
+                    module_name=("processor" if i == deepest
+                                 else f"proc_down_{name}"),
                 )(state, graph_inputs["level"][name], cond)
+                if i == deepest and self.latent_skip:
+                    proc = proc + state
+                state = proc
             down_states[name] = state
             if i + 1 < len(levels):
                 nxt = levels[i + 1]
                 _, state = _build_encoder(
-                    self.config["encoder"], self.num_channels, self.attention_backend
+                    self.config["encoder"], dims[i + 1], self.attention_backend,
+                    module_name=f"down_{name}",
                 )((state, node_attrs(nxt)), graph_inputs["down"][name])
 
         # ---- V-cycle up ----------------------------------------------
@@ -261,15 +308,17 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
             nxt = levels[i + 1]
             state = _build_decoder(
                 self.config["up_mapper"] if "up_mapper" in self.config else self.config["decoder"],
-                self.num_channels,
-                self.num_channels,
+                dims[i + 1],
+                dims[i],
                 self.attention_backend,
+                module_name=f"up_{nxt}",
             )((state, down_states[name]), graph_inputs["up"][nxt])
             state = state + down_states[name]  # skip connection across the V
             if self.level_process and name in graph_inputs["level"]:
                 state = _build_processor(
-                    self.config["processor"], self.num_channels,
+                    level_proc_cfg(i), dims[i],
                     self.attention_backend, shard_strategy=self.shard_strategy,
+                    module_name=f"proc_up_{name}",
                 )(state, graph_inputs["level"][name], cond)
 
         # ---- decode h1 -> data ---------------------------------------
@@ -280,9 +329,10 @@ class AnemoiModelEncProcDecHierarchical(AnemoiModelEncProcDec):
             idx = self.data_indices[ds]
             x_out = _build_decoder(
                 self.config["decoder"],
-                self.num_channels,
+                dims[0],
                 self.output_dim(ds),
                 self.attention_backend,
+                module_name=f"decoder_{ds}",
             )((state, x_data_latent[ds]), graph_inputs["decoder"][ds])
             n_grid = x_out.shape[1]
             n_vars = idx.num_model_output_vars

@@ -212,6 +212,83 @@ def _stack_scan_down(ckpt: dict) -> dict:
 
 
 # ----------------------------------------------------------------------
+# 20260820120000: the hierarchical model's sub-modules moved from flax
+# auto-names (GraphTransformerForwardMapper_0, _1, ... in call order) to
+# stable explicit names (encoder_<ds>, down_<level>, proc_down_<level>,
+# processor, up_<level>, proc_up_<level>, decoder_<ds>) so reference
+# checkpoints port deterministically.  This renames old hierarchical
+# checkpoints into the explicit layout.
+# ----------------------------------------------------------------------
+
+
+def _hier_rename_map(ckpt: dict) -> Dict[str, str]:
+    """old auto-name -> new explicit name for one hierarchical checkpoint."""
+    mcfg = ckpt.get("config", {}).get("model", {})
+    datasets = sorted(ckpt.get("data_indices", {}).keys()) or ["data"]
+    levels = list(mcfg.get("hidden_names") or [])
+    if not levels:
+        # hidden_names may be inferred from the graph at build time; the
+        # trainable_parameters table carries the same level keys
+        levels = sorted(
+            (k for k in (mcfg.get("trainable_parameters") or {})
+             if str(k).startswith("hidden")),
+            key=lambda s: int(s.split("_")[1]) if "_" in s else 1,
+        )
+    if not levels:
+        return {}
+    L, ren = len(levels), {}
+    enc_cls = str(mcfg.get("encoder", {}).get("name", "GraphTransformerForwardMapper"))
+    dec_cls = str(mcfg.get("decoder", {}).get("name", "GraphTransformerBackwardMapper"))
+    proc_cls = str(mcfg.get("processor", {}).get("name", "GraphTransformerProcessor"))
+    # encoders per sorted dataset, then one down-mapper per non-deepest level
+    for j, ds in enumerate(datasets):
+        ren[f"{enc_cls}_{j}"] = f"encoder_{ds}"
+    for i in range(L - 1):
+        ren[f"{enc_cls}_{len(datasets) + i}"] = f"down_{levels[i]}"
+    # processors: down the levels (deepest = main), then back up
+    for i in range(L):
+        ren[f"{proc_cls}_{i}"] = (
+            "processor" if i == L - 1 else f"proc_down_{levels[i]}"
+        )
+    for j, i in enumerate(range(L - 2, -1, -1)):
+        ren[f"{proc_cls}_{L + j}"] = f"proc_up_{levels[i]}"
+    # up-mappers (decoder class) in up-loop order, then final decoders
+    for j, i in enumerate(range(L - 2, -1, -1)):
+        ren[f"{dec_cls}_{j}"] = f"up_{levels[i + 1]}"
+    for j, ds in enumerate(datasets):
+        ren[f"{dec_cls}_{L - 1 + j}"] = f"decoder_{ds}"
+    return ren
+
+
+def _is_hierarchical(ckpt: dict) -> bool:
+    return "Hierarchical" in str(
+        ckpt.get("config", {}).get("model", {}).get("name", "")
+    )
+
+
+@register_migration("20260820120000_hierarchical_module_names")
+def _hier_names(ckpt: dict) -> dict:
+    return ckpt  # bundle unchanged; the params transform does the work
+
+
+@_hier_names.params
+def _hier_names_params(params: dict, ckpt: dict) -> dict:
+    if not _is_hierarchical(ckpt):
+        return params
+    ren = _hier_rename_map(ckpt)
+    container = params.get("params", params)
+    renamed = {ren.get(k, k): v for k, v in container.items()}
+    if "params" in params:
+        return {**params, "params": renamed}
+    return renamed
+
+
+@_hier_names.rollback
+def _hier_names_down(ckpt: dict) -> dict:
+    return ckpt
+
+
+# ----------------------------------------------------------------------
 # Timestamped migration scripts (ref migrations/scripts/17*.py + the
 # `anemoi-models migration create` scaffolding, commands/migration.py):
 # standalone scripts live in anemoi_tpu/models/migration_scripts/ and are

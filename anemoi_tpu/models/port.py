@@ -29,11 +29,36 @@ def _is_linear_kernel(path: Tuple[str, ...]) -> bool:
     return path[-1] == "kernel"
 
 
+# hierarchical module-name prefixes -> (reference module path prefix builder,
+# reference graph-provider ModuleDict name); order matters: longer prefixes
+# first so "proc_down_h1" never matches "down_"
+_HIER_PREFIXES = (
+    ("proc_down_", "down_level_processor", "down_level_processor_graph_providers"),
+    ("proc_up_", "up_level_processor", "up_level_processor_graph_providers"),
+    ("encoder_", "encoder", "encoder_graph_provider"),
+    ("decoder_", "decoder", "decoder_graph_provider"),
+    ("down_", "downscale", "downscale_graph_providers"),
+    ("up_", "upscale", "upscale_graph_providers"),
+)
+
+
+def _hier_component(p: str):
+    """Explicit hierarchical module name -> (ref path parts, provider path)."""
+    if p == "processor":
+        return ["processor"], ["processor_graph_provider"]
+    for prefix, ref, prov in _HIER_PREFIXES:
+        if p.startswith(prefix):
+            key = p[len(prefix):]
+            return [ref, key], [prov, key]
+    return None
+
+
 def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
     """Map one flax param path to the reference state-dict name."""
     parts: List[str] = list(path)
     out: List[str] = ["model"]
-    component = None  # encoder | decoder | processor (for provider-owned params)
+    # graph-provider path for this component's trainable edge features
+    provider: List[str] = []
     i = 0
     while i < len(parts):
         p = parts[i]
@@ -45,25 +70,31 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
             # trainable edge features live on the graph PROVIDER in the
             # reference layout (graph_provider.py:254 StaticGraphProvider
             # .trainable = TrainableTensor)
-            out = ["model", f"{component}_graph_provider"]
-            if component != "processor":
-                out.append(dataset)
-            out.append("trainable")
+            out = ["model"] + provider + ["trainable"]
             i += 1
             continue
         if p.startswith("GraphTransformerForwardMapper"):
             out += ["encoder", dataset]
-            component = "encoder"
+            provider = ["encoder_graph_provider", dataset]
             i += 1
             continue
         if p.startswith("GraphTransformerBackwardMapper"):
             out += ["decoder", dataset]
-            component = "decoder"
+            provider = ["decoder_graph_provider", dataset]
             i += 1
             continue
         if p.startswith("GraphTransformerProcessor"):
             out += ["processor"]
-            component = "processor"
+            provider = ["processor_graph_provider"]
+            i += 1
+            continue
+        # --- hierarchical model components (models/hierarchical.py explicit
+        # module names -> reference AnemoiModelEncProcDecHierarchical
+        # ModuleDict layout, ref models/hierarchical.py:40-195) -------------
+        hier = _hier_component(p)
+        if hier is not None:
+            ref_parts, provider = hier
+            out += ref_parts
             i += 1
             continue
         if p == "blocks":  # scanned processor stack -> proc.<i> handled by caller

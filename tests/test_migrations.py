@@ -179,3 +179,52 @@ def test_migration_cli_create(tmp_path, capsys):
     files = [f for f in os.listdir(tmp_path) if f.endswith("_cli_scaffold.py")]
     assert len(files) == 1
     assert len(MIGRATOR.migrations) == n_before  # creation does not register
+
+
+def test_hierarchical_module_name_migration():
+    """Old hierarchical checkpoints (flax auto-named sub-modules in call
+    order) rename into the explicit stable layout (encoder_<ds>,
+    proc_down_<level>, processor, up_<level>, ...)."""
+    from anemoi_tpu.models.migrations import _hier_names_params, _hier_rename_map
+
+    ckpt = {
+        "config": {"model": {
+            "name": "AnemoiModelEncProcDecHierarchical",
+            "hidden_names": ["hidden_1", "hidden_2", "hidden_3"],
+            "encoder": {"name": "GraphTransformerForwardMapper"},
+            "decoder": {"name": "GraphTransformerBackwardMapper"},
+            "processor": {"name": "GraphTransformerProcessor"},
+        }},
+        "data_indices": {"data": {}},
+    }
+    ren = _hier_rename_map(ckpt)
+    assert ren == {
+        "GraphTransformerForwardMapper_0": "encoder_data",
+        "GraphTransformerForwardMapper_1": "down_hidden_1",
+        "GraphTransformerForwardMapper_2": "down_hidden_2",
+        "GraphTransformerProcessor_0": "proc_down_hidden_1",
+        "GraphTransformerProcessor_1": "proc_down_hidden_2",
+        "GraphTransformerProcessor_2": "processor",
+        "GraphTransformerProcessor_3": "proc_up_hidden_2",
+        "GraphTransformerProcessor_4": "proc_up_hidden_1",
+        "GraphTransformerBackwardMapper_0": "up_hidden_3",
+        "GraphTransformerBackwardMapper_1": "up_hidden_2",
+        "GraphTransformerBackwardMapper_2": "decoder_data",
+    }
+    params = {"params": {k: {"w": k} for k in list(ren) + ["node_attributes_data"]}}
+    out = _hier_names_params(params, ckpt)
+    assert set(out["params"]) == set(ren.values()) | {"node_attributes_data"}
+    # non-hierarchical checkpoints pass through untouched
+    flat_ckpt = {"config": {"model": {"name": "AnemoiModelEncProcDec"}}}
+    assert _hier_names_params(params, flat_ckpt) is params
+    # hidden levels inferred from trainable_parameters when hidden_names absent
+    ckpt2 = {
+        "config": {"model": {
+            "name": "AnemoiModelEncProcDecHierarchical",
+            "trainable_parameters": {"data": 2, "hidden_2": 2, "hidden_1": 2},
+        }},
+        "data_indices": {"data": {}},
+    }
+    ren2 = _hier_rename_map(ckpt2)
+    assert ren2["GraphTransformerProcessor_1"] == "processor"
+    assert ren2["GraphTransformerForwardMapper_1"] == "down_hidden_1"

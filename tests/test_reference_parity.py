@@ -299,6 +299,53 @@ def test_full_model_parity(rng):
     np.testing.assert_allclose(x_tpu, x_ref, rtol=2e-3, atol=2e-4)
 
 
+def test_bf16_rollout_drift_vs_reference(rng):
+    """bf16 parity characterization vs the reference (SURVEY §7): run the
+    10-step autoregressive rollout with bf16 params+inputs against the fp32
+    torch reference and bound the drift.  Measured curve (recorded in
+    docs/performance.md): max rel error 0.50% at step 1 growing sub-linearly
+    to ~0.82% by step 10 (fp32 stays at ~2e-7); the gate allows 2x headroom."""
+    import torch as _torch
+
+    pair = _build_paired_models(rng)
+    ref_model, iface, params = pair["ref_model"], pair["iface"], pair["params"]
+    n_grid, n_in = pair["n_grid"], pair["n_in"]
+
+    params_bf16 = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+    )
+    x_np = rng.normal(size=(1, 2, 1, n_grid, n_in)).astype(np.float32)
+    steps = 10
+    forcing = rng.normal(size=(steps, 1, 1, 1, n_grid, 2)).astype(np.float32)
+    prog, prog_in, forc_in = [0, 1, 2], [0, 1, 2], [3, 4]
+
+    def advance(x_prev, y_pred, t):
+        new = np.empty_like(x_prev[:, -1:])
+        new[..., prog_in] = y_pred[..., prog]
+        new[..., forc_in] = forcing[t]
+        return np.concatenate([x_prev[:, 1:], new], axis=1)
+
+    x_ref, x_bf = x_np.copy(), x_np.copy()
+    rel = []
+    for t in range(steps):
+        with _torch.no_grad():
+            y_ref = ref_model({"data": _torch.from_numpy(x_ref)})["data"].numpy()
+        y_bf = np.asarray(
+            iface.apply(
+                params_bf16, {"data": jnp.asarray(x_bf, dtype=jnp.bfloat16)}
+            )["data"],
+            dtype=np.float32,
+        )
+        rel.append(float(np.abs(y_bf - y_ref).max() / np.abs(y_ref).max()))
+        x_ref = advance(x_ref, y_ref, t)
+        x_bf = advance(x_bf, y_bf, t)
+    # single-step bf16 error and bounded (non-exploding) rollout accumulation
+    assert rel[0] < 1.5e-2, f"step-1 bf16 drift {rel[0]:.4f}"
+    assert max(rel) < 3e-2, f"rollout bf16 drift {max(rel):.4f} (curve: {rel})"
+    # sub-exponential growth: the last step is within ~4x of the first
+    assert rel[-1] < 4 * rel[0] + 1e-2, f"drift accelerating: {rel}"
+
+
 def test_full_model_gradient_parity(rng):
     """``d loss / d params`` parity through an area-weighted MSE: torch
     autograd through the reference model vs ``jax.grad`` through this repo's
@@ -430,6 +477,191 @@ def test_short_training_trajectory_parity(rng):
         y_ref = ref_model({"data": _torch.from_numpy(xs[-1])})["data"].numpy()
     y_tpu = np.asarray(iface.apply(params, {"data": x_fin})["data"])
     np.testing.assert_allclose(y_tpu, y_ref, rtol=5e-3, atol=5e-4)
+
+
+def test_hierarchical_model_parity(rng):
+    """Full hierarchical V-cycle parity: the reference's OWN torch
+    AnemoiModelEncProcDecHierarchical (models/hierarchical.py:30-473, with its
+    hard-coded per-level channel doubling hidden_dims = C * 2**i :37, per-level
+    processors, deepest-level main processor + latent skip) vs this repo's
+    hierarchical model at level_channel_ratio=2, weights ported."""
+    import sys
+
+    import torch as _torch
+
+    from anemoi.models.data_indices.collection import (
+        IndexCollection as RefIndexCollection,
+    )
+    from anemoi.models.models.hierarchical import (
+        AnemoiModelEncProcDecHierarchical as RefModel,
+    )
+
+    from anemoi_tpu.data_indices.collection import IndexCollection
+    from anemoi_tpu.graphs.create import GraphCreator
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from anemoi_tpu.models.port import reference_to_flax
+    from tests.reference_stubs import _dotify
+
+    NAMES = {"q": 0, "t": 1, "u": 2, "z": 3, "tp": 4, "cos_lat": 5}
+    FORCING, DIAG = ["cos_lat", "z"], ["tp"]
+    EDGE_ATTRS = ["edge_length", "edge_dirs"]
+    HIDDEN = ["hidden_1", "hidden_2"]
+    ea = {"edge_length": {"name": "EdgeLength"},
+          "edge_dirs": {"name": "EdgeDirection"}}
+
+    recipe = {
+        "nodes": {
+            "data": {"node_builder": {"name": "RegularLatLonNodes", "resolution": 20}},
+            "hidden_1": {"node_builder": {"name": "TriNodes", "resolution": 1}},
+            "hidden_2": {"node_builder": {"name": "TriNodes", "resolution": 0}},
+        },
+        "edges": [
+            {"source_name": "data", "target_name": "hidden_1",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": ea},
+            {"source_name": "hidden_1", "target_name": "hidden_1",
+             "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1},
+             "attributes": ea},
+            {"source_name": "hidden_2", "target_name": "hidden_2",
+             "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1},
+             "attributes": ea},
+            {"source_name": "hidden_1", "target_name": "hidden_2",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": ea},
+            {"source_name": "hidden_2", "target_name": "hidden_1",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": ea},
+            {"source_name": "hidden_1", "target_name": "data",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": ea},
+        ],
+    }
+    graph = GraphCreator(recipe).create()
+
+    # ---- the reference hierarchical model on the same graph ----------
+    HeteroData = sys.modules["torch_geometric.data"].HeteroData
+    g = HeteroData()
+    for name in ("data", *HIDDEN):
+        g[name].x = _torch.from_numpy(graph[name].coords.astype(np.float32))
+    for (s, d), es in graph.edges.items():
+        store = g[(s, "to", d)]
+        store.edge_index = _torch.from_numpy(es.edge_index.astype(np.int64))
+        for attr in EDGE_ATTRS:
+            setattr(store, attr,
+                    _torch.from_numpy(es.attributes[attr].astype(np.float32)))
+
+    C, H = 16, 4
+    kernels_cfg = {
+        "Linear": {"_target_": "torch.nn.Linear"},
+        "LayerNorm": {"_target_": "torch.nn.LayerNorm"},
+        "Activation": {"_target_": "torch.nn.GELU"},
+    }
+    common = {
+        "sub_graph_edge_attributes": EDGE_ATTRS,
+        "num_chunks": 1,
+        "mlp_hidden_ratio": 4,
+        "mlp_implementation": "mlp",
+        "num_heads": H,
+        "qk_norm": True,
+        "cpu_offload": False,
+        "gradient_checkpointing": False,
+        "layer_kernels": kernels_cfg,
+        "shard_strategy": "heads",
+        "graph_attention_backend": "pyg",
+        "edge_pre_mlp": False,
+    }
+    model_config = _dotify({
+        "model": {
+            "num_channels": C,
+            "model": {"hidden_nodes_name": HIDDEN, "latent_skip": True},
+            "layer_kernels": kernels_cfg,
+            "enable_hierarchical_level_processing": True,
+            "level_process_num_layers": 1,
+            "processor": {
+                "_target_": "anemoi.models.layers.processor.GraphTransformerProcessor",
+                "trainable_size": 2, "num_layers": 2, **common,
+            },
+            "encoder": {
+                "_target_": "anemoi.models.layers.mapper.GraphTransformerForwardMapper",
+                "trainable_size": 2, **common,
+            },
+            "decoder": {
+                "_target_": "anemoi.models.layers.mapper.GraphTransformerBackwardMapper",
+                "trainable_size": 2, "initialise_data_extractor_zero": False, **common,
+            },
+            "residual": {
+                "_target_": "anemoi.models.layers.residual.SkipConnection", "step": -1,
+            },
+            "trainable_parameters": {"data": 2, "hidden": 2},
+            "bounding": [],
+        },
+    })
+    data_cfg = _dotify({"forcing": FORCING, "diagnostic": DIAG})
+    ref_indices = {"data": RefIndexCollection(data_cfg, NAMES)}
+    torch.manual_seed(0)
+    ref_model = RefModel(
+        model_config=model_config,
+        data_indices=ref_indices,
+        statistics={"data": {}},
+        n_step_input=2,
+        n_step_output=1,
+        graph_data=g,
+    )
+    ref_model.eval()
+
+    n_grid = graph["data"].num_nodes
+    n_in = 5  # q,t,u,z,cos_lat
+
+    # ---- ours, with the reference's state dict ported ----------------
+    tpu_cfg = {
+        "model": {
+            "name": "AnemoiModelEncProcDecHierarchical",
+            "hidden_names": HIDDEN,
+            "num_channels": C,
+            "n_step_input": 2,
+            "n_step_output": 1,
+            "graph_attention_backend": "padded",
+            # reference architecture: channel doubling per level, separate
+            # per-level layer count, latent skip at the deepest level
+            "level_channel_ratio": 2,
+            "level_process_num_layers": 1,
+            "latent_skip": True,
+            "trainable_parameters": {"data": 2, "hidden_1": 2, "hidden_2": 2},
+            "encoder": {"name": "GraphTransformerForwardMapper", "num_heads": H,
+                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                        "trainable_size": 2,
+                        "sub_graph_edge_attributes": EDGE_ATTRS},
+            "processor": {"name": "GraphTransformerProcessor", "num_layers": 2,
+                          "num_heads": H, "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                          "trainable_size": 2, "gradient_checkpointing": False,
+                          "sub_graph_edge_attributes": EDGE_ATTRS},
+            "decoder": {"name": "GraphTransformerBackwardMapper", "num_heads": H,
+                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                        "trainable_size": 2,
+                        "sub_graph_edge_attributes": EDGE_ATTRS},
+        },
+        "data": {"processors": []},
+    }
+    iface = AnemoiModelInterface(
+        config=tpu_cfg,
+        graph=graph,
+        data_indices={"data": IndexCollection(NAMES, forcing=FORCING, diagnostic=DIAG)},
+        statistics={"data": {
+            "mean": np.zeros(6, np.float32), "stdev": np.ones(6, np.float32),
+            "minimum": -np.ones(6, np.float32), "maximum": np.ones(6, np.float32),
+        }},
+    )
+    template = iface.init_params(jax.random.PRNGKey(1))
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = reference_to_flax(sd, template)
+
+    x_np = rng.normal(size=(1, 2, 1, n_grid, n_in)).astype(np.float32)
+    with _torch.no_grad():
+        out_ref = ref_model({"data": _torch.from_numpy(x_np)})["data"].numpy()
+    out_tpu = iface.apply(params, {"data": jnp.asarray(x_np)})["data"]
+    np.testing.assert_allclose(
+        np.asarray(out_tpu), out_ref, rtol=2e-4, atol=5e-5
+    )
 
 
 def _lin(sd, prefix):
