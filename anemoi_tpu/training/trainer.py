@@ -476,6 +476,7 @@ class AnemoiTrainer:
                 sigma_schedule=str(
                     tcfg.get("sigma_schedule", "brownian_bridge")
                 ),
+                precision=str(training_cfg.get("precision", "fp32")),
             )
         return make_step_fns(
             self.interface,

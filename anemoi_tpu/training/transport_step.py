@@ -40,6 +40,7 @@ def make_transport_step_fns(
     sigma_dist: Optional[dict] = None,
     beta_schedule: str = "linear",
     sigma_schedule: str = "brownian_bridge",
+    precision: str = "fp32",
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for diffusion/interpolant training.
 
@@ -83,8 +84,24 @@ def make_transport_step_fns(
             y[ds] = target
         return x, y
 
+    # '16-mixed' discipline as in step.py:151: bf16 compute copies of the
+    # fp32 master weights + bf16 model inputs; noise math and loss in fp32
+    compute_dtype = (
+        jnp.bfloat16 if precision in ("bf16", "bfloat16", "16-mixed") else None
+    )
+
+    def _cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype) if p.dtype == jnp.float32 else p,
+            tree,
+        )
+
     def loss_fn(params, batch, graph_inputs, rng):
+        params = _cast(params)
         x, y = targets_and_inputs(batch)
+        x = _cast(x)
         total = 0.0
         if objective == "edm":
             for i, ds in enumerate(dataset_names):
@@ -96,11 +113,11 @@ def make_transport_step_fns(
                 f_out = model.apply(
                     params,
                     x,
-                    {ds: c_in * y_noised},
+                    {ds: _cast(c_in * y_noised)},
                     c_noise[:, 0, :, 0, 0],
                     graph_inputs,
                 )
-                d = edm_denoise(f_out[ds], y_noised, sigma, edm)
+                d = edm_denoise(f_out[ds].astype(jnp.float32), y_noised, sigma, edm)
                 total = total + losses[ds](jnp.sqrt(weight) * d, jnp.sqrt(weight) * y[ds])
         elif objective == "interpolant":
             from anemoi_tpu.models.transport.sources import SourceSpec, build_sources
@@ -120,8 +137,10 @@ def make_transport_step_fns(
                     k_t, y0, y[ds], interpolant_gamma,
                     beta_schedule=beta_schedule, sigma_schedule=sigma_schedule,
                 )
-                f_out = model.apply(params, x, {ds: x_t}, t[:, 0, :, 0, 0], graph_inputs)
-                total = total + losses[ds](f_out[ds], velocity)
+                f_out = model.apply(
+                    params, x, {ds: _cast(x_t)}, t[:, 0, :, 0, 0], graph_inputs
+                )
+                total = total + losses[ds](f_out[ds].astype(jnp.float32), velocity)
         else:
             raise ValueError(f"Unknown transport objective '{objective}'")
         return total / len(dataset_names)

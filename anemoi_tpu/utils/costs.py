@@ -59,6 +59,8 @@ def estimate_train_step_flops(
     hidden_name: str = "hidden",
     data_name: str = "data",
     mlp_ratio: float = 4.0,
+    kind: str = "gt",
+    window: int = 512,
 ) -> float:
     """Analytic FLOPs of one training step (fwd + bwd ~ 3x fwd) of the
     GraphTransformer EncProcDec.
@@ -82,6 +84,24 @@ def estimate_train_step_flops(
         mlp = 2 * 2 * mlp_ratio * C * C * n_dst
         return proj + attn + out + mlp
 
+    def transformer_block(n: int) -> float:
+        """Dense block-banded window attention (models/layers/attention.py):
+        each query attends [prev, self, next] blocks of width `window`."""
+        keys = min(3 * window, n)
+        proj = 2 * C * C * 3 * n  # fused qkv
+        attn = 4.0 * n * keys * C  # qk^T + alpha*v
+        out = 2 * C * C * n
+        mlp = 2 * 2 * mlp_ratio * C * C * n
+        return proj + attn + out + mlp
+
+    def gnn_block(n_dst: int, n_src: int, e: int, first: bool = False) -> float:
+        """GraphConv block (graph_blocks.py:440-518, mlp_hidden_ratio 1):
+        edge MLP [3C->C->C->C] per edge + node MLP [2C->C->C->C] per dst."""
+        edge_mlp = 2.0 * e * (3 * C * C + C * C + C * C)
+        node_mlp = 2.0 * n_dst * (2 * C * C + C * C + C * C)
+        emb = 2.0 * e * 2 * C * C if first else 0.0  # raw-attr embed approx
+        return edge_mlp + node_mlp + emb
+
     node_names = getattr(graph, "nodes", None)
     if node_names is None:  # duck-typed mapping graph
         node_names = [k for k in graph if isinstance(k, str)]
@@ -91,11 +111,23 @@ def estimate_train_step_flops(
         e_enc = graph[(data_name, hidden_name)].num_edges
         e_proc = graph[(hidden_name, hidden_name)].num_edges
         e_dec = graph[(hidden_name, data_name)].num_edges
-        fwd = (
-            gt_block(n_hidden, n_data, e_enc)  # encoder mapper
-            + num_layers * gt_block(n_hidden, n_hidden, e_proc)  # processor
-            + gt_block(n_data, n_hidden, e_dec)  # decoder mapper
-        )
+        if kind == "gnn":
+            fwd = (
+                gnn_block(n_hidden, n_data, e_enc, first=True)
+                + num_layers * gnn_block(n_hidden, n_hidden, e_proc)
+                + gnn_block(n_data, n_hidden, e_dec, first=True)
+            )
+        else:
+            proc = (
+                transformer_block(n_hidden)
+                if kind == "transformer"
+                else gt_block(n_hidden, n_hidden, e_proc)
+            )
+            fwd = (
+                gt_block(n_hidden, n_data, e_enc)  # encoder mapper
+                + num_layers * proc  # processor
+                + gt_block(n_data, n_hidden, e_dec)  # decoder mapper
+            )
     else:
         # multi-level graph (hierarchical V-cycle: hidden_0..hidden_k):
         # same-level edge sets carry a num_layers-deep processor stack,

@@ -57,8 +57,11 @@ def main() -> None:
     rollout = int(os.environ.get("BENCH_ROLLOUT", "1"))
     # the fused paged Pallas kernel is the flagship path (13.1x anchor);
     # BENCH_BACKEND=padded measures the XLA gather path
-    backend = os.environ.get("BENCH_BACKEND", "paged")
     model_kind = os.environ.get("BENCH_MODEL", "encprocdec")
+    # the GNN conv family gathers through the padded-CSR tables (no paged
+    # kernel on the conv path) -- exact-k tables beat SFC paging there
+    default_backend = "padded" if model_kind == "gnn" else "paged"
+    backend = os.environ.get("BENCH_BACKEND", default_backend)
     # per-layer remat with the save_attention policy is FASTER than the full
     # scan-residual stash at the flagship scale (157.8 vs 161.6 ms, round 4:
     # the backward replays matmuls/norms but the [16, N, 4C] MLP stash never
@@ -140,16 +143,28 @@ def main() -> None:
     log(f"init in {init_s:.1f}s")
 
     precision = os.environ.get("BENCH_DTYPE", "bf16")
-    train_step, _ = make_step_fns(
-        iface, losses, rollout=rollout, remat_rollout=True, precision=precision,
-        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "save_attention"),
-        fp32_head=os.environ.get("BENCH_FP32_HEAD", "0") == "1",
-        # BENCH_ENSEMBLE=k: k-member CRPS training step (EnsembleTraining)
-        ensemble_size=int(os.environ.get("BENCH_ENSEMBLE", "1")),
-        # BENCH_DONATE=1: donate the train state (aliasing experiment; see
-        # the measured-neutral note in step.py)
-        donate_state=os.environ.get("BENCH_DONATE", "0") == "1",
-    )
+    if model_kind == "transport":
+        # EDM-diffusion tendency training step (ref benchmark flavour
+        # edm_diffusion_tendency, training/config/transport_*.yaml)
+        import jax as _jax
+
+        from anemoi_tpu.training.transport_step import make_transport_step_fns
+
+        train_step, _ = make_transport_step_fns(
+            iface, losses, objective="edm", tendency=True,
+            base_rng=_jax.random.PRNGKey(0), precision=precision,
+        )
+    else:
+        train_step, _ = make_step_fns(
+            iface, losses, rollout=rollout, remat_rollout=True, precision=precision,
+            remat_policy=os.environ.get("BENCH_REMAT_POLICY", "save_attention"),
+            fp32_head=os.environ.get("BENCH_FP32_HEAD", "0") == "1",
+            # BENCH_ENSEMBLE=k: k-member CRPS training step (EnsembleTraining)
+            ensemble_size=int(os.environ.get("BENCH_ENSEMBLE", "1")),
+            # BENCH_DONATE=1: donate the train state (aliasing experiment; see
+            # the measured-neutral note in step.py)
+            donate_state=os.environ.get("BENCH_DONATE", "0") == "1",
+        )
 
     rng = np.random.default_rng(0)
     batch = {
@@ -220,7 +235,9 @@ def main() -> None:
     from anemoi_tpu.utils.costs import chip_peaks, estimate_train_step_flops
 
     flops_analytic = estimate_train_step_flops(
-        graph, channels, layers, rollout=rollout, ensemble=ens
+        graph, channels, layers, rollout=rollout, ensemble=ens,
+        kind=model_kind if model_kind in ("transformer", "gnn") else "gt",
+        window=int(os.environ.get("BENCH_WINDOW", "512")),
     )
     flops_xla = float(cost.get("flops", 0.0)) if cost else 0.0
     bytes_xla = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
@@ -324,6 +341,10 @@ def main() -> None:
         )
         if not flagship:
             tag = f"{grid}-L{mesh_level}-{channels}ch-{layers}l-{backend}-r{rollout}"
+            # non-GT families get their own series (hierarchical keeps the
+            # historical untagged-model key for anchor continuity)
+            if model_kind not in ("encprocdec", "hierarchical"):
+                tag += f"-{model_kind}"
             if os.environ.get("BENCH_REMAT", remat_default) == "1":
                 tag += "-remat." + os.environ.get(
                     "BENCH_REMAT_POLICY", "save_attention"
