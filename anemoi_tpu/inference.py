@@ -17,13 +17,21 @@ import numpy as np
 from anemoi_tpu.training.step import _index_arrays, advance_input
 
 
-def make_forecast_fn(interface, steps: int):
+def make_forecast_fn(interface, steps: int, aot_cache: str | None = None):
     """Jitted fn(params, batch) -> {ds: [B, steps*n_out, E, G, V_out]} physical.
 
     batch: raw data-space {ds: [B, m + steps*n_out, E, G, V_data]} -- the
     window beyond the first m steps supplies the future forcings (analysis
     forcings for hindcasts; climatological or computed forcings in production).
+
+    ``aot_cache`` (or env ANEMOI_TPU_AOT_CACHE): directory for serialized
+    COMPILED executables (utils/aot_cache.py) -- serving cold starts reload
+    in ~0.1 s instead of paying the axon compile (minutes at flagship size).
     """
+    import os as _os
+
+    if aot_cache is None:
+        aot_cache = _os.environ.get("ANEMOI_TPU_AOT_CACHE")
     model = interface.model
     pre = interface.pre_processors
     indices = interface.data_indices
@@ -61,8 +69,20 @@ def make_forecast_fn(interface, steps: int):
                 }
         return {ds: jnp.concatenate(v, axis=1) for ds, v in outputs.items()}
 
+    aot_state: dict = {}
+
     def forecast(params, batch):
-        return _forecast(params, batch, graph_inputs)
+        if aot_cache is None:
+            return _forecast(params, batch, graph_inputs)
+        if "fn" not in aot_state:
+            from anemoi_tpu.utils.aot_cache import load_or_compile
+
+            aot_state["fn"] = load_or_compile(
+                _forecast, (params, batch, graph_inputs), aot_cache,
+                context={"component": "forecast", "steps": steps,
+                         "model": interface.config.get("model", {})},
+            )
+        return aot_state["fn"](params, batch, graph_inputs)
 
     return forecast
 
@@ -160,7 +180,9 @@ def run_forecast_cli(args) -> int:
         def forecast(params, batch):
             return forecast_t(params, batch, key)
     else:
-        forecast = make_forecast_fn(iface, steps)
+        forecast = make_forecast_fn(
+            iface, steps, aot_cache=getattr(args, "aot_cache", None)
+        )
 
     packaged = os.path.join(os.path.dirname(anemoi_tpu.__file__), "config")
     cfg = load_config(args.config, search_paths=[packaged]) if args.config else None

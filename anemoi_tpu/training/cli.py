@@ -87,6 +87,10 @@ def main(argv=None) -> int:
     p_pred.add_argument("--platform", default=None,
                         help="Force the JAX platform for serving (e.g. cpu); "
                              "default: the environment's backend")
+    p_pred.add_argument("--aot-cache", default=None,
+                        help="Directory for serialized compiled executables: "
+                             "serving cold starts reload in ~0.1s instead of "
+                             "recompiling (also env ANEMOI_TPU_AOT_CACHE)")
 
     p_mlf = sub.add_parser("mlflow", help="Offline-run sync and server auth")
     mlf_sub = p_mlf.add_subparsers(dest="mlflow_command", required=True)

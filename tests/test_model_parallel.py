@@ -205,6 +205,36 @@ def test_gt_edges_paged_kernel_parity(reference_run):
     np.testing.assert_allclose(got, ref_losses, rtol=5e-5, atol=1e-6)
 
 
+def test_gspmd_paged_upgrades_to_halo_kernel(reference_run):
+    """shard_strategy: gspmd with the paged backend must NOT silently
+    downgrade to padded tables (GSPMD can't partition a pallas_call): the
+    model upgrades the route to the per-shard halo path, keeps the paged
+    kernel, and still matches the unsharded losses.  Opt-out honoured."""
+    from anemoi_tpu.ops.pallas import paged_gt
+
+    _, params, batch, ref_losses = reference_run
+    iface = _build_interface(
+        shard_strategy="gspmd", n_shards=4, backend="paged",
+        paged_block=(16, 32, 16),
+    )
+    assert iface.model.shard_strategy == "edges"  # upgraded route
+    assert iface.graph_inputs["processor"].halo_paged_meta == (16, 32, 16)
+    paged_gt.set_interpret(True)
+    try:
+        got = _run(iface, params, batch, mesh=_mesh(4))
+    finally:
+        paged_gt.set_interpret(False)
+    np.testing.assert_allclose(got, ref_losses, rtol=5e-5, atol=1e-6)
+
+    # explicit opt-out: pure GSPMD keeps constraint-only sharding (the
+    # paged kernel then correctly falls back to padded tables)
+    iface_off = _build_interface(
+        shard_strategy="gspmd", n_shards=4, backend="paged",
+    )
+    iface_off.model.config["gspmd_paged_upgrade"] = False
+    assert iface_off.model.shard_strategy == "gspmd"
+
+
 def _build_ens_interface(shard_strategy="none", n_shards=1):
     graph = _graph()
     indices = {

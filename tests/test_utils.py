@@ -106,3 +106,58 @@ def test_chip_peaks_and_analytic_flops(monkeypatch):
     assert 1.5 < f32 / f16 < 2.0
     # rollout multiplies the whole step
     assert estimate_train_step_flops(graph, 512, 16, rollout=2) == 2 * f16
+
+
+def test_aot_executable_cache_roundtrip(tmp_path):
+    """utils/aot_cache.py: compiled-executable serialization round-trips
+    through the on-disk cache across PROCESSES -- the second process loads
+    the stored payload (no compile) and computes identical results.  Runs in
+    1-device subprocesses: the serving target is one chip, and XLA:CPU's AOT
+    loader mis-restores executables compiled under a forced multi-device
+    host topology (execute_sharded 8-shard mismatch)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    worker = textwrap.dedent(
+        """
+        import sys
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        import numpy as np
+        from anemoi_tpu.utils.aot_cache import cache_key, load_or_compile
+
+        cache, mode = sys.argv[1], sys.argv[2]
+
+        @jax.jit
+        def f(x, y):
+            return {"out": x @ y + 1.0}
+
+        x = jnp.ones((8, 8), jnp.float32)
+        y = jnp.full((8, 8), 2.0, jnp.float32)
+        fn = load_or_compile(f, (x, y), cache, context={"v": 1})
+        np.save(f"{cache}/out_{mode}.npy", np.asarray(fn(x, y)["out"]))
+        assert cache_key((x, y), {"v": 1}) != cache_key((x, y), {"v": 2})
+        assert cache_key((x, y), {"v": 1}) != cache_key((x[:4], y), {"v": 1})
+        print("OK", mode)
+        """
+    )
+    env = {**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+           "JAX_PLATFORMS": "cpu"}
+    import numpy as np
+
+    for mode in ("store", "load"):
+        r = subprocess.run(
+            [sys.executable, "-c", worker, str(tmp_path), mode],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert f"OK {mode}" in r.stdout
+        if mode == "store":
+            files = list(tmp_path.glob("*.jaxexec"))
+            assert len(files) == 1, "executable not cached"
+    out1 = np.load(tmp_path / "out_store.npy")
+    out2 = np.load(tmp_path / "out_load.npy")
+    np.testing.assert_array_equal(out1, out2)
