@@ -71,7 +71,15 @@ _edge_data_replace = EdgeData.replace
 
 
 def _replace_clearing_stale_slots(self, **updates):
-    if "edge_attr" in updates and "edge_attr_slots" not in updates:
+    if (
+        "edge_attr" in updates
+        and "edge_attr_slots" not in updates
+        # identity re-assignment (e.g. TrainableEdgeFeatures with size 0
+        # returning its input) is not a modification: keep the build-time
+        # slots -- clearing them here cost the flagship mappers ~5 ms/step
+        # of re-gathering (r5 profile)
+        and updates["edge_attr"] is not self.edge_attr
+    ):
         updates["edge_attr_slots"] = None
     return _edge_data_replace(self, **updates)
 

@@ -82,9 +82,16 @@ def load_or_compile(
     path = os.path.join(cache_dir, f"{key}.jaxexec")
     if os.path.exists(path):
         try:
+            import jax
+
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
             fn = serialize_executable.deserialize_and_load(payload, in_tree, out_tree)
+            # validation/warmup call: XLA:CPU AOT occasionally restores an
+            # executable that only fails at dispatch (machine-feature drift);
+            # materialize one result before trusting the entry.  Doubles as
+            # the serving warmup step.
+            jax.block_until_ready(fn(*args))
             LOG.info("AOT cache hit: %s", path)
             return fn
         except Exception as err:  # toolchain drift etc: recompile + refresh
