@@ -76,8 +76,8 @@ def _replace_clearing_stale_slots(self, **updates):
         and "edge_attr_slots" not in updates
         # identity re-assignment (e.g. TrainableEdgeFeatures with size 0
         # returning its input) is not a modification: keep the build-time
-        # slots -- clearing them here cost the flagship mappers ~5 ms/step
-        # of re-gathering (r5 profile)
+        # slots -- clearing them re-runs the in-step slot gather (~1.4 ms
+        # at o96, ~9 ms-class for the n320 decoder)
         and updates["edge_attr"] is not self.edge_attr
     ):
         updates["edge_attr_slots"] = None

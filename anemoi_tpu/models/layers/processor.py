@@ -56,6 +56,13 @@ class GraphTransformerProcessor(nn.Module):
     # n320 1207->1046 ms vs full remat) at ~out+lse per layer extra HBM
     remat_policy: Optional[str] = "save_attention"
     scan_layers: bool = True
+    # blocks per scan iteration: the scan body contains `scan_unroll`
+    # distinct blocks and the loop runs num_layers/scan_unroll times --
+    # a middle ground between full scan (smallest program, per-iteration
+    # param dynamic-slice churn) and scan_layers=false (fastest step, 927 s
+    # compile at the flagship).  Changes the stacked-param layout, so it is
+    # a build-time choice, not checkpoint-compatible across values.
+    scan_unroll: int = 1
     backend: str = "segment"
     shard_strategy: str = "none"  # none | gspmd | edges (halo) | heads (Ulysses)
 
@@ -130,6 +137,10 @@ class GraphTransformerProcessor(nn.Module):
             valid_len=n_orig if self.shard_strategy == "heads" else None,
         )
         if self.scan_layers:
+            unroll = max(int(self.scan_unroll), 1)
+            assert self.num_layers % unroll == 0, (
+                f"scan_unroll {unroll} must divide num_layers {self.num_layers}"
+            )
             body_cls = _GTScanBody
             if self.gradient_checkpointing:
                 body_cls = _remat(body_cls, self.remat_policy)
@@ -138,8 +149,8 @@ class GraphTransformerProcessor(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast),
-                length=self.num_layers,
-            )(block_kwargs=block_kwargs, name="blocks")
+                length=self.num_layers // unroll,
+            )(block_kwargs=block_kwargs, unroll=unroll, name="blocks")
             x, _ = scanned(x, edge_data, cond)
             return x[:, :n_orig] if x.shape[1] != n_orig else x
         block_cls = GraphTransformerProcessorBlock
@@ -153,16 +164,27 @@ class GraphTransformerProcessor(nn.Module):
 
 
 class _GTScanBody(nn.Module):
-    """nn.scan body: carry = node features; edge_data/cond broadcast."""
+    """nn.scan body: carry = node features; edge_data/cond broadcast.
+
+    ``unroll`` > 1 puts that many DISTINCT blocks inside one scan iteration
+    (partial unroll): per-iteration param slice churn drops by the factor
+    while the program grows only `unroll` block copies."""
 
     block_kwargs: dict
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, edge_data, cond):
-        y, _ = GraphTransformerProcessorBlock(**self.block_kwargs, name="block")(
-            x, edge_data, cond
-        )
-        return y, ()
+        if self.unroll <= 1:
+            y, _ = GraphTransformerProcessorBlock(**self.block_kwargs, name="block")(
+                x, edge_data, cond
+            )
+            return y, ()
+        for i in range(self.unroll):
+            x, _ = GraphTransformerProcessorBlock(
+                **self.block_kwargs, name=f"block_{i}"
+            )(x, edge_data, cond)
+        return x, ()
 
 
 class GNNProcessor(nn.Module):

@@ -119,6 +119,7 @@ def make_step_fns(
     fp32_head: bool = False,
     task: str = "forecaster",
     donate_state: bool = False,
+    with_grad_norm: bool = True,
 ) -> Tuple[Callable, Callable]:
     """Build jitted (train_step, eval_step) closures.
 
@@ -321,8 +322,12 @@ def make_step_fns(
             state.params, batch, graph_inputs, rng
         )
         new_state = state.apply_gradients(grads)
-        gnorm = optax.global_norm(grads)
-        return new_state, {"loss": loss_val, "grad_norm": gnorm}
+        metrics = {"loss": loss_val}
+        if with_grad_norm:
+            # an extra full read of every gradient leaf; turn off via
+            # training.log_grad_norm=false when the metric isn't consumed
+            metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
 
     @jax.jit
     def _eval_step(state: TrainState, batch, graph_inputs):

@@ -490,6 +490,7 @@ class AnemoiTrainer:
             fp32_head=bool(training_cfg.get("fp32_head", False)),
             task=str(training_cfg.get("task", "forecaster")),
             donate_state=bool(training_cfg.get("donate_state", False)),
+            with_grad_norm=bool(training_cfg.get("log_grad_norm", True)),
         )
 
     def _log(self, record: Dict[str, Any]) -> None:

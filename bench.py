@@ -164,6 +164,9 @@ def main() -> None:
             # BENCH_DONATE=1: donate the train state (aliasing experiment; see
             # the measured-neutral note in step.py)
             donate_state=os.environ.get("BENCH_DONATE", "0") == "1",
+            # BENCH_GRAD_NORM=0: drop the per-step grad-norm metric (an
+            # extra full pass over every gradient leaf)
+            with_grad_norm=os.environ.get("BENCH_GRAD_NORM", "1") == "1",
         )
 
     rng = np.random.default_rng(0)
@@ -335,6 +338,8 @@ def main() -> None:
             and os.environ.get("BENCH_REMAT_POLICY", "save_attention")
             == "save_attention"
             and os.environ.get("BENCH_SCAN", "1") == "1"
+            and os.environ.get("BENCH_SCAN_UNROLL", "1") == "1"
+            and os.environ.get("BENCH_GRAD_NORM", "1") == "1"
             and not os.environ.get("BENCH_PAGED_FUSED")
             and not os.environ.get("BENCH_PAGED_MAPPER_FUSED")
             and os.environ.get("BENCH_PAGED_MAPPERS", "1") == "1"
@@ -351,15 +356,20 @@ def main() -> None:
                 )
             if os.environ.get("BENCH_SCAN", "1") != "1":
                 tag += "-unrolled"
+            if os.environ.get("BENCH_SCAN_UNROLL", "1") != "1":
+                tag += f"-su{os.environ['BENCH_SCAN_UNROLL']}"
+            if os.environ.get("BENCH_GRAD_NORM", "1") != "1":
+                tag += "-nognorm"
             for var, label in (("BENCH_PAGED_FUSED", "fusedbwd"),
                                ("BENCH_PAGED_MAPPER_FUSED", "mfusedbwd")):
                 if os.environ.get(var):
                     tag += f"-{label}.{os.environ[var]}"
             if os.environ.get("BENCH_PAGED_MAPPERS", "1") != "1":
                 tag += "-paddedmappers"
-            for var in ("BENCH_PAGED_BLOCK", "BENCH_PAGED_MAPPER_BLOCK"):
+            for var, label in (("BENCH_PAGED_BLOCK", "block"),
+                               ("BENCH_PAGED_MAPPER_BLOCK", "mblock")):
                 if os.environ.get(var):
-                    tag += f"-{var.rsplit('_', 1)[-1].lower()}.{os.environ[var]}"
+                    tag += f"-{label}.{os.environ[var]}"
             metrics_flat = {f"{tag}/{k}": v for k, v in metrics_flat.items()}
         # per-key ancestor search: sweep-tagged commits in between no longer
         # null out the flagship comparison (round-4 regression)
