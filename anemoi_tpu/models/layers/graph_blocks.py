@@ -437,6 +437,80 @@ class GraphTransformerProcessorBlock(nn.Module):
         return nodes_new, edge_data
 
 
+class _FFNInKernel(nn.Module):
+    """Parameter holder matching ``MLP/ffn_in/linear`` exactly (same names,
+    shapes and init over the FULL fan-in) so checkpoints and reference ports
+    are layout-identical to the undecomposed MLP."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        class _Lin(nn.Module):
+            in_features: int
+            features: int
+
+            @nn.compact
+            def __call__(inner):
+                k = inner.param(
+                    "kernel", nn.initializers.lecun_normal(),
+                    (inner.in_features, inner.features), jnp.float32,
+                )
+                b = inner.param(
+                    "bias", nn.initializers.zeros, (inner.features,), jnp.float32
+                )
+                return k, b
+
+        return _Lin(self.in_features, self.features, name="linear")()
+
+
+class _DecomposedEdgeMLP(nn.Module):
+    """The conv edge MLP with its first layer DECOMPOSED (TPU optimisation):
+
+        MLP([x_i, x_j, e]) == act(x_i @ Wi + x_j @ Wj + e @ We + b) -> tail
+
+    The node terms ``x @ Wi/Wj`` run once per NODE and are gathered to edges
+    (E/N ~ 8 on the multiscale mesh, so the dominant first-layer matmul
+    shrinks ~2.4x) and the ``[E, 3C]`` concatenation never exists in HBM --
+    mathematically identical to the reference's torch conv (conv.py:29-81,
+    parity-gated), with a bit-identical parameter layout."""
+
+    hidden_dim: int
+    out_features: int
+    n_extra_layers: int
+    activation: str = "gelu"
+    backend: str = "padded"
+
+    @nn.compact
+    def __call__(self, x_src, x_dst, edge_attr, edge_data):
+        from jax.ad_checkpoint import checkpoint_name
+
+        from anemoi_tpu.models.layers.mlp import FeedForwardLayer, get_activation
+
+        c_dst, c_src, f = x_dst.shape[-1], x_src.shape[-1], edge_attr.shape[-1]
+        k, b = _FFNInKernel(c_dst + c_src + f, self.hidden_dim, name="ffn_in")()
+        dt = jnp.promote_types(x_dst.dtype, k.dtype)  # flax Dense semantics
+        k, b = k.astype(dt), b.astype(dt)
+        wi, wj, we = k[:c_dst], k[c_dst:c_dst + c_src], k[c_dst + c_src:]
+        # per-node projections, gathered to edge endpoints
+        p_i, p_j = _gather_edge_endpoints(
+            x_src.astype(dt) @ wj, x_dst.astype(dt) @ wi, edge_data, self.backend
+        )
+        h = checkpoint_name(
+            get_activation(self.activation)(
+                p_i + p_j + edge_attr.astype(dt) @ we + b
+            ),
+            "mlp_hidden",
+        )
+        for i in range(self.n_extra_layers):
+            h = FeedForwardLayer(
+                self.hidden_dim, self.activation, "mlp", name=f"ffn_{i}"
+            )(h)
+        h = nn.Dense(self.out_features, name="linear_out")(h)
+        return LayerNorm(name="norm")(h)
+
+
 class GraphConv(nn.Module):
     """GNN message function + aggregation (ref conv.py:29-81):
     e_new = MLP([x_dst, x_src, e]) + e ; out = scatter_sum(e_new, dst)."""
@@ -455,14 +529,25 @@ class GraphConv(nn.Module):
         edge_data,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n_dst = x_dst.shape[1]
-        x_i, x_j = _gather_edge_endpoints(x_src, x_dst, edge_data, self.backend)
-        edges_new = MLP(
-            hidden_dim=self.out_channels,
-            out_features=self.out_channels,
-            n_extra_layers=self.mlp_extra_layers + 1,
-            implementation=self.mlp_implementation,
-            name="edge_mlp",
-        )(jnp.concatenate([x_i, x_j, edge_attr], axis=-1)) + edge_attr
+        if self.mlp_implementation == "mlp":
+            # first layer decomposed: node terms once per node, no [E, 3C]
+            # concat (identical math + param layout; see _DecomposedEdgeMLP)
+            edges_new = _DecomposedEdgeMLP(
+                hidden_dim=self.out_channels,
+                out_features=self.out_channels,
+                n_extra_layers=self.mlp_extra_layers + 1,
+                backend=self.backend,
+                name="edge_mlp",
+            )(x_src, x_dst, edge_attr, edge_data) + edge_attr
+        else:  # gated GLU variants keep the reference-shaped path
+            x_i, x_j = _gather_edge_endpoints(x_src, x_dst, edge_data, self.backend)
+            edges_new = MLP(
+                hidden_dim=self.out_channels,
+                out_features=self.out_channels,
+                n_extra_layers=self.mlp_extra_layers + 1,
+                implementation=self.mlp_implementation,
+                name="edge_mlp",
+            )(jnp.concatenate([x_i, x_j, edge_attr], axis=-1)) + edge_attr
         out = _conv_aggregate(edges_new, edge_data, n_dst, self.backend)
         return out, edges_new
 
