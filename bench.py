@@ -181,6 +181,7 @@ def main() -> None:
     # AOT lower+compile so the SAME executable yields XLA's cost analysis
     # (flops / bytes accessed) for MFU + HBM-roofline reporting
     cost = None
+    hlo_mb = None
     try:
         compiled = train_step.jitted.lower(
             state, batch, *train_step.bound_args
@@ -194,6 +195,15 @@ def main() -> None:
             cost = c[0] if isinstance(c, (list, tuple)) else c
         except Exception as e:
             log(f"cost_analysis unavailable: {e}")
+        try:
+            # program size: the service-noise-immune compile-time signal
+            # (docs/benchmarking.md: real compile regressions show up as
+            # program growth first, e.g. the 13x closed-over-constants
+            # incident)
+            hlo_mb = len(compiled.as_text()) / 1e6
+            log(f"optimized HLO {hlo_mb:.1f} MB")
+        except Exception:
+            hlo_mb = None
     except Exception as e:
         log(f"AOT compile unavailable ({e}); jit path")
         run_step = train_step
@@ -298,6 +308,7 @@ def main() -> None:
             "tflops_per_step_xla": round(flops_xla / 1e12, 3) if flops_xla else None,
             "tflops_per_step_analytic": round(flops_analytic / 1e12, 3),
             "hbm_gb_per_step": round(bytes_xla / 1e9, 2) if bytes_xla else None,
+            "hlo_mb": None if hlo_mb is None else round(hlo_mb, 2),
         },
     }
 
@@ -316,6 +327,8 @@ def main() -> None:
             "compile_s": compile_s,
             "loss": float(metrics["loss"]),
         }
+        if hlo_mb is not None:
+            metrics_flat["hlo_mb"] = hlo_mb
         if mfu is not None:
             metrics_flat["mfu"] = mfu
         if hbm_util is not None:
