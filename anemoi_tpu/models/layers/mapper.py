@@ -218,10 +218,14 @@ class GNNForwardMapper(nn.Module):
         edge_attr = TrainableEdgeFeatures(self.edge_trainable_size, name="trainable_edges")(
             edge_data.edge_attr.astype(x[0].dtype)
         )
+        # reference depths: every mapper MLP runs n_extra_layers =
+        # mlp_extra_layers + 1 (ref mapper.py:59,940-952) -- required for
+        # checkpoint-port parity (r5 fix; the repo previously built one
+        # hidden layer fewer)
         edge_emb = MLP(
             hidden_dim=self.hidden_dim,
             out_features=self.hidden_dim,
-            n_extra_layers=self.mlp_extra_layers,
+            n_extra_layers=self.mlp_extra_layers + 1,
             implementation=self.mlp_implementation,
             name="emb_edges",
         )(edge_attr)
@@ -229,14 +233,14 @@ class GNNForwardMapper(nn.Module):
         x_src = MLP(
             hidden_dim=self.hidden_dim,
             out_features=self.hidden_dim,
-            n_extra_layers=self.mlp_extra_layers,
+            n_extra_layers=self.mlp_extra_layers + 1,
             implementation=self.mlp_implementation,
             name="emb_nodes_src",
         )(x[0])
         x_dst = MLP(
             hidden_dim=self.hidden_dim,
             out_features=self.hidden_dim,
-            n_extra_layers=self.mlp_extra_layers,
+            n_extra_layers=self.mlp_extra_layers + 1,
             implementation=self.mlp_implementation,
             name="emb_nodes_dst",
         )(x[1])
@@ -275,7 +279,7 @@ class GNNBackwardMapper(nn.Module):
         edge_emb = MLP(
             hidden_dim=self.hidden_dim,
             out_features=self.hidden_dim,
-            n_extra_layers=self.mlp_extra_layers,
+            n_extra_layers=self.mlp_extra_layers + 1,
             implementation=self.mlp_implementation,
             name="emb_edges",
         )(edge_attr)
@@ -291,7 +295,7 @@ class GNNBackwardMapper(nn.Module):
         return MLP(
             hidden_dim=self.hidden_dim,
             out_features=self.out_channels_dst,
-            n_extra_layers=self.mlp_extra_layers,
+            n_extra_layers=self.mlp_extra_layers + 1,
             layer_norm=False,
             implementation=self.mlp_implementation,
             zero_init_output=self.initialise_data_extractor_zero,

@@ -59,6 +59,8 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
     out: List[str] = ["model"]
     # graph-provider path for this component's trainable edge features
     provider: List[str] = []
+    keep_attention = False  # dense Transformer blocks have a real submodule
+    gnn_scan_offset = False  # GNN scan stacks layers 1.. (blocks_0 separate)
     i = 0
     while i < len(parts):
         p = parts[i]
@@ -88,6 +90,33 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
             provider = ["processor_graph_provider"]
             i += 1
             continue
+        if p.startswith("TransformerProcessor"):
+            # dense Transformer flavour: the ref block keeps a real
+            # `attention` submodule (block.py:123-197), unlike the GT block
+            # where our attention module is inlined
+            out += ["processor"]
+            provider = ["processor_graph_provider"]
+            keep_attention = True
+            i += 1
+            continue
+        if p.startswith("GNNForwardMapper"):
+            out += ["encoder", dataset]
+            provider = ["encoder_graph_provider", dataset]
+            i += 1
+            continue
+        if p.startswith("GNNBackwardMapper"):
+            out += ["decoder", dataset]
+            provider = ["decoder_graph_provider", dataset]
+            i += 1
+            continue
+        if p.startswith("GNNProcessor"):
+            # layer 0 is a standalone module (it embeds raw edge attrs);
+            # the scan stacks layers 1.. -> ref proc indices offset by one
+            out += ["processor"]
+            provider = ["processor_graph_provider"]
+            gnn_scan_offset = True
+            i += 1
+            continue
         # --- hierarchical model components (models/hierarchical.py explicit
         # module names -> reference AnemoiModelEncProcDecHierarchical
         # ModuleDict layout, ref models/hierarchical.py:40-195) -------------
@@ -98,13 +127,23 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
             i += 1
             continue
         if p == "blocks":  # scanned processor stack -> proc.<i> handled by caller
-            out += ["proc", "{layer}"]
+            out += ["proc", "{layer1}" if gnn_scan_offset else "{layer}"]
+            i += 1
+            continue
+        if p.startswith("blocks_") and p.split("_")[1].isdigit():
+            # standalone (unscanned) processor layer, e.g. the GNN's first
+            out += ["proc", p.split("_")[1]]
             i += 1
             continue
         if p == "block":
             i += 1
             continue
-        if p == "attention":  # our attention submodule is inlined in the ref block
+        if p == "attention" and not keep_attention:
+            # GT blocks: our attention submodule is inlined in the ref block
+            i += 1
+            continue
+        if p == "out_proj":  # dense MHSA output projection (ref: projection)
+            out += ["projection"]
             i += 1
             continue
         if p in ("layer_norm_attention", "layer_norm_attention_src",
@@ -112,22 +151,43 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
                  "extractor_norm", "q_norm", "k_norm"):
             ref = {
                 "layer_norm_attention_dst": "layer_norm_attention_dest",
-                "layer_norm_mlp": "layer_norm_mlp_dst",
+                # GT blocks name the dst-side MLP norm `_dst`; the dense
+                # Transformer block (keep_attention) uses the plain name
+                **({} if keep_attention else
+                   {"layer_norm_mlp": "layer_norm_mlp_dst"}),
                 "extractor_norm": "node_data_extractor.0",
             }.get(p, p)
             out += ref.split(".")
             i += 2  # skip the inner "ln"
             continue
-        if p in ("node_dst_mlp", "node_src_mlp", "mlp"):
+        if p in ("node_dst_mlp", "node_src_mlp", "mlp", "emb_edges",
+                 "emb_nodes_src", "emb_nodes_dst", "node_data_extractor",
+                 "edge_mlp", "node_mlp") and (
+            parts[i + 1] in ("ffn_in", "linear_out", "norm")
+            or parts[i + 1].startswith("ffn_")
+        ):
+            # flax MLP {ffn_in, ffn_i..., linear_out, norm} -> reference
+            # Sequential mlp.{0,2,4,...} + sibling layer_norm (mlp.py:97);
+            # same-named plain Dense modules (the GT mappers' emb_nodes_*)
+            # fall through untouched
+            nxt = parts[i + 1]
+            if nxt == "norm":
+                out += [p, "layer_norm"]
+                i += 3  # skip "norm" and the inner "ln"
+                continue
             out += [p, "mlp"]
             i += 1
-            # ffn_in.linear -> 0 ; linear_out -> 2 (Linear, act, Linear)
-            nxt = parts[i]
             if nxt == "ffn_in":
                 out += ["0"]
                 i += 2  # skip "linear"
+            elif nxt.startswith("ffn_"):
+                out += [str(2 * (int(nxt.split("_")[1]) + 1))]
+                i += 2  # skip "linear"
             elif nxt == "linear_out":
-                out += ["2"]
+                # final Linear = the LARGEST even Sequential index; depends
+                # on n_extra_layers, resolved against the state dict by
+                # _fetch ("{mlp_out}")
+                out += ["{mlp_out}"]
                 i += 1
             continue
         if p == "extractor":
@@ -147,6 +207,20 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
     return name
 
 
+def _mlp_out_index(path, flat) -> int:
+    """Sequential index of an MLP's final Linear: 2 * (1 + #extra ffn
+    layers), counted from the sibling paths of this ``linear_out`` leaf."""
+    parent = tuple(path[:-2])  # strip ("linear_out", "kernel"/"bias")
+    extra = {
+        str(pp[len(parent)])
+        for pp in flat
+        if tuple(pp[: len(parent)]) == parent
+        and str(pp[len(parent)]).startswith("ffn_")
+        and str(pp[len(parent)]) != "ffn_in"
+    }
+    return 2 * (1 + len(extra))
+
+
 def flax_to_reference(params, dataset: str = "data") -> Dict[str, np.ndarray]:
     """Export flax params as a reference-style numpy state dict.
 
@@ -159,11 +233,14 @@ def flax_to_reference(params, dataset: str = "data") -> Dict[str, np.ndarray]:
     for path, value in flat.items():
         value = np.asarray(value)
         name = _ref_name(tuple(str(p) for p in path), dataset)
-        stacked = "{layer}" in name
-        if stacked:
+        if "{mlp_out}" in name:
+            name = name.replace("{mlp_out}", str(_mlp_out_index(path, flat)))
+        if "{layer" in name:
             for layer in range(value.shape[0]):
-                v = value[layer]
-                out[name.replace("{layer}", str(layer))] = _to_torch_layout(path, v)
+                key = name.replace("{layer}", str(layer)).replace(
+                    "{layer1}", str(layer + 1)
+                )
+                out[key] = _to_torch_layout(path, value[layer])
         else:
             out[name] = _to_torch_layout(path, value)
     return out
@@ -173,6 +250,32 @@ def _to_torch_layout(path, value: np.ndarray) -> np.ndarray:
     if str(path[-1]) == "kernel" and value.ndim == 2:
         return value.T.copy()  # flax [in,out] -> torch [out,in]
     return value
+
+
+def _fetch(state_dict: Dict[str, np.ndarray], name: str):
+    """One reference tensor by mapped name; the fused qkv kernel is
+    synthesized from the reference's separate lin_q/lin_k/lin_v weights
+    (torch layout: concat along the output axis; the standard kernel
+    transpose then yields flax's [in, q|k|v] order)."""
+    if "{mlp_out}" in name:
+        # the MLP's final Linear: the largest even Sequential index present
+        for k in (10, 8, 6, 4, 2):
+            cand = name.replace("{mlp_out}", str(k))
+            if cand in state_dict:
+                return np.asarray(state_dict[cand])
+        return None
+    if name in state_dict:
+        return np.asarray(state_dict[name])
+    if name.endswith(".qkv.weight"):
+        base = name[: -len(".qkv.weight")]
+        try:
+            return np.concatenate(
+                [np.asarray(state_dict[f"{base}.lin_{p}.weight"]) for p in "qkv"],
+                axis=0,
+            )
+        except KeyError:
+            return None
+    return None
 
 
 def reference_to_flax(state_dict: Dict[str, np.ndarray], params_template, dataset: str = "data"):
@@ -194,26 +297,30 @@ def reference_to_flax(state_dict: Dict[str, np.ndarray], params_template, datase
     for path, value in flat.items():
         spath = tuple(str(p) for p in path)
         name = _ref_name(spath, dataset)
-        if "{layer}" in name:
+        if "{layer" in name:
             layers = []
             for layer in range(np.asarray(value).shape[0]):
-                key = name.replace("{layer}", str(layer))
-                if key not in state_dict:
+                key = name.replace("{layer}", str(layer)).replace(
+                    "{layer1}", str(layer + 1)
+                )
+                v = _fetch(state_dict, key)
+                if v is None:
                     missing.append(key)
                     layers = None
                     break
-                layers.append(_to_torch_layout(spath, np.asarray(state_dict[key])))
+                layers.append(_to_torch_layout(spath, v))
             new_flat[path] = (
                 np.stack(layers).astype(np.asarray(value).dtype)
                 if layers is not None
                 else value
             )
         else:
-            if name not in state_dict:
+            v = _fetch(state_dict, name)
+            if v is None:
                 missing.append(name)
                 new_flat[path] = value
                 continue
-            new_flat[path] = _to_torch_layout(spath, np.asarray(state_dict[name])).astype(
+            new_flat[path] = _to_torch_layout(spath, v).astype(
                 np.asarray(value).dtype
             )
     if missing:

@@ -84,10 +84,13 @@ def _port_block_params(state_dict, flax_params, conditional=False):
     return {"params": out}
 
 
-def _build_paired_models(rng):
+def _build_paired_models(rng, processor: str = "gt"):
     """Build the reference's OWN torch AnemoiModelEncProcDec and the
     anemoi_tpu interface on the SAME graph, port the torch state dict onto
-    the flax params, and return everything the parity tests need."""
+    the flax params, and return everything the parity tests need.
+
+    ``processor``: "gt" (GraphTransformer, default) or "transformer" (the
+    dense SDPA TransformerProcessor flavour, ref model/transformer.yaml)."""
     import sys
 
     import torch as _torch
@@ -163,23 +166,55 @@ def _build_paired_models(rng):
         "graph_attention_backend": "pyg",
         "edge_pre_mlp": False,
     }
+    gnn_common = {
+        "sub_graph_edge_attributes": EDGE_ATTRS,
+        "num_chunks": 1, "mlp_extra_layers": 0, "mlp_hidden_ratio": 1.0,
+        "mlp_implementation": "mlp", "cpu_offload": False,
+        "gradient_checkpointing": False, "layer_kernels": kernels_cfg,
+    }
+    if processor == "gnn":
+        ref_proc = {
+            "_target_": "anemoi.models.layers.processor.GNNProcessor",
+            "trainable_size": 2, "num_layers": L, **gnn_common,
+        }
+    elif processor == "transformer":
+        ref_proc = {
+            "_target_": "anemoi.models.layers.processor.TransformerProcessor",
+            "num_layers": L, "num_chunks": 1, "num_heads": H,
+            "mlp_hidden_ratio": 4, "mlp_implementation": "mlp",
+            "qk_norm": True, "window_size": None, "cpu_offload": False,
+            "gradient_checkpointing": False, "layer_kernels": kernels_cfg,
+            "attention_implementation": "scaled_dot_product_attention",
+            # the ref's processor graph PROVIDER is built regardless of the
+            # processor ignoring edges (models/base.py) and insists on attrs
+            "sub_graph_edge_attributes": EDGE_ATTRS, "trainable_size": 0,
+        }
+    else:
+        ref_proc = {
+            "_target_": "anemoi.models.layers.processor.GraphTransformerProcessor",
+            "trainable_size": 2, "num_layers": L, **common,
+        }
     model_config = _dotify({
         "model": {
             "num_channels": C,
             "model": {"hidden_nodes_name": "hidden", "latent_skip": True},
             "layer_kernels": kernels_cfg,
-            "processor": {
-                "_target_": "anemoi.models.layers.processor.GraphTransformerProcessor",
-                "trainable_size": 2, "num_layers": L, **common,
-            },
-            "encoder": {
-                "_target_": "anemoi.models.layers.mapper.GraphTransformerForwardMapper",
-                "trainable_size": 2, **common,
-            },
-            "decoder": {
-                "_target_": "anemoi.models.layers.mapper.GraphTransformerBackwardMapper",
-                "trainable_size": 2, "initialise_data_extractor_zero": False, **common,
-            },
+            "processor": ref_proc,
+            "encoder": (
+                {"_target_": "anemoi.models.layers.mapper.GNNForwardMapper",
+                 "trainable_size": 2, **gnn_common}
+                if processor == "gnn" else
+                {"_target_": "anemoi.models.layers.mapper.GraphTransformerForwardMapper",
+                 "trainable_size": 2, **common}
+            ),
+            "decoder": (
+                {"_target_": "anemoi.models.layers.mapper.GNNBackwardMapper",
+                 "trainable_size": 2, **gnn_common}
+                if processor == "gnn" else
+                {"_target_": "anemoi.models.layers.mapper.GraphTransformerBackwardMapper",
+                 "trainable_size": 2, "initialise_data_extractor_zero": False,
+                 **common}
+            ),
             "residual": {
                 "_target_": "anemoi.models.layers.residual.SkipConnection", "step": -1,
             },
@@ -212,18 +247,41 @@ def _build_paired_models(rng):
             "n_step_output": 1,
             "graph_attention_backend": "padded",
             "trainable_parameters": {"data": 2, "hidden": 2},
-            "encoder": {"name": "GraphTransformerForwardMapper", "num_heads": H,
-                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
-                        "trainable_size": 2,
-                        "sub_graph_edge_attributes": EDGE_ATTRS},
-            "processor": {"name": "GraphTransformerProcessor", "num_layers": L,
-                          "num_heads": H, "mlp_hidden_ratio": 4.0, "qk_norm": True,
-                          "trainable_size": 2, "gradient_checkpointing": False,
-                          "sub_graph_edge_attributes": EDGE_ATTRS},
-            "decoder": {"name": "GraphTransformerBackwardMapper", "num_heads": H,
-                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
-                        "trainable_size": 2,
-                        "sub_graph_edge_attributes": EDGE_ATTRS},
+            "encoder": (
+                {"name": "GNNForwardMapper", "mlp_extra_layers": 0,
+                 "trainable_size": 2,
+                 "sub_graph_edge_attributes": EDGE_ATTRS}
+                if processor == "gnn" else
+                {"name": "GraphTransformerForwardMapper", "num_heads": H,
+                 "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                 "trainable_size": 2,
+                 "sub_graph_edge_attributes": EDGE_ATTRS}
+            ),
+            "processor": (
+                {"name": "GNNProcessor", "num_layers": L,
+                 "mlp_extra_layers": 0, "trainable_size": 2,
+                 "gradient_checkpointing": False,
+                 "sub_graph_edge_attributes": EDGE_ATTRS}
+                if processor == "gnn" else
+                {"name": "TransformerProcessor", "num_layers": L,
+                 "num_heads": H, "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                 "window_size": None, "gradient_checkpointing": False}
+                if processor == "transformer" else
+                {"name": "GraphTransformerProcessor", "num_layers": L,
+                 "num_heads": H, "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                 "trainable_size": 2, "gradient_checkpointing": False,
+                 "sub_graph_edge_attributes": EDGE_ATTRS}
+            ),
+            "decoder": (
+                {"name": "GNNBackwardMapper", "mlp_extra_layers": 0,
+                 "trainable_size": 2,
+                 "sub_graph_edge_attributes": EDGE_ATTRS}
+                if processor == "gnn" else
+                {"name": "GraphTransformerBackwardMapper", "num_heads": H,
+                 "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                 "trainable_size": 2,
+                 "sub_graph_edge_attributes": EDGE_ATTRS}
+            ),
         },
         "data": {"processors": []},
     }
@@ -477,6 +535,89 @@ def test_short_training_trajectory_parity(rng):
         y_ref = ref_model({"data": _torch.from_numpy(xs[-1])})["data"].numpy()
     y_tpu = np.asarray(iface.apply(params, {"data": x_fin})["data"])
     np.testing.assert_allclose(y_tpu, y_ref, rtol=5e-3, atol=5e-4)
+
+
+def test_transformer_full_model_parity(rng):
+    """Full EncProcDec parity for the dense-Transformer flavour
+    (ref model/transformer.yaml: GT mappers + TransformerProcessor running
+    its own SDPA path): the reference torch model executed directly, its
+    state dict ported (separate lin_q/k/v merged into the fused qkv Dense),
+    outputs allclose in fp32."""
+    import torch as _torch
+
+    pair = _build_paired_models(rng, processor="transformer")
+    ref_model, iface, params = pair["ref_model"], pair["iface"], pair["params"]
+    n_grid, n_in = pair["n_grid"], pair["n_in"]
+
+    x_np = rng.normal(size=(1, 2, 1, n_grid, n_in)).astype(np.float32)
+    with _torch.no_grad():
+        out_ref = ref_model({"data": _torch.from_numpy(x_np)})["data"].numpy()
+    out_tpu = iface.apply(params, {"data": jnp.asarray(x_np)})["data"]
+    np.testing.assert_allclose(
+        np.asarray(out_tpu), out_ref, rtol=2e-4, atol=5e-5
+    )
+
+    # gradient parity through the same area-weighted MSE (the fused-qkv
+    # port is linear, so torch grads concat into the fused kernel cotangent)
+    from anemoi_tpu.models.port import reference_to_flax
+
+    w_np = pair["area_weights"]
+    n_out = pair["n_out"]
+    target_np = rng.normal(size=(1, 1, 1, n_grid, n_out)).astype(np.float32)
+    x_t = _torch.from_numpy(x_np)
+    w_t = _torch.from_numpy(w_np)[:, None]
+    ref_model.zero_grad()
+    y_t = ref_model({"data": x_t})["data"]
+    loss_t = (w_t * (y_t - _torch.from_numpy(target_np)) ** 2).mean()
+    loss_t.backward()
+    grad_sd = {
+        name: p.grad.detach().numpy()
+        for name, p in ref_model.named_parameters(remove_duplicate=False)
+        if p.grad is not None
+    }
+
+    w_j = jnp.asarray(w_np)[:, None]
+
+    def loss_fn(p):
+        y = iface.apply(p, {"data": jnp.asarray(x_np)})["data"]
+        return (w_j * (y - jnp.asarray(target_np)) ** 2).mean()
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-5)
+    grads_ref = reference_to_flax(grad_sd, pair["template"])
+    import flax
+
+    flat_ref = flax.traverse_util.flatten_dict(grads_ref["params"])
+    flat_jax = flax.traverse_util.flatten_dict(grads_j["params"])
+    assert set(flat_ref) == set(flat_jax)
+    for path in sorted(flat_jax):
+        g_jax, g_ref = np.asarray(flat_jax[path]), np.asarray(flat_ref[path])
+        scale = max(np.abs(g_ref).max(), 1e-12)
+        np.testing.assert_allclose(
+            g_jax, g_ref, rtol=2e-3, atol=3e-5 * scale,
+            err_msg=f"gradient mismatch at {'/'.join(map(str, path))}",
+        )
+
+
+def test_gnn_full_model_parity(rng):
+    """Full EncProcDec parity for the GNN conv flavour (ref model/gnn.yaml:
+    GNN mappers + GNNProcessor): the reference torch model executed directly,
+    weights ported (incl. the scan-stacked processor layers 1.. with the
+    standalone edge-embedding layer 0), outputs allclose in fp32 — also
+    covers the decomposed edge-MLP first layer end to end."""
+    import torch as _torch
+
+    pair = _build_paired_models(rng, processor="gnn")
+    ref_model, iface, params = pair["ref_model"], pair["iface"], pair["params"]
+    n_grid, n_in = pair["n_grid"], pair["n_in"]
+
+    x_np = rng.normal(size=(1, 2, 1, n_grid, n_in)).astype(np.float32)
+    with _torch.no_grad():
+        out_ref = ref_model({"data": _torch.from_numpy(x_np)})["data"].numpy()
+    out_tpu = iface.apply(params, {"data": jnp.asarray(x_np)})["data"]
+    np.testing.assert_allclose(
+        np.asarray(out_tpu), out_ref, rtol=2e-4, atol=5e-5
+    )
 
 
 def test_hierarchical_model_parity(rng):
