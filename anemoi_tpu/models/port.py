@@ -68,6 +68,12 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
             out += ["node_attributes", "trainable_tensors", p[len("node_attributes_"):]]
             i += 1
             continue
+        if p.startswith("noise_cond_mlp_"):
+            # transport noise-conditioning MLP (ref transport_encoder_
+            # processor_decoder.py:93: linear{1,2}_no_gradscaling)
+            out += ["noise_cond_mlp", p[len("noise_cond_mlp_"):] + "_no_gradscaling"]
+            i += 1
+            continue
         if p == "trainable_edges":
             # trainable edge features live on the graph PROVIDER in the
             # reference layout (graph_provider.py:254 StaticGraphProvider
@@ -158,7 +164,12 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
                 "extractor_norm": "node_data_extractor.0",
             }.get(p, p)
             out += ref.split(".")
-            i += 2  # skip the inner "ln"
+            if parts[i + 1] == "ln":
+                i += 2  # plain LayerNorm: skip the inner "ln"
+            else:
+                # ConditionalLayerNorm: keep the scale/bias Linear submodules
+                # (ref normalization.py: self.scale / self.bias)
+                i += 1
             continue
         if p in ("node_dst_mlp", "node_src_mlp", "mlp", "emb_edges",
                  "emb_nodes_src", "emb_nodes_dst", "node_data_extractor",

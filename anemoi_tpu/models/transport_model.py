@@ -38,6 +38,24 @@ class AnemoiTransportModelEncProcDec(AnemoiModelEncProcDec):
     def noise_embed_dim(self) -> int:
         return int(self.config.get("noise_embed_dim", 16))
 
+    @property
+    def noise_channels(self):
+        """Reference-compat conditioning width (ref transport config
+        model.transport.noise_channels, default 32 there): when set, the
+        noise embedding runs at this width and is projected to
+        ``noise_cond_dim`` by the two-layer SiLU ``noise_cond_mlp``
+        (transport_encoder_processor_decoder.py:93-98), and the MAPPERS are
+        noise-conditioned too (the reference wires ConditionalLayerNorm
+        through every component's layer_kernels).  None (default) keeps the
+        leaner legacy behaviour: direct embedding, processor-only
+        conditioning."""
+        v = self.config.get("noise_channels")
+        return None if v is None else int(v)
+
+    @property
+    def noise_cond_dim(self) -> int:
+        return int(self.config.get("noise_cond_dim", self.noise_embed_dim))
+
     def input_dim(self, ds: str) -> int:
         trainable = self.config.get("trainable_parameters", {}) or {}
         return (
@@ -72,9 +90,26 @@ class AnemoiTransportModelEncProcDec(AnemoiModelEncProcDec):
         # family is configurable (ref layers/diffusion.py: RandomFourier /
         # Sinusoidal; default matches the previous fourier behaviour)
         embed_fn = TIME_EMBEDDINGS[self.config.get("noise_embedding", "fourier")]
-        cond_vec = embed_fn(
-            noise_level.reshape(bflat), self.noise_embed_dim
-        ).astype(compute_dtype)  # [bflat, emb]
+        if self.noise_channels is not None:
+            # reference path: wide embedding -> Linear/SiLU/Linear cond MLP
+            # (ref _embed_noise_conditioning + _create_noise_conditioning_mlp)
+            kw = {}
+            if "noise_max_period" in self.config:
+                kw["max_period"] = float(self.config["noise_max_period"])
+            emb = embed_fn(
+                noise_level.reshape(bflat), self.noise_channels, **kw
+            ).astype(compute_dtype)
+            h = nn.Dense(self.noise_channels, name="noise_cond_mlp_linear1")(emb)
+            cond_vec = nn.Dense(self.noise_cond_dim, name="noise_cond_mlp_linear2")(
+                nn.silu(h)
+            )
+        else:
+            cond_vec = embed_fn(
+                noise_level.reshape(bflat), self.noise_embed_dim
+            ).astype(compute_dtype)  # [bflat, emb]
+        conditional_mappers = bool(
+            self.config.get("conditional_mappers", self.noise_channels is not None)
+        )
 
         hidden_attrs = TrainableNodeAttributes(
             num_nodes=graph.num_nodes[hidden],
@@ -89,6 +124,7 @@ class AnemoiTransportModelEncProcDec(AnemoiModelEncProcDec):
         )
 
         x_data_latent = {}
+        cond_data_by_ds = {}
         latents = []
         for ds in dataset_names:
             node_attrs = TrainableNodeAttributes(
@@ -111,9 +147,19 @@ class AnemoiTransportModelEncProcDec(AnemoiModelEncProcDec):
                 axis=-1,
             )
 
+            cond_ds = None
+            if conditional_mappers:
+                cond_ds = jnp.broadcast_to(
+                    cond_vec[:, None, :],
+                    (bflat, graph.num_nodes[ds], cond_vec.shape[-1]),
+                )
+                cond_data_by_ds[ds] = cond_ds
             x_data_out, x_latent = _build_encoder(
                 self.config["encoder"], self.num_channels, self.attention_backend
-            )((x_latent_in, x_hidden_latent), graph_inputs["encoder"][ds])
+            )(
+                (x_latent_in, x_hidden_latent), graph_inputs["encoder"][ds],
+                cond=(cond_ds, cond_hidden) if conditional_mappers else None,
+            )
             x_data_latent[ds] = x_data_out
             latents.append(x_latent)
 
@@ -137,7 +183,11 @@ class AnemoiTransportModelEncProcDec(AnemoiModelEncProcDec):
                 self.num_channels,
                 self.output_dim(ds),
                 self.attention_backend,
-            )((x_latent_proc, x_data_latent[ds]), graph_inputs["decoder"][ds])
+            )(
+                (x_latent_proc, x_data_latent[ds]), graph_inputs["decoder"][ds],
+                cond=(cond_hidden, cond_data_by_ds[ds])
+                if conditional_mappers else None,
+            )
             n_grid = x_out.shape[1]
             n_vars = idx.num_model_output_vars
             x_out = x_out.reshape(batch, ens, n_grid, self.n_step_output, n_vars)

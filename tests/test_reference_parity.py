@@ -805,6 +805,205 @@ def test_hierarchical_model_parity(rng):
     )
 
 
+def test_transport_full_model_parity(rng):
+    """Full transport (EDM diffusion) model parity: the reference's OWN torch
+    AnemoiTransportModelEncProcDec executed through its EDMDiffusionModelObjective
+    (transport_encoder_processor_decoder.py:47 + transport/objectives.py:102-125:
+    sinusoidal noise embedder -> Linear/SiLU/Linear cond MLP ->
+    ConditionalLayerNorm everywhere, c_in-scaled noised target concatenated at
+    the encoder, D = c_skip*y + c_out*F) vs this repo's transport model with
+    reference-compat conditioning (noise_channels set), weights ported."""
+    import sys
+
+    import torch as _torch
+
+    from anemoi.models.data_indices.collection import (
+        IndexCollection as RefIndexCollection,
+    )
+    from anemoi.models.models.transport_encoder_processor_decoder import (
+        AnemoiTransportModelEncProcDec as RefModel,
+    )
+
+    from anemoi_tpu.data_indices.collection import IndexCollection
+    from anemoi_tpu.graphs.create import GraphCreator
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from anemoi_tpu.models.port import reference_to_flax
+    from anemoi_tpu.models.transport.objectives import (
+        EDMConfig,
+        edm_denoise,
+        edm_preconditioning,
+    )
+    from tests.reference_stubs import _dotify
+
+    NAMES = {"q": 0, "t": 1, "u": 2, "z": 3, "tp": 4, "cos_lat": 5}
+    FORCING, DIAG = ["cos_lat", "z"], ["tp"]
+    EDGE_ATTRS = ["edge_length", "edge_dirs"]
+    ea = {"edge_length": {"name": "EdgeLength"},
+          "edge_dirs": {"name": "EdgeDirection"}}
+    recipe = {
+        "nodes": {
+            "data": {"node_builder": {"name": "RegularLatLonNodes", "resolution": 20}},
+            "hidden": {"node_builder": {"name": "TriNodes", "resolution": 0}},
+        },
+        "edges": [
+            {"source_name": "data", "target_name": "hidden",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": ea},
+            {"source_name": "hidden", "target_name": "hidden",
+             "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1},
+             "attributes": ea},
+            {"source_name": "hidden", "target_name": "data",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": ea},
+        ],
+    }
+    graph = GraphCreator(recipe).create()
+    HeteroData = sys.modules["torch_geometric.data"].HeteroData
+    g = HeteroData()
+    for name in ("data", "hidden"):
+        g[name].x = _torch.from_numpy(graph[name].coords.astype(np.float32))
+    for (s, d), es in graph.edges.items():
+        store = g[(s, "to", d)]
+        store.edge_index = _torch.from_numpy(es.edge_index.astype(np.int64))
+        for attr in EDGE_ATTRS:
+            setattr(store, attr,
+                    _torch.from_numpy(es.attributes[attr].astype(np.float32)))
+
+    C, H, L = 16, 4, 2
+    NOISE_CH, COND_DIM = 8, 6
+    kernels_cfg = {
+        "Linear": {"_target_": "torch.nn.Linear"},
+        # the transport flavour conditions EVERY LayerNorm on the noise
+        # embedding (ref model/graphtransformer_transport.yaml layer_kernels);
+        # zero_init False so the conditioning path carries real weights
+        "LayerNorm": {
+            "_target_": "anemoi.models.layers.normalization.ConditionalLayerNorm",
+            "condition_shape": COND_DIM, "zero_init": False, "autocast": False,
+        },
+        "Activation": {"_target_": "torch.nn.GELU"},
+    }
+    common = {
+        "sub_graph_edge_attributes": EDGE_ATTRS,
+        "num_chunks": 1, "mlp_hidden_ratio": 4, "mlp_implementation": "mlp",
+        "num_heads": H, "qk_norm": True, "cpu_offload": False,
+        "gradient_checkpointing": False, "layer_kernels": kernels_cfg,
+        "shard_strategy": "heads", "graph_attention_backend": "pyg",
+        "edge_pre_mlp": False,
+    }
+    model_config = _dotify({
+        "model": {
+            "num_channels": C,
+            "model": {
+                "hidden_nodes_name": "hidden", "latent_skip": True,
+                "transport": {
+                    "objective": "edm_diffusion",
+                    "sigma_data": 1.0,
+                    "noise_channels": NOISE_CH, "noise_cond_dim": COND_DIM,
+                    "noise_embedder": {
+                        "_target_": "anemoi.models.layers.diffusion.SinusoidalEmbeddings",
+                        "num_channels": NOISE_CH, "max_period": 1000,
+                    },
+                },
+            },
+            "layer_kernels": kernels_cfg,
+            "processor": {
+                "_target_": "anemoi.models.layers.processor.GraphTransformerProcessor",
+                "trainable_size": 2, "num_layers": L, **common,
+            },
+            "encoder": {
+                "_target_": "anemoi.models.layers.mapper.GraphTransformerForwardMapper",
+                "trainable_size": 2, **common,
+            },
+            "decoder": {
+                "_target_": "anemoi.models.layers.mapper.GraphTransformerBackwardMapper",
+                "trainable_size": 2, "initialise_data_extractor_zero": False,
+                **common,
+            },
+            "residual": {
+                "_target_": "anemoi.models.layers.residual.SkipConnection", "step": -1,
+            },
+            "trainable_parameters": {"data": 2, "hidden": 2},
+            "bounding": [],
+        },
+    })
+    data_cfg = _dotify({"forcing": FORCING, "diagnostic": DIAG})
+    torch.manual_seed(0)
+    ref_model = RefModel(
+        model_config=model_config,
+        data_indices={"data": RefIndexCollection(data_cfg, NAMES)},
+        statistics={"data": {}},
+        n_step_input=2,
+        n_step_output=1,
+        graph_data=g,
+    )
+    ref_model.eval()
+
+    n_grid = graph["data"].num_nodes
+    n_in, n_out = 5, 4
+
+    tpu_cfg = {
+        "model": {
+            "name": "AnemoiTransportModelEncProcDec",
+            "num_channels": C, "n_step_input": 2, "n_step_output": 1,
+            "graph_attention_backend": "padded",
+            # reference-compat conditioning
+            "noise_embedding": "sinusoidal", "noise_max_period": 1000,
+            "noise_channels": NOISE_CH, "noise_cond_dim": COND_DIM,
+            "trainable_parameters": {"data": 2, "hidden": 2},
+            "encoder": {"name": "GraphTransformerForwardMapper", "num_heads": H,
+                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                        "trainable_size": 2,
+                        "sub_graph_edge_attributes": EDGE_ATTRS},
+            "processor": {"name": "GraphTransformerProcessor", "num_layers": L,
+                          "num_heads": H, "mlp_hidden_ratio": 4.0,
+                          "qk_norm": True, "trainable_size": 2,
+                          "gradient_checkpointing": False,
+                          "sub_graph_edge_attributes": EDGE_ATTRS},
+            "decoder": {"name": "GraphTransformerBackwardMapper", "num_heads": H,
+                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                        "trainable_size": 2,
+                        "sub_graph_edge_attributes": EDGE_ATTRS},
+        },
+        "data": {"processors": []},
+    }
+    iface = AnemoiModelInterface(
+        config=tpu_cfg, graph=graph,
+        data_indices={"data": IndexCollection(NAMES, forcing=FORCING, diagnostic=DIAG)},
+        statistics={"data": {
+            "mean": np.zeros(6, np.float32), "stdev": np.ones(6, np.float32),
+            "minimum": -np.ones(6, np.float32), "maximum": np.ones(6, np.float32),
+        }},
+    )
+    template = iface.init_params(jax.random.PRNGKey(1))
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = reference_to_flax(sd, template)
+
+    x_np = rng.normal(size=(1, 2, 1, n_grid, n_in)).astype(np.float32)
+    y_np = rng.normal(size=(1, 1, 1, n_grid, n_out)).astype(np.float32)
+    sigma_np = np.asarray(0.7, np.float32).reshape(1, 1, 1, 1, 1)
+
+    with _torch.no_grad():
+        d_ref = ref_model(
+            {"data": _torch.from_numpy(x_np)},
+            {"data": _torch.from_numpy(y_np)},
+            {"data": _torch.from_numpy(sigma_np)},
+        )["data"].numpy()
+
+    sigma_j = jnp.asarray(sigma_np)
+    _, _, c_in, c_noise = edm_preconditioning(sigma_j, 1.0)
+    f = iface.model.apply(
+        params,
+        {"data": jnp.asarray(x_np)},
+        {"data": c_in * jnp.asarray(y_np)},
+        c_noise[:, 0, :, 0, 0],
+        iface.graph_inputs,
+    )["data"]
+    d_tpu = edm_denoise(f, jnp.asarray(y_np), sigma_j, EDMConfig(sigma_data=1.0))
+    np.testing.assert_allclose(
+        np.asarray(d_tpu), d_ref, rtol=2e-4, atol=5e-5
+    )
+
+
 def _lin(sd, prefix):
     return {
         "kernel": sd[f"{prefix}.weight"].T,
