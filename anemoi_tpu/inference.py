@@ -55,8 +55,11 @@ def make_forecast_fn(interface, steps: int, aot_cache: str | None = None):
         if dt is not None:
             x = {ds: v.astype(dt) for ds, v in x.items()}
         outputs = {ds: [] for ds in dataset_names}
+        uses_fcstep = bool(getattr(model, "fcstep_input", False))
         for step in range(steps):
-            y_pred = model.apply(p, x, graph_inputs)
+            y_pred = model.apply(
+                p, x, graph_inputs, **({"fcstep": step} if uses_fcstep else {})
+            )
             t0 = m + step * n_out
             for ds in dataset_names:
                 outputs[ds].append(

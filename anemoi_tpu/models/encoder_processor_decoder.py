@@ -417,12 +417,21 @@ class AnemoiModelEncProcDec(nn.Module):
             },
         }
 
+    @property
+    def fcstep_input(self) -> bool:
+        """Append a constant forecast-step channel to the encoder input
+        (the ensemble model's reference behaviour,
+        ens_encoder_processor_decoder.py:70-104: +1 input channel carrying
+        the rollout step index).  Off for the base model."""
+        return False
+
     @nn.compact
     def __call__(
         self,
         x: Dict[str, jnp.ndarray],  # per dataset [B, T, E, G, V_model_in]
         graph_inputs: Optional[Dict] = None,
         cond: Optional[jnp.ndarray] = None,
+        fcstep: int = 0,
     ) -> Dict[str, jnp.ndarray]:
         graph = self.graph
         hidden = graph.hidden_name
@@ -475,10 +484,22 @@ class AnemoiModelEncProcDec(nn.Module):
             flat = jnp.transpose(xd, (0, 2, 3, 1, 4)).reshape(
                 bflat, xd.shape[3], n_time * xd.shape[4]
             )
-            x_latent_in = jnp.concatenate(
-                [flat, jnp.broadcast_to(node_attrs[None], (bflat,) + node_attrs.shape)],
-                axis=-1,
-            )
+            latent_parts = [
+                flat,
+                jnp.broadcast_to(node_attrs[None], (bflat,) + node_attrs.shape),
+            ]
+            if self.fcstep_input:
+                # ref order: [x, node attrs, fcstep], CLAMPED to min(1, step)
+                # (ens_encoder_processor_decoder.py:199 -- the channel only
+                # distinguishes the analysis-driven first step from rollout)
+                latent_parts.append(
+                    jnp.full(
+                        (bflat, xd.shape[3], 1),
+                        float(min(1, fcstep)),
+                        dtype=compute_dtype,
+                    )
+                )
+            x_latent_in = jnp.concatenate(latent_parts, axis=-1)
 
             enc_edges = graph_inputs["encoder"][ds]
             enc_provider = (self.config["encoder"] or {}).get("edge_provider")
@@ -585,6 +606,16 @@ class AnemoiEnsModelEncProcDec(AnemoiModelEncProcDec):
     Each ensemble member (dim 2 of the input) runs through the same weights
     with an independent noise draw; with `NoiseConditioning` the processor
     blocks must be conditional (set processor.conditional: true)."""
+
+    @property
+    def fcstep_input(self) -> bool:
+        # the reference always carries the forecast-step channel
+        # (ens_encoder_processor_decoder.py:70 `+ 1  # for fcstep`);
+        # fcstep_input: false restores the pre-r5 leaner input
+        return bool(self.config.get("fcstep_input", True))
+
+    def input_dim(self, ds: str) -> int:
+        return super().input_dim(ds) + (1 if self.fcstep_input else 0)
 
     def _noise_hook(self, x_latent: jnp.ndarray):
         from anemoi_tpu.models.layers.ensemble import build_noise_injector

@@ -115,6 +115,13 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
             provider = ["decoder_graph_provider", dataset]
             i += 1
             continue
+        if p.split("_")[0] in ("NoiseConditioning", "NoiseInjector",
+                               "NoOpNoiseInjector"):
+            # ensemble noise injector (ref ens_encoder_processor_decoder.py:60
+            # self.noise_injector)
+            out += ["noise_injector"]
+            i += 1
+            continue
         if p.startswith("GNNProcessor"):
             # layer 0 is a standalone module (it embeds raw edge attrs);
             # the scan stacks layers 1.. -> ref proc indices offset by one
@@ -173,7 +180,7 @@ def _ref_name(path: Tuple[str, ...], dataset: str = "data") -> str:
             continue
         if p in ("node_dst_mlp", "node_src_mlp", "mlp", "emb_edges",
                  "emb_nodes_src", "emb_nodes_dst", "node_data_extractor",
-                 "edge_mlp", "node_mlp") and (
+                 "edge_mlp", "node_mlp", "noise_mlp") and (
             parts[i + 1] in ("ffn_in", "linear_out", "norm")
             or parts[i + 1].startswith("ffn_")
         ):

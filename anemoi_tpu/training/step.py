@@ -252,30 +252,38 @@ def make_step_fns(
                 for ds, v in x.items()
             }
 
-        def forward(params, x, key):
-            return model.apply(params, x, graph_inputs, rngs={"noise": key})
+        # the ensemble model carries the forecast-step index as a constant
+        # input channel (ref ens_encoder_processor_decoder.py:70); the
+        # rollout loop below is unrolled in Python so fcstep closes over
+        # each step's forward as a static value
+        uses_fcstep = bool(getattr(model, "fcstep_input", False))
+
+        def make_forward(fcstep):
+            def fwd(params, x, key):
+                kw = {"fcstep": fcstep} if uses_fcstep else {}
+                return model.apply(params, x, graph_inputs, rngs={"noise": key}, **kw)
+
+            if effective_remat:
+                from anemoi_tpu.models.layers.processor import resolve_remat_policy
+
+                # remat_policy="save_attention" keeps every Pallas attention
+                # kernel's out/lse (mappers + all processor layers) so the
+                # rollout backward replays only matmuls/norms, never the
+                # kernels (see models/layers/processor.py resolve_remat_policy)
+                return jax.checkpoint(fwd, policy=resolve_remat_policy(remat_policy))
+            return fwd
 
         # at rollout 1 there is nothing between rollout steps to free, so the
         # outer checkpoint would only add a full forward recompute (~15% of
         # the flagship step) -- the per-layer remat inside the processor scan
         # already bounds activation memory
         effective_remat = remat_rollout and rollout > 1 and task == "forecaster"
-        if effective_remat:
-            # remat_policy="save_attention" keeps every Pallas attention
-            # kernel's out/lse (mappers + all processor layers) so the
-            # rollout backward replays only matmuls/norms, never the kernels
-            # (see models/layers/processor.py resolve_remat_policy)
-            from anemoi_tpu.models.layers.processor import resolve_remat_policy
-
-            forward = jax.checkpoint(
-                forward, policy=resolve_remat_policy(remat_policy)
-            )
 
         total = 0.0
         metrics_out: Dict[str, jnp.ndarray] = {}
         effective_rollout = 1 if task in ("autoencoder", "temporal_downscaler") else rollout
         for step in range(effective_rollout):
-            y_pred = forward(params, x, jax.random.fold_in(rng, step))
+            y_pred = make_forward(step)(params, x, jax.random.fold_in(rng, step))
             if task == "autoencoder":
                 t0 = m - n_out
             elif task == "temporal_downscaler":

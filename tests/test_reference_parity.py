@@ -805,6 +805,194 @@ def test_hierarchical_model_parity(rng):
     )
 
 
+def test_ensemble_full_model_parity(rng):
+    """Full ensemble model parity: the reference's OWN torch
+    AnemoiEnsModelEncProcDec (ens_encoder_processor_decoder.py:34 — fcstep
+    input channel :70-104, NoiseConditioning injector into the processor's
+    ConditionalLayerNorms :60,252) vs the repo's ensemble model.  noise_std=0
+    makes both sides deterministic while still exercising the ported
+    noise-MLP and conditional-norm weights (the cond vector flows through
+    the MLP biases)."""
+    import sys
+
+    import torch as _torch
+
+    from anemoi.models.data_indices.collection import (
+        IndexCollection as RefIndexCollection,
+    )
+    from anemoi.models.models.ens_encoder_processor_decoder import (
+        AnemoiEnsModelEncProcDec as RefModel,
+    )
+
+    from anemoi_tpu.data_indices.collection import IndexCollection
+    from anemoi_tpu.graphs.create import GraphCreator
+    from anemoi_tpu.models.interface import AnemoiModelInterface
+    from anemoi_tpu.models.port import reference_to_flax
+    from tests.reference_stubs import _dotify
+
+    NAMES = {"q": 0, "t": 1, "u": 2, "z": 3, "tp": 4, "cos_lat": 5}
+    FORCING, DIAG = ["cos_lat", "z"], ["tp"]
+    EDGE_ATTRS = ["edge_length", "edge_dirs"]
+    ea = {"edge_length": {"name": "EdgeLength"},
+          "edge_dirs": {"name": "EdgeDirection"}}
+    recipe = {
+        "nodes": {
+            "data": {"node_builder": {"name": "RegularLatLonNodes", "resolution": 20}},
+            "hidden": {"node_builder": {"name": "TriNodes", "resolution": 0}},
+        },
+        "edges": [
+            {"source_name": "data", "target_name": "hidden",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": ea},
+            {"source_name": "hidden", "target_name": "hidden",
+             "edge_builder": {"name": "MultiScaleEdges", "x_hops": 1},
+             "attributes": ea},
+            {"source_name": "hidden", "target_name": "data",
+             "edge_builder": {"name": "KNNEdges", "num_nearest_neighbours": 3},
+             "attributes": ea},
+        ],
+    }
+    graph = GraphCreator(recipe).create()
+    HeteroData = sys.modules["torch_geometric.data"].HeteroData
+    g = HeteroData()
+    for name in ("data", "hidden"):
+        g[name].x = _torch.from_numpy(graph[name].coords.astype(np.float32))
+    for (s, d), es in graph.edges.items():
+        store = g[(s, "to", d)]
+        store.edge_index = _torch.from_numpy(es.edge_index.astype(np.int64))
+        for attr in EDGE_ATTRS:
+            setattr(store, attr,
+                    _torch.from_numpy(es.attributes[attr].astype(np.float32)))
+
+    C, H, L, NOISE_CH = 16, 4, 2, 4
+    kernels_cfg = {
+        "Linear": {"_target_": "torch.nn.Linear"},
+        "LayerNorm": {"_target_": "torch.nn.LayerNorm"},
+        "Activation": {"_target_": "torch.nn.GELU"},
+    }
+    # the ens processor conditions its norms on the noise embedding
+    proc_kernels = {
+        **kernels_cfg,
+        "LayerNorm": {
+            "_target_": "anemoi.models.layers.normalization.ConditionalLayerNorm",
+            "condition_shape": NOISE_CH, "zero_init": False, "autocast": False,
+        },
+    }
+    common = {
+        "sub_graph_edge_attributes": EDGE_ATTRS,
+        "num_chunks": 1, "mlp_hidden_ratio": 4, "mlp_implementation": "mlp",
+        "num_heads": H, "qk_norm": True, "cpu_offload": False,
+        "gradient_checkpointing": False,
+        "shard_strategy": "heads", "graph_attention_backend": "pyg",
+        "edge_pre_mlp": False,
+    }
+    model_config = _dotify({
+        "model": {
+            "num_channels": C,
+            "condition_on_residual": False,
+            "model": {"hidden_nodes_name": "hidden", "latent_skip": True},
+            "layer_kernels": kernels_cfg,
+            "noise_injector": {
+                "_target_": "anemoi.models.layers.ensemble.NoiseConditioning",
+                "noise_std": 0, "noise_channels_dim": NOISE_CH,
+                "noise_mlp_hidden_dim": 8, "noise_matrix": None,
+                "noise_edges_name": None, "edge_weight_attribute": None,
+                "row_normalize_noise_matrix": False, "autocast": False,
+                "layer_kernels": {"Activation": {"_target_": "torch.nn.GELU"}},
+            },
+            "processor": {
+                "_target_": "anemoi.models.layers.processor.GraphTransformerProcessor",
+                "trainable_size": 2, "num_layers": L,
+                "layer_kernels": proc_kernels, **common,
+            },
+            "encoder": {
+                "_target_": "anemoi.models.layers.mapper.GraphTransformerForwardMapper",
+                "trainable_size": 2, "layer_kernels": kernels_cfg, **common,
+            },
+            "decoder": {
+                "_target_": "anemoi.models.layers.mapper.GraphTransformerBackwardMapper",
+                "trainable_size": 2, "initialise_data_extractor_zero": False,
+                "layer_kernels": kernels_cfg, **common,
+            },
+            "residual": {
+                "_target_": "anemoi.models.layers.residual.SkipConnection", "step": -1,
+            },
+            "trainable_parameters": {"data": 2, "hidden": 2},
+            "bounding": [],
+        },
+    })
+    data_cfg = _dotify({"forcing": FORCING, "diagnostic": DIAG})
+    torch.manual_seed(0)
+    ref_model = RefModel(
+        model_config=model_config,
+        data_indices={"data": RefIndexCollection(data_cfg, NAMES)},
+        statistics={"data": {}},
+        n_step_input=2,
+        n_step_output=1,
+        graph_data=g,
+    )
+    ref_model.eval()
+
+    n_grid = graph["data"].num_nodes
+    n_in, members = 5, 2
+
+    tpu_cfg = {
+        "model": {
+            "name": "AnemoiEnsModelEncProcDec",
+            "num_channels": C, "n_step_input": 2, "n_step_output": 1,
+            "graph_attention_backend": "padded",
+            "noise_injector": {"name": "NoiseConditioning", "noise_std": 0.0,
+                               "noise_channels_dim": NOISE_CH,
+                               "noise_mlp_hidden_dim": 8},
+            "trainable_parameters": {"data": 2, "hidden": 2},
+            "encoder": {"name": "GraphTransformerForwardMapper", "num_heads": H,
+                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                        "trainable_size": 2,
+                        "sub_graph_edge_attributes": EDGE_ATTRS},
+            "processor": {"name": "GraphTransformerProcessor", "num_layers": L,
+                          "num_heads": H, "mlp_hidden_ratio": 4.0,
+                          "qk_norm": True, "trainable_size": 2,
+                          "conditional": True,
+                          "gradient_checkpointing": False,
+                          "sub_graph_edge_attributes": EDGE_ATTRS},
+            "decoder": {"name": "GraphTransformerBackwardMapper", "num_heads": H,
+                        "mlp_hidden_ratio": 4.0, "qk_norm": True,
+                        "trainable_size": 2,
+                        "sub_graph_edge_attributes": EDGE_ATTRS},
+        },
+        "data": {"processors": []},
+    }
+    iface = AnemoiModelInterface(
+        config=tpu_cfg, graph=graph,
+        data_indices={"data": IndexCollection(NAMES, forcing=FORCING, diagnostic=DIAG)},
+        statistics={"data": {
+            "mean": np.zeros(6, np.float32), "stdev": np.ones(6, np.float32),
+            "minimum": -np.ones(6, np.float32), "maximum": np.ones(6, np.float32),
+        }},
+    )
+    template = iface.init_params(jax.random.PRNGKey(1))
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = reference_to_flax(sd, template)
+
+    x_np = rng.normal(size=(1, 2, members, n_grid, n_in)).astype(np.float32)
+    with _torch.no_grad():
+        out_ref = ref_model({"data": _torch.from_numpy(x_np)}, fcstep=3)["data"].numpy()
+    out_tpu = iface.model.apply(
+        params, {"data": jnp.asarray(x_np)}, iface.graph_inputs, fcstep=3,
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )["data"]
+    np.testing.assert_allclose(
+        np.asarray(out_tpu), out_ref, rtol=2e-4, atol=5e-5
+    )
+    # the fcstep channel must matter (0 vs the clamped >=1 value changes
+    # the output; the reference clamps fcstep to min(1, step), :199)
+    out_tpu0 = iface.model.apply(
+        params, {"data": jnp.asarray(x_np)}, iface.graph_inputs, fcstep=0,
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )["data"]
+    assert float(jnp.abs(out_tpu - out_tpu0).max()) > 1e-6
+
+
 def test_transport_full_model_parity(rng):
     """Full transport (EDM diffusion) model parity: the reference's OWN torch
     AnemoiTransportModelEncProcDec executed through its EDMDiffusionModelObjective

@@ -98,7 +98,10 @@ def make_config(tmp_path, backend="segment", processor="GNNProcessor"):
                         "sub_graph_edge_attributes": ["edge_dirs", "edge_length"]},
         },
         "training": {
-            "max_epochs": 3,
+            # 4 epochs: the r5 GNN mapper-depth parity fix (reference MLPs run
+            # mlp_extra_layers+1 hidden layers) slows the tiny run's first
+            # steps just enough that 3 epochs only bought a ~7% loss drop
+            "max_epochs": 4,
             "lr": {"rate": 2e-3, "warmup": 5, "iterations": 100},
             "rollout": {"start": 2},
             "loss": {"name": "WeightedMSELoss", "scalers": ["area"]},
