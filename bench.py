@@ -353,6 +353,7 @@ def main() -> None:
             and os.environ.get("BENCH_SCAN", "1") == "1"
             and os.environ.get("BENCH_SCAN_UNROLL", "1") == "1"
             and os.environ.get("BENCH_GRAD_NORM", "1") == "1"
+            and ens == 1
             and not os.environ.get("BENCH_PAGED_FUSED")
             and not os.environ.get("BENCH_PAGED_MAPPER_FUSED")
             and os.environ.get("BENCH_PAGED_MAPPERS", "1") == "1"
@@ -367,6 +368,8 @@ def main() -> None:
                 tag += "-remat." + os.environ.get(
                     "BENCH_REMAT_POLICY", "save_attention"
                 )
+            if ens > 1:
+                tag += f"-ens{ens}"
             if os.environ.get("BENCH_SCAN", "1") != "1":
                 tag += "-unrolled"
             if os.environ.get("BENCH_SCAN_UNROLL", "1") != "1":
