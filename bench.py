@@ -221,19 +221,46 @@ def main() -> None:
     # inference (forward-only predict) timing: the serving path
     infer_ms = None
     try:
-        # inference tables as a jit ARGUMENT (repo invariant: constants
-        # inflate axon compiles ~13x)
-        predict = jax.jit(iface.predict_step)
-        infer_gi = iface.inference_graph_inputs
-        x_in = {"data": batch["data"][:, : iface.model.n_step_input]}
-        out = predict(state.params, x_in, infer_gi)
-        jax.block_until_ready(out["data"])
-        t0 = time.time()
-        for _ in range(steps):
+        if model_kind == "transport":
+            # transport serving = generative sampling: one EDM-Heun
+            # 20-step sample per forecast step (the reference's sampler
+            # path, transport/objectives.py sample)
+            from anemoi_tpu.training.step import _index_arrays
+            from anemoi_tpu.training.transport_step import make_sampler
+
+            n_samp = int(os.environ.get("BENCH_SAMPLING_STEPS", "20"))
+            generate = make_sampler(
+                iface, objective="edm", sampler="edm_heun", num_steps=n_samp
+            )
+            ia = _index_arrays(idx)
+            x_in = {
+                "data": batch["data"][:, : iface.model.n_step_input][
+                    ..., jnp.asarray(ia["data_input_full"])
+                ]
+            }
+            key = jax.random.PRNGKey(0)
+            out = generate(state.params, x_in, key)
+            jax.block_until_ready(out["data"])
+            t0 = time.time()
+            for i in range(max(steps // 2, 1)):
+                out = generate(state.params, x_in, jax.random.fold_in(key, i))
+            jax.block_until_ready(out["data"])
+            infer_ms = (time.time() - t0) / max(steps // 2, 1) * 1000
+            log(f"sampling ({n_samp}-step EDM Heun): {infer_ms:.1f} ms")
+        else:
+            # inference tables as a jit ARGUMENT (repo invariant: constants
+            # inflate axon compiles ~13x)
+            predict = jax.jit(iface.predict_step)
+            infer_gi = iface.inference_graph_inputs
+            x_in = {"data": batch["data"][:, : iface.model.n_step_input]}
             out = predict(state.params, x_in, infer_gi)
-        jax.block_until_ready(out["data"])
-        infer_ms = (time.time() - t0) / steps * 1000
-        log(f"inference step: {infer_ms:.1f} ms")
+            jax.block_until_ready(out["data"])
+            t0 = time.time()
+            for _ in range(steps):
+                out = predict(state.params, x_in, infer_gi)
+            jax.block_until_ready(out["data"])
+            infer_ms = (time.time() - t0) / steps * 1000
+            log(f"inference step: {infer_ms:.1f} ms")
     except Exception as e:  # never fail the bench on the extra metric
         log(f"inference timing skipped: {e}")
 
