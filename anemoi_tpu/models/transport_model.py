@@ -54,7 +54,8 @@ class AnemoiTransportModelEncProcDec(AnemoiModelEncProcDec):
 
     @property
     def noise_cond_dim(self) -> int:
-        return int(self.config.get("noise_cond_dim", self.noise_embed_dim))
+        v = self.config.get("noise_cond_dim")
+        return self.noise_embed_dim if v is None else int(v)
 
     def input_dim(self, ds: str) -> int:
         trainable = self.config.get("trainable_parameters", {}) or {}
@@ -94,7 +95,7 @@ class AnemoiTransportModelEncProcDec(AnemoiModelEncProcDec):
             # reference path: wide embedding -> Linear/SiLU/Linear cond MLP
             # (ref _embed_noise_conditioning + _create_noise_conditioning_mlp)
             kw = {}
-            if "noise_max_period" in self.config:
+            if self.config.get("noise_max_period") is not None:
                 kw["max_period"] = float(self.config["noise_max_period"])
             emb = embed_fn(
                 noise_level.reshape(bflat), self.noise_channels, **kw

@@ -161,6 +161,20 @@ class ModelSchema(BaseModel):
     # serving precision (predict_step / forecast CLI / transport sampler):
     # bf16 model forward with fp32 pre/post-processing (ref serves 16-mixed)
     inference_precision: str = "bf16"
+    # gspmd + paged auto-upgrades to the halo route (docs/design.md §7 r5)
+    gspmd_paged_upgrade: bool = True
+    # hierarchical (r5 ref-compat): per-level channel growth (ref hard-codes
+    # 2), per-level processor depth (ref model.level_process_num_layers)
+    level_channel_ratio: int = Field(default=1, ge=1)
+    level_process_num_layers: Optional[int] = Field(default=None, ge=1)
+    # ensemble (r5): reference forecast-step input channel, clamped min(1, t)
+    fcstep_input: bool = True
+    # transport (r5 ref-compat): wide noise embedding -> Linear/SiLU/Linear
+    # cond MLP + noise-conditioned mappers; None = lean direct embedding
+    noise_channels: Optional[int] = Field(default=None, ge=2)
+    noise_cond_dim: Optional[int] = Field(default=None, ge=1)
+    noise_max_period: Optional[float] = None
+    conditional_mappers: Optional[bool] = None
 
     @field_validator("inference_precision")
     @classmethod
