@@ -391,6 +391,10 @@ def main() -> None:
             # historical untagged-model key for anchor continuity)
             if model_kind not in ("encprocdec", "hierarchical"):
                 tag += f"-{model_kind}"
+            if os.environ.get("BENCH_ATTN_IMPL", "pallas") != "pallas":
+                tag += f"-attn.{os.environ['BENCH_ATTN_IMPL']}"
+            if os.environ.get("BENCH_WINDOW", "512") != "512":
+                tag += f"-w{os.environ['BENCH_WINDOW']}"
             if os.environ.get("BENCH_REMAT", remat_default) == "1":
                 tag += "-remat." + os.environ.get(
                     "BENCH_REMAT_POLICY", "save_attention"
